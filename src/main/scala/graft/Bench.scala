@@ -1,23 +1,50 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main: runs the headline queries against SPARK_GRAFT_SF_DIR and
+  * prints one JSON line {"metric":...,"queries":{...}}. Results are forced
+  * with a noop-format write so Catalyst cannot prune work under a count().
+  */
 object Bench {
+
+  /** Headline subset: scan-heavy, join-heavy, window, dedup and text ops —
+    * the queries whose plans dominate a 100 TB run. The full registry runs in
+    * Verify; keeping the bench focused keeps the signal per-operator.
+    */
+  val headline: Seq[String] = Seq(
+    "a1_count_group", "a3_sum_group", "a7_count_distinct",
+    "j1_fk_join", "j5_big_join_agg", "j6_multihop_agg", "j8_range_join",
+    "w1_rank", "w3_running_sum", "w4_sessionize",
+    "o1_topk", "e1_tumbling_counts",
+    "d1_exact_dedup", "d2_fingerprint_dedup", "t1_token_stats",
+    "sim1_cosine_topk")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val all = SparkEntry.queries
+    val names = headline.filter(all.contains)
+    // One warmup pass (first query only) absorbs JVM/codegen startup noise.
+    try all(names.head)(spark, sfDir).write.format("noop").mode("overwrite").save()
+    catch { case _: Throwable => () }
+    val results = names.map { name =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try all(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

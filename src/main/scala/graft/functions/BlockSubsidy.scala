@@ -1,0 +1,44 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, LongType}
+
+/** Bitcoin block subsidy (coinbase inflation) as a native Catalyst expression
+  * with whole-stage codegen — ≙ bitcoinj's `block.getBlockInflation(height)`
+  * used at BlockchainToGraph.java:541, 1011.
+  *
+  * subsidy(height) = 50 BTC >> (height / 210000), zero after 64 halvings.
+  * A UnaryExpression with doGenCode keeps this inside the codegen'd stage —
+  * no UDF boundary, no boxing, vectorization-friendly.
+  */
+case class BlockSubsidy(child: Expression) extends UnaryExpression {
+
+  // Input contract: child must already be IntegerType (call sites cast).
+  override def dataType: DataType = LongType
+  override def prettyName: String = "block_subsidy"
+
+  override protected def nullSafeEval(height: Any): Any = {
+    val halvings = height.asInstanceOf[Int] / 210000
+    if (halvings >= 64) 0L else 5000000000L >> halvings
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, h =>
+      s"""
+         |int graftHalvings = $h / 210000;
+         |${ev.value} = graftHalvings >= 64 ? 0L : (5000000000L >> graftHalvings);
+       """.stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): BlockSubsidy =
+    copy(child = newChild)
+}
+
+object GraftFunctions {
+  import org.apache.spark.sql.GraftShims
+
+  /** Column-API entry point: `block_subsidy($"height")`. */
+  def block_subsidy(height: Column): Column =
+    GraftShims.toColumn(BlockSubsidy(GraftShims.toExpression(height)))
+}

@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Chain (linked-list / forest) analytics, replacing the reference's Gremlin
+  * `repeat(out("chain")).until(...)` traversal (BlockchainToGraph.java:43–44)
+  * and its 1,126-block reorder buffer (BlockchainToGraph.java:389–412).
+  *
+  * A per-hop traversal is O(depth) storage round-trips in the reference; here
+  * `rootsAndDepths` uses pointer doubling — each iteration one self equi-join
+  * that doubles every node's resolved prefix, so a chain of depth d converges
+  * in ceil(log2 d) shuffle rounds (~20 joins for a ~1M-block chain at 100 TB).
+  * Intermediate state is persisted and re-planned from a flat scan each round
+  * so the logical plan never grows.
+  */
+object ChainOps {
+
+  /** Resolve each node's root and depth in a parent-pointer forest.
+    *
+    * @param nodes  rows with (idCol, parentCol); parentCol NULL marks a root.
+    *               ids must be unique; parents must reference existing ids.
+    * @return DataFrame(idCol, root, height) — height 0 at roots, root = the
+    *         id of the chain's origin (≙ genesis block).
+    */
+  def rootsAndDepths(nodes: DataFrame, idCol: String, parentCol: String): DataFrame = {
+    val spark = nodes.sparkSession
+    import spark.implicits._
+
+    // Root nodes point at themselves with dist 0 — the self-loop makes the
+    // doubling join total (every ptr resolves) and gives a clean fixpoint.
+    var state = nodes
+      .select(
+        col(idCol).as("id"),
+        coalesce(col(parentCol), col(idCol)).as("ptr"),
+        when(col(parentCol).isNull, lit(0L)).otherwise(lit(1L)).as("dist"),
+        col(parentCol).isNull.as("done"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    var unresolved = state.where(!$"done").limit(1).count()
+    while (unresolved > 0) {
+      val hop = state.select(
+        $"id".as("h_id"), $"ptr".as("h_ptr"), $"dist".as("h_dist"), $"done".as("h_done"))
+      val next = state
+        .join(hop, state("ptr") === hop("h_id"))
+        .select(
+          $"id",
+          when($"done", $"ptr").otherwise($"h_ptr").as("ptr"),
+          when($"done", $"dist").otherwise($"dist" + $"h_dist").as("dist"),
+          ($"done" || $"h_done").as("done"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val remaining = next.where(!$"done").limit(1).count()
+      state.unpersist(blocking = false)
+      state = next
+      unresolved = remaining
+    }
+    val out = state.select($"id".as(idCol), $"ptr".as("root"), $"dist".as("height"))
+    out
+  }
+
+  /** Depth only — the `BlockHeight` assignment of the reference
+    * (BlockchainToGraph.java:364, 458, 516) computed set-wise.
+    */
+  def depths(nodes: DataFrame, idCol: String, parentCol: String): DataFrame =
+    rootsAndDepths(nodes, idCol, parentCol).drop("root")
+
+  /** Chain tip = maximal height — the reference's getBestAndHeight
+    * (BlockchainToGraph.java:38–49) without any traversal: with height
+    * materialized this is a single agg, and with height-bucketed partitioning
+    * it prunes to the last partition.
+    */
+  def bestTip(blocksWithHeight: DataFrame, heightCol: String): DataFrame =
+    blocksWithHeight.orderBy(col(heightCol).desc).limit(1)
+}

@@ -1,0 +1,151 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large-scale training-data pipelines.
+  *
+  * All variants are pure `org.apache.spark.sql.functions` compositions
+  * (whole-stage-codegen'd, no UDFs) and scale as:
+  *   - exact:        one hash-aggregate shuffle on the dedup key
+  *   - minhash LSH:  explode(shingles) → 1 agg → explode(bands) → 1 band
+  *                   self-join (bucketed by band hash; candidate pairs only)
+  *   - simhash:      explode(tokens) → 1 agg → band self-join on 16-bit chunks
+  *   - ngram jaccard: exact verification on candidate pairs (quadratic only
+  *                   within a bucket, never globally)
+  */
+object Dedup {
+
+  private def tokensCol(textCol: Column): Column =
+    split(lower(trim(textCol)), "\\s+")
+
+  /** Word k-shingles of a text column, distinct, as array<string>. */
+  def shingles(textCol: Column, k: Int): Column = {
+    val toks = tokensCol(textCol)
+    array_distinct(
+      when(size(toks) < k, array(concat_ws(" ", toks)))
+        .otherwise(transform(
+          sequence(lit(0), size(toks) - k),
+          i => concat_ws(" ", slice(toks, i + 1, lit(k))))))
+  }
+
+  /** Exact dedup: keep one representative (min of idCol) per identical key.
+    * ≙ the reference's dedupe-before-insert existence probes
+    * (BlockchainToGraph.java:176–179, 212–215).
+    */
+  def exact(df: DataFrame, keyCols: Seq[String], idCol: String): DataFrame =
+    df.groupBy(keyCols.map(col): _*)
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
+
+  /** MinHash signature: for each row, `numHashes` independent min-hashes over
+    * its word-k-shingle set. One explode + one hash-aggregate; signature is
+    * assembled map-side (partial agg) so the shuffle carries numHashes longs
+    * per id, not per shingle.
+    */
+  def minhashSignatures(
+      df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 64, shingleK: Int = 3): DataFrame = {
+    val exploded = df
+      .select(col(idCol), explode(shingles(col(textCol), shingleK)).as("_sh"))
+    val mins = (0 until numHashes).map(i =>
+      min(xxhash64(lit(i), col("_sh"))).as(s"_h$i"))
+    exploded
+      .groupBy(col(idCol))
+      .agg(mins.head, mins.tail: _*)
+      .select(col(idCol), array((0 until numHashes).map(i => col(s"_h$i")): _*).as("signature"))
+  }
+
+  /** LSH banding: candidate pairs whose signatures collide on at least one
+    * band of `rowsPerBand` consecutive signature slots. The self-join keys on
+    * (band index, band hash) so it is an equi-join Catalyst shuffles by
+    * bucket — candidate generation is linear in collisions, never all-pairs.
+    */
+  def minhashCandidatePairs(
+      signatures: DataFrame, idCol: String,
+      numHashes: Int = 64, rowsPerBand: Int = 4): DataFrame = {
+    val numBands = numHashes / rowsPerBand
+    // Bands are unrolled statically — each is a literal slice, keeping the
+    // whole projection inside one codegen stage.
+    val bandStructs = (0 until numBands).map { b =>
+      struct(
+        lit(b).as("band"),
+        xxhash64(lit(b),
+          concat_ws(",", slice(col("signature"), b * rowsPerBand + 1, rowsPerBand)))
+          .as("bucket"))
+    }
+    val banded = signatures
+      .select(col(idCol), explode(array(bandStructs: _*)).as("bb"))
+      .select(col(idCol), col("bb.band"), col("bb.bucket"))
+    val a = banded.select(col("band"), col("bucket"), col(idCol).as("id1"))
+    val b = banded.select(col("band"), col("bucket"), col(idCol).as("id2"))
+    a.join(b, Seq("band", "bucket"))
+      .where(col("id1") < col("id2"))
+      .select("id1", "id2")
+      .distinct()
+  }
+
+  /** Exact n-gram Jaccard similarity for all pairs sharing >=1 shingle —
+    * the verification stage of MinHash, or standalone exact near-dup on
+    * moderate corpora. Shuffles on the shingle, so hot shingles (stopword
+    * runs) are the skew risk: `df.groupBy(_sh).count` guardrails apply at
+    * 100 TB (drop shingles with document frequency above a cap).
+    */
+  def ngramJaccardPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleK: Int = 3, threshold: Double = 0.0): DataFrame = {
+    val sh = df.select(col(idCol).as("id"),
+      explode(shingles(col(textCol), shingleK)).as("_sh"))
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n"))
+    val inter = sh.as("a")
+      .join(sh.as("b"), col("a._sh") === col("b._sh") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id1"), col("b.id").as("id2"))
+      .agg(count(lit(1)).as("i"))
+    inter
+      .join(sizes.select(col("id").as("id1"), col("n").as("n1")), "id1")
+      .join(sizes.select(col("id").as("id2"), col("n").as("n2")), "id2")
+      .select(
+        col("id1"), col("id2"),
+        (col("i").cast("double") / (col("n1") + col("n2") - col("i"))).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
+
+  /** 64-bit SimHash: sign-aggregated token hashes. One explode + one agg;
+    * the per-bit +/-1 sums are partial-aggregated map-side.
+    */
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol), explode(tokensCol(col(textCol))).as("_t"))
+      .withColumn("_h", xxhash64(col("_t")))
+    val bitSums = (0 until 64).map(j =>
+      sum(when(shiftright(col("_h"), j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"_b$j"))
+    val agged = toks.groupBy(col(idCol)).agg(bitSums.head, bitSums.tail: _*)
+    val sig = (0 until 64).map { j =>
+      when(col(s"_b$j") > 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
+    }.reduce(_.bitwiseOR(_))
+    agged.select(col(idCol), sig.as("simhash"))
+  }
+
+  /** SimHash near-dup candidates: pairs agreeing exactly on >=1 of the four
+    * 16-bit chunks (guarantees recall for Hamming distance <= 3), verified by
+    * full Hamming distance <= maxHamming.
+    */
+  def simhashCandidatePairs(
+      sigs: DataFrame, idCol: String, maxHamming: Int = 3): DataFrame = {
+    val chunkStructs = (0 until 4).map { c =>
+      struct(lit(c).as("chunk"),
+        shiftright(col("simhash"), c * 16).bitwiseAND(0xFFFFL).as("key"))
+    }
+    val chunked = sigs
+      .select(col(idCol), col("simhash"), explode(array(chunkStructs: _*)).as("cc"))
+      .select(col(idCol), col("simhash"), col("cc.chunk"), col("cc.key"))
+    val a = chunked.select(col("chunk"), col("key"),
+      col(idCol).as("id1"), col("simhash").as("sh1"))
+    val b = chunked.select(col("chunk"), col("key"),
+      col(idCol).as("id2"), col("simhash").as("sh2"))
+    a.join(b, Seq("chunk", "key"))
+      .where(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"),
+        bit_count(col("sh1").bitwiseXOR(col("sh2"))).as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+  }
+}

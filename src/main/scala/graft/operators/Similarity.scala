@@ -1,0 +1,111 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor / similarity search over an embedding column
+  * (array<float>). Two tiers:
+  *
+  *  - `bruteForceTopK`: exact cosine top-k. The query set is broadcast, the
+  *    corpus streams once — O(|corpus| * |queries| * dim) FLOPs inside
+  *    whole-stage codegen (zip_with + aggregate, no UDF). Correct baseline
+  *    and still the right choice when |queries| is small even at 100 TB.
+  *
+  *  - `lshTopK`: random-hyperplane (SimHash-for-vectors) bucketing. Corpus
+  *    and queries are hashed to a b-bit signature; candidates = bucket
+  *    collisions on any band; exact cosine re-ranks candidates. Probes
+  *    shrink the scanned fraction to ~2^-bits per band at the cost of
+  *    recall — the 100 TB scale path (IVF via k-means is the round-2 step).
+  */
+object Similarity {
+
+  /** Cosine similarity of two array<float> columns, computed in double. */
+  def cosine(a: Column, b: Column): Column = {
+    val dot = aggregate(zip_with(a, b, (x, y) => x * y),
+      lit(0.0), (acc, v) => acc + v)
+    val na = sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, v) => acc + v))
+    val nb = sqrt(aggregate(transform(b, x => x * x), lit(0.0), (acc, v) => acc + v))
+    dot / (na * nb)
+  }
+
+  /** Exact top-k by cosine for each query vector.
+    *
+    * @param corpus  (idCol, vecCol) — the big side, streamed.
+    * @param queries (idCol, vecCol) — small; broadcast.
+    * @return (query_id, id, score, rank) rows, k per query.
+    */
+  def bruteForceTopK(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv"))
+    val scored = corpus
+      .join(broadcast(q), col(idCol) =!= col("query_id"))
+      .select(
+        col("query_id"), col(idCol),
+        cosine(col(vecCol), col("_qv")).as("score"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col(idCol).asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+  }
+
+  /** b-bit random-hyperplane signature of a vector column. Hyperplanes are
+    * derived deterministically from xxhash64(seed, planeIdx, dimIdx) mapped
+    * to +-1 — no RNG state to ship, identical on every executor.
+    */
+  def hyperplaneSignature(vec: Column, bits: Int, seed: Int = 42): Column = {
+    val bitCols = (0 until bits).map { p =>
+      val dotSign = aggregate(
+        zip_with(vec,
+          // +-1 pseudo-plane component per dimension
+          transform(sequence(lit(0), size(vec) - 1),
+            d => when(xxhash64(lit(seed), lit(p), d).bitwiseAND(1) === 0, lit(1.0)).otherwise(lit(-1.0))),
+          (x, h) => x * h),
+        lit(0.0), (acc, v) => acc + v)
+      when(dotSign > 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
+    }
+    bitCols.reduce(_.bitwiseOR(_))
+  }
+
+  /** LSH-bucketed approximate top-k: same output shape as bruteForceTopK but
+    * only scores candidates colliding with the query on >=1 signature band.
+    */
+  def lshTopK(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      bits: Int = 16, bandBits: Int = 8, seed: Int = 42): DataFrame = {
+    val bands = bits / bandBits
+    def banded(df: DataFrame, idAs: String, keepVec: Boolean): DataFrame = {
+      val sig = hyperplaneSignature(col(vecCol), bits, seed)
+      val base = df.select(
+        (Seq(col(idCol).as(idAs), sig.as("_sig")) ++
+          (if (keepVec) Seq(col(vecCol).as(s"_v_$idAs")) else Nil)): _*)
+      val bandStructs = (0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          shiftright(col("_sig"), b * bandBits)
+            .bitwiseAND((1L << bandBits) - 1).as("bucket"))
+      }
+      base.select(
+        (Seq(col(idAs), explode(array(bandStructs: _*)).as("bb")) ++
+          (if (keepVec) Seq(col(s"_v_$idAs")) else Nil)): _*)
+        .select(
+          (Seq(col(idAs), col("bb.band"), col("bb.bucket")) ++
+            (if (keepVec) Seq(col(s"_v_$idAs")) else Nil)): _*)
+    }
+    val c = banded(corpus, "id", keepVec = true)
+    val qTagged = banded(queries, "query_id", keepVec = true)
+    val cands = c.join(broadcast(qTagged), Seq("band", "bucket"))
+      .where(col("id") =!= col("query_id"))
+      .select(col("query_id"), col("id"),
+        col("_v_id").as("_cv"), col("_v_query_id").as("_qv"))
+      .distinct()
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("id").asc)
+    cands
+      .select(col("query_id"), col("id"), cosine(col("_cv"), col("_qv")).as("score"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+  }
+}

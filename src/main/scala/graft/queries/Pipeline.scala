@@ -1,0 +1,146 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Q
+import graft.tables.Tables
+import graft.operators.{Dedup, Similarity, TextOps}
+
+/** Training-data-pipeline operator inventory (prompt §"beyond the reference"):
+  * deduplication, similarity search, text analysis, multimodal plumbing —
+  * each over the `documents` / `embeddings` TESTDATA tables.
+  */
+object Pipeline {
+
+  val queries: Seq[Q] = Seq(
+
+    // ------------------------------------------------------------------- dedup
+    Q("d1_exact_dedup",
+      (s, d) => Dedup.exact(Tables.documents(s, d), Seq("text"), "doc_id"),
+      Some("SELECT text, min(doc_id) AS keep_id, count(*) AS dup_count " +
+        "FROM documents GROUP BY text")),
+
+    Q("d2_fingerprint_dedup",
+      (s, d) => Tables.documents(s, d)
+        .groupBy(TextOps.fingerprint(col("text")).as("fp"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("dup_count")),
+      Some("SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp, " +
+        "min(doc_id) AS keep_id, count(*) AS dup_count FROM documents GROUP BY 1")),
+
+    Q("d3_ngram_jaccard",
+      (s, d) => Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text",
+        shingleK = 3, threshold = 0.8),
+      Some(
+        """WITH toks AS (
+          |  SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
+          |  FROM documents
+          |), idx AS (
+          |  SELECT doc_id, t, unnest(generate_series(1, greatest(len(t) - 2, 1))) AS i FROM toks
+          |), sh0 AS (
+          |  SELECT doc_id, CASE WHEN len(t) < 3 THEN array_to_string(t, ' ')
+          |    ELSE t[i] || ' ' || t[i+1] || ' ' || t[i+2] END AS sh FROM idx
+          |), sh AS (
+          |  SELECT DISTINCT doc_id, sh FROM sh0
+          |), sizes AS (
+          |  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+          |), inter AS (
+          |  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS i
+          |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+          |  GROUP BY 1, 2
+          |)
+          |SELECT id1, id2, CAST(i AS DOUBLE) / (s1.n + s2.n - i) AS jaccard
+          |FROM inter JOIN sizes s1 ON id1 = s1.doc_id JOIN sizes s2 ON id2 = s2.doc_id
+          |WHERE CAST(i AS DOUBLE) / (s1.n + s2.n - i) >= 0.8""".stripMargin)),
+
+    // MinHash / SimHash signatures are engine-defined — rows-only gate.
+    Q("d4_minhash_pairs",
+      (s, d) => {
+        val sigs = Dedup.minhashSignatures(Tables.documents(s, d), "doc_id", "text")
+        Dedup.minhashCandidatePairs(sigs, "doc_id")
+      },
+      None),
+
+    Q("d5_simhash_pairs",
+      (s, d) => {
+        val sigs = Dedup.simhash(Tables.documents(s, d), "doc_id", "text")
+        Dedup.simhashCandidatePairs(sigs, "doc_id", maxHamming = 3)
+      },
+      None),
+
+    // ----------------------------------------------------------- text analysis
+    Q("t1_token_stats",
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"),
+          length(col("text")).as("len_chars"),
+          TextOps.tokenCount(col("text")).as("n_tokens"))
+        .withColumn("chars_per_token",
+          col("len_chars").cast("double") / col("n_tokens")),
+      Some("SELECT doc_id, CAST(length(text) AS INT) AS len_chars, " +
+        "CAST(len(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS INT) " +
+        "AS n_tokens, CAST(length(text) AS DOUBLE) / " +
+        "len(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) " +
+        "AS chars_per_token FROM documents")),
+
+    Q("t2_quality_metrics",
+      (s, d) => TextOps.qualityMetrics(Tables.documents(s, d), "doc_id", "text"),
+      Some("WITH t AS (SELECT doc_id, text, " +
+        "string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks " +
+        "FROM documents) SELECT doc_id, CAST(length(text) AS INT) AS n_chars, " +
+        "CAST(len(toks) AS INT) AS n_tokens, " +
+        "CAST(length(text) AS DOUBLE) / len(toks) AS chars_per_token, " +
+        "CAST(len(list_filter(toks, w -> w IN ('the','a','an','of','to','and','in','is'))) AS DOUBLE) " +
+        "/ len(toks) AS stopword_ratio, " +
+        "CAST(length(text) - length(regexp_replace(text, '[!-/:-@\\[-`{-~]', '', 'g')) AS DOUBLE) " +
+        "/ length(text) AS punct_ratio FROM t")),
+
+    // Heuristic language-ID — engine-defined prediction, rows-only gate.
+    Q("t3_language_id",
+      (s, d) => TextOps.languageId(Tables.documents(s, d), "doc_id", "text"),
+      None),
+
+    Q("t4_lang_distribution",
+      (s, d) => Tables.documents(s, d)
+        .groupBy("lang", "source").agg(count(lit(1)).as("n"),
+          sum(col("n_chars")).as("total_chars")),
+      Some("SELECT lang, source, count(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS total_chars " +
+        "FROM documents GROUP BY lang, source")),
+
+    // ------------------------------------------------------- similarity search
+    // Exact brute-force cosine top-k (baseline) and LSH-bucketed approximate
+    // variant (scale path) — scores are float-reduction-order sensitive, so
+    // rows-only gate.
+    Q("sim1_cosine_topk",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val queries = emb.filter(col("vec_id") < 10)
+        Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 5)
+          .select("query_id", "vec_id", "rank")
+      },
+      None),
+
+    Q("sim2_lsh_topk",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val queries = emb.filter(col("vec_id") < 10)
+        Similarity.lshTopK(emb, queries, "vec_id", "embedding", k = 5)
+          .select(col("query_id"), col("id").as("vec_id"), col("rank"))
+      },
+      None),
+
+    // Embedding norms ARE oracle-checkable exactly: fixed-order double
+    // accumulation over the array matches DuckDB's list_aggregate order.
+    Q("sim3_norms",
+      (s, d) => Tables.embeddings(s, d)
+        .select(col("vec_id"), col("label"),
+          aggregate(col("embedding"), lit(0.0),
+            (acc, x) => acc + x.cast("double") * x.cast("double")).as("sq_norm")),
+      Some("SELECT vec_id, label, list_sum(list_transform(embedding, " +
+        "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS sq_norm FROM embeddings")),
+
+    // --------------------------------------------------------- label analytics
+    Q("sim4_label_counts",
+      (s, d) => Tables.embeddings(s, d)
+        .groupBy("label").agg(count(lit(1)).as("n")),
+      Some("SELECT label, count(*) AS n FROM embeddings GROUP BY label"))
+  )
+}

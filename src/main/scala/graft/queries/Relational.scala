@@ -1,0 +1,460 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Q
+import graft.tables.Tables
+import graft.operators.{AsOfJoin, ChainOps}
+import graft.functions.GraftFunctions
+
+/** The relational operator inventory of SURVEY.md §2 (filters F*, joins J*,
+  * aggregations A*, windows W*, sorts O*, set-ops, scalar functions C*),
+  * expressed over the TESTDATA tables with DuckDB oracles.
+  *
+  * Numeric convention (see [[graft.Q]]): double aggregates go through
+  * DECIMAL(18,4) (exact — source doubles carry <=2 decimals) and come back as
+  * DOUBLE, so both engines agree bit-exactly regardless of summation order.
+  * Event timestamps are nanosecond longs on the Spark side
+  * (spark.sql.legacy.parquet.nanosAsLong) and TIMESTAMP(us) in DuckDB; both
+  * sides therefore compute on microseconds: `ts div 1000` ≡ `epoch_us(ts)`.
+  */
+object Relational {
+
+  private val D = DecimalType(18, 4)
+  private def dec(c: Column): Column = c.cast(D)
+  private def dsum(c: Column): Column = sum(dec(c)).cast("double")
+  private val one = lit(1).cast(DecimalType(8, 4))
+  private def usCol: Column = expr("ts div 1000")
+
+  val queries: Seq[Q] = Seq(
+
+    // ---------------------------------------------------------- filters (F1–F6)
+    Q("f1_point_filter",
+      (s, d) => Tables.customer(s, d)
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select("c_custkey", "c_name"),
+      Some("SELECT c_custkey, c_name FROM customer WHERE c_mktsegment = 'BUILDING'")),
+
+    Q("f2_exists_semi",
+      (s, d) => {
+        val c = Tables.customer(s, d); val o = Tables.orders(s, d)
+        c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+          .select("c_custkey", "c_name")
+      },
+      Some("SELECT c_custkey, c_name FROM customer WHERE EXISTS " +
+        "(SELECT 1 FROM orders WHERE o_custkey = c_custkey)")),
+
+    Q("f3_not_exists_anti",
+      (s, d) => {
+        val c = Tables.customer(s, d); val o = Tables.orders(s, d)
+        c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+          .select("c_custkey", "c_name")
+      },
+      Some("SELECT c_custkey, c_name FROM customer WHERE NOT EXISTS " +
+        "(SELECT 1 FROM orders WHERE o_custkey = c_custkey)")),
+
+    Q("f4_conjunctive_filter",
+      (s, d) => Tables.lineitem(s, d)
+        .filter(col("l_returnflag") === "R" && col("l_linestatus") === "F" &&
+          col("l_quantity") < 10)
+        .select("l_orderkey", "l_linenumber", "l_quantity"),
+      Some("SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem " +
+        "WHERE l_returnflag = 'R' AND l_linestatus = 'F' AND l_quantity < 10")),
+
+    Q("f6_coalesce_null",
+      (s, d) => Tables.events(s, d)
+        .select(col("event_id"),
+          coalesce(nullif(col("event_type"), lit("error")), lit("none")).as("et")),
+      Some("SELECT event_id, coalesce(nullif(event_type, 'error'), 'none') AS et FROM events")),
+
+    // ------------------------------------------------------------ joins (J1–J13)
+    Q("j1_fk_join",
+      (s, d) => {
+        val o = Tables.orders(s, d); val c = Tables.customer(s, d)
+        o.join(c, o("o_custkey") === c("c_custkey")).select("o_orderkey", "c_name")
+      },
+      Some("SELECT o_orderkey, c_name FROM orders JOIN customer ON o_custkey = c_custkey")),
+
+    Q("j2_outer_join_count",
+      (s, d) => {
+        val c = Tables.customer(s, d); val o = Tables.orders(s, d)
+        c.join(o, c("c_custkey") === o("o_custkey"), "left")
+          .groupBy(c("c_custkey"))
+          .agg(count(o("o_orderkey")).as("n_orders"))
+      },
+      Some("SELECT c_custkey, count(o_orderkey) AS n_orders FROM customer " +
+        "LEFT JOIN orders ON o_custkey = c_custkey GROUP BY c_custkey")),
+
+    Q("j3_self_join",
+      (s, d) => {
+        val o = Tables.orders(s, d)
+        val a = o.select(col("o_orderkey").as("k"))
+        val b = o.select(col("o_orderkey").as("k2"), col("o_totalprice").as("next_price"))
+        a.join(b, a("k") + 1 === b("k2")).select("k", "next_price")
+      },
+      Some("SELECT a.o_orderkey AS k, b.o_totalprice AS next_price " +
+        "FROM orders a JOIN orders b ON a.o_orderkey + 1 = b.o_orderkey")),
+
+    Q("j5_big_join_agg",
+      (s, d) => {
+        val l = Tables.lineitem(s, d); val o = Tables.orders(s, d)
+        l.join(o, l("l_orderkey") === o("o_orderkey"))
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"),
+            sum(dec(col("l_extendedprice")) * (one - col("l_discount").cast(DecimalType(8, 4))))
+              .cast("double").as("revenue"))
+      },
+      Some("SELECT o_orderpriority, count(*) AS n, " +
+        "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * " +
+        "(CAST(1 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4)))) AS DOUBLE) AS revenue " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY o_orderpriority")),
+
+    Q("j6_multihop_agg",
+      (s, d) => {
+        val l = Tables.lineitem(s, d); val o = Tables.orders(s, d)
+        val c = Tables.customer(s, d); val n = Tables.nation(s, d); val r = Tables.region(s, d)
+        l.join(o, l("l_orderkey") === o("o_orderkey"))
+          .join(c, o("o_custkey") === c("c_custkey"))
+          .join(n, c("c_nationkey") === n("n_nationkey"))
+          .join(r, n("n_regionkey") === r("r_regionkey"))
+          .groupBy("r_name", "n_name")
+          .agg(dsum(col("l_extendedprice")).as("revenue"))
+      },
+      Some("SELECT r_name, n_name, CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) " +
+        "AS revenue FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "JOIN customer ON o_custkey = c_custkey JOIN nation ON c_nationkey = n_nationkey " +
+        "JOIN region ON n_regionkey = r_regionkey GROUP BY r_name, n_name")),
+
+    Q("j7_semi_with_pred",
+      (s, d) => {
+        val o = Tables.orders(s, d); val l = Tables.lineitem(s, d)
+        val sup = Tables.supplier(s, d).filter(col("s_nationkey") === 1)
+          .select(col("s_suppkey"))
+        val lks = l.join(sup, l("l_suppkey") === sup("s_suppkey"), "left_semi")
+          .select(col("l_orderkey"))
+        o.join(lks, o("o_orderkey") === lks("l_orderkey"), "left_semi")
+          .select("o_orderkey")
+      },
+      Some("SELECT o_orderkey FROM orders WHERE EXISTS (SELECT 1 FROM lineitem " +
+        "JOIN supplier ON l_suppkey = s_suppkey WHERE l_orderkey = o_orderkey AND s_nationkey = 1)")),
+
+    Q("j8_range_join",
+      (s, d) => {
+        val p = Tables.part(s, d); val l = Tables.lineitem(s, d)
+        p.join(l, p("p_partkey") === l("l_partkey") &&
+            l("l_quantity") >= p("p_size") - 5 && l("l_quantity") <= p("p_size") + 5)
+          .groupBy("p_brand").agg(count(lit(1)).as("n"))
+      },
+      Some("SELECT p_brand, count(*) AS n FROM part JOIN lineitem ON p_partkey = l_partkey " +
+        "AND l_quantity >= p_size - 5 AND l_quantity <= p_size + 5 GROUP BY p_brand")),
+
+    Q("j9_asof_join",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), usCol.as("us"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), usCol.as("us"))
+        AsOfJoin.lastRightAtOrBefore(purchases, clicks, "user_id", "us", "last_click_us")
+          .select("event_id", "last_click_us")
+      },
+      Some("SELECT e.event_id, (SELECT max(epoch_us(c.ts)) FROM events c " +
+        "WHERE c.user_id = e.user_id AND c.event_type = 'click' AND epoch_us(c.ts) <= epoch_us(e.ts)) " +
+        "AS last_click_us FROM events e WHERE e.event_type = 'purchase'")),
+
+    Q("j10_cross_join",
+      (s, d) => {
+        val r = Tables.region(s, d)
+        val a = r.select(col("r_name").as("name1"))
+        val b = r.select(col("r_name").as("name2"))
+        a.crossJoin(b).where(col("name1") < col("name2"))
+      },
+      Some("SELECT a.r_name AS name1, b.r_name AS name2 FROM region a, region b " +
+        "WHERE a.r_name < b.r_name")),
+
+    // ----------------------------------------------------- aggregations (A1–A10)
+    Q("a1_count_group",
+      (s, d) => Tables.lineitem(s, d)
+        .groupBy("l_returnflag", "l_linestatus").agg(count(lit(1)).as("n")),
+      Some("SELECT l_returnflag, l_linestatus, count(*) AS n FROM lineitem GROUP BY 1, 2")),
+
+    Q("a3_sum_group",
+      (s, d) => Tables.lineitem(s, d)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          sum(dec(col("l_extendedprice")) * (one - col("l_discount").cast(DecimalType(8, 4))))
+            .cast("double").as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+        .withColumn("avg_qty", col("sum_qty") / col("count_order")),
+      Some("SELECT l_returnflag, l_linestatus, " +
+        "CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty, " +
+        "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price, " +
+        "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(8,4)) - " +
+        "CAST(l_discount AS DECIMAL(8,4)))) AS DOUBLE) AS sum_disc_price, " +
+        "count(*) AS count_order, " +
+        "CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_qty " +
+        "FROM lineitem GROUP BY l_returnflag, l_linestatus")),
+
+    Q("a5_minmax_group",
+      (s, d) => Tables.lineitem(s, d)
+        .groupBy("l_suppkey")
+        // l_shipdate is TIMESTAMP_NTZ; cast to LTZ under the UTC session so
+        // unix_micros matches DuckDB's epoch_us on the naive timestamp.
+        .agg(unix_micros(min(col("l_shipdate")).cast("timestamp")).as("first_ship_us"),
+          unix_micros(max(col("l_shipdate")).cast("timestamp")).as("last_ship_us")),
+      Some("SELECT l_suppkey, epoch_us(min(l_shipdate)) AS first_ship_us, " +
+        "epoch_us(max(l_shipdate)) AS last_ship_us FROM lineitem GROUP BY l_suppkey")),
+
+    Q("a6_conditional_count",
+      (s, d) => Tables.orders(s, d)
+        .groupBy("o_orderpriority")
+        .agg(sum(when(col("o_totalprice") > 150000, 1L).otherwise(0L)).as("n_high"),
+          count(lit(1)).as("n")),
+      Some("SELECT o_orderpriority, CAST(SUM(CASE WHEN o_totalprice > 150000 THEN 1 ELSE 0 END) " +
+        "AS BIGINT) AS n_high, count(*) AS n FROM orders GROUP BY o_orderpriority")),
+
+    Q("a7_count_distinct",
+      (s, d) => Tables.orders(s, d)
+        .groupBy("o_orderpriority")
+        .agg(countDistinct(col("o_custkey")).as("n_cust")),
+      Some("SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_cust FROM orders " +
+        "GROUP BY o_orderpriority")),
+
+    // HLL sketches differ across engines — rows-only gate, no oracle.
+    Q("a7b_approx_distinct",
+      (s, d) => Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts")),
+      None),
+
+    Q("a8_first_seen_month",
+      (s, d) => Tables.orders(s, d)
+        .groupBy("o_custkey").agg(min(col("o_orderdate")).as("first_dt"))
+        .groupBy(unix_micros(date_trunc("month", col("first_dt"))).as("month_us"))
+        .agg(count(lit(1)).as("new_customers")),
+      Some("WITH f AS (SELECT o_custkey, min(o_orderdate) AS first_dt FROM orders GROUP BY 1) " +
+        "SELECT epoch_us(date_trunc('month', first_dt)) AS month_us, count(*) AS new_customers " +
+        "FROM f GROUP BY 1")),
+
+    Q("a9_block_subsidy",
+      (s, d) => Tables.orders(s, d)
+        .select(col("o_orderkey"),
+          GraftFunctions.block_subsidy(((col("o_orderkey") % 10) * 210000).cast("int"))
+            .as("subsidy")),
+      Some("SELECT o_orderkey, 5000000000 >> CAST(o_orderkey % 10 AS INT) AS subsidy FROM orders")),
+
+    Q("a10_global_agg",
+      (s, d) => Tables.lineitem(s, d)
+        .agg(count(lit(1)).as("n"), min(col("l_quantity")).as("min_qty"),
+          max(col("l_quantity")).as("max_qty"), dsum(col("l_extendedprice")).as("sum_price")),
+      Some("SELECT count(*) AS n, min(l_quantity) AS min_qty, max(l_quantity) AS max_qty, " +
+        "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price FROM lineitem")),
+
+    Q("a11_rollup",
+      (s, d) => Tables.lineitem(s, d)
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty")),
+      Some("SELECT l_returnflag, l_linestatus, count(*) AS n, " +
+        "CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty " +
+        "FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)")),
+
+    Q("a12_cube",
+      (s, d) => Tables.lineitem(s, d)
+        .cube("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n")),
+      Some("SELECT l_returnflag, l_linestatus, count(*) AS n FROM lineitem " +
+        "GROUP BY CUBE(l_returnflag, l_linestatus)")),
+
+    // ---------------------------------------------------------- windows (W1–W3)
+    Q("w1_rank",
+      (s, d) => {
+        val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+        val wr = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"))
+        Tables.orders(s, d).select(col("o_orderkey"),
+          row_number().over(w).as("rn"), rank().over(wr).as("rnk"))
+      },
+      Some("SELECT o_orderkey, CAST(row_number() OVER (PARTITION BY o_custkey " +
+        "ORDER BY o_orderdate, o_orderkey) AS INT) AS rn, CAST(rank() OVER " +
+        "(PARTITION BY o_custkey ORDER BY o_orderdate) AS INT) AS rnk FROM orders")),
+
+    Q("w2_lag_lead",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy(usCol, col("event_id"))
+        Tables.events(s, d).select(col("event_id"),
+          lag(col("value"), 1).over(w).as("prev_value"),
+          lead(col("event_type"), 1).over(w).as("next_type"))
+      },
+      Some("SELECT event_id, lag(value) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) " +
+        "AS prev_value, lead(event_type) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) " +
+        "AS next_type FROM events")),
+
+    Q("w3_running_sum",
+      (s, d) => {
+        val w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.orders(s, d).select(col("o_orderkey"),
+          sum(dec(col("o_totalprice"))).over(w).cast("double").as("running_total"))
+      },
+      Some("SELECT o_orderkey, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER " +
+        "(PARTITION BY o_custkey ORDER BY o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND " +
+        "CURRENT ROW) AS DOUBLE) AS running_total FROM orders")),
+
+    Q("w4_sessionize",
+      (s, d) => {
+        val wo = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+        val wcum = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.events(s, d)
+          .select(col("event_id"), col("user_id"), usCol.as("us"))
+          .withColumn("gap", col("us") - lag(col("us"), 1).over(wo))
+          .withColumn("session_id",
+            sum(when(col("gap").isNull || col("gap") > 1800000000L, 1L).otherwise(0L)).over(wcum))
+          .select("event_id", "session_id")
+      },
+      Some("SELECT event_id, CAST(SUM(CASE WHEN gap IS NULL OR gap > 1800000000 THEN 1 ELSE 0 END) " +
+        "OVER (PARTITION BY user_id ORDER BY us, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND " +
+        "CURRENT ROW) AS BIGINT) AS session_id FROM (SELECT event_id, user_id, epoch_us(ts) AS us, " +
+        "epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) " +
+        "AS gap FROM events)")),
+
+    Q("w5_percent_rank_ntile",
+      (s, d) => {
+        val w = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
+        Tables.orders(s, d).select(col("o_orderkey"),
+          percent_rank().over(w).as("pr"), ntile(10).over(w).as("decile"))
+      },
+      Some("SELECT o_orderkey, percent_rank() OVER (ORDER BY o_totalprice, o_orderkey) AS pr, " +
+        "CAST(ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS INT) AS decile FROM orders")),
+
+    Q("w6_first_last_value",
+      (s, d) => {
+        val w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        Tables.orders(s, d).select(col("o_orderkey"),
+          first(col("o_totalprice")).over(w).as("first_price"),
+          last(col("o_totalprice")).over(w).as("last_price"))
+      },
+      Some("SELECT o_orderkey, first_value(o_totalprice) OVER (PARTITION BY o_custkey " +
+        "ORDER BY o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS first_price, " +
+        "last_value(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderkey ROWS BETWEEN " +
+        "UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_price FROM orders")),
+
+    // ------------------------------------------------------ sorts / top-k (O1–O4)
+    Q("o1_topk",
+      (s, d) => Tables.orders(s, d)
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(10)
+        .select("o_orderkey", "o_totalprice"),
+      Some("SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey " +
+        "LIMIT 10")),
+
+    Q("o2_sort_multi",
+      (s, d) => Tables.nation(s, d).orderBy(col("n_regionkey").desc, col("n_name").asc),
+      Some("SELECT * FROM nation ORDER BY n_regionkey DESC, n_name")),
+
+    Q("o3_first_match",
+      (s, d) => Tables.orders(s, d).filter(col("o_orderstatus") === "F")
+        .agg(min(col("o_orderkey")).as("k")),
+      Some("SELECT min(o_orderkey) AS k FROM orders WHERE o_orderstatus = 'F'")),
+
+    // ------------------------------------------------------------ set operations
+    Q("s1_union",
+      (s, d) => Tables.customer(s, d).select(col("c_nationkey").as("nk"))
+        .union(Tables.supplier(s, d).select(col("s_nationkey").as("nk"))).distinct(),
+      Some("SELECT c_nationkey AS nk FROM customer UNION SELECT s_nationkey FROM supplier")),
+
+    Q("s2_intersect",
+      (s, d) => Tables.customer(s, d).select(col("c_nationkey").as("nk"))
+        .intersect(Tables.supplier(s, d).select(col("s_nationkey").as("nk"))),
+      Some("SELECT c_nationkey AS nk FROM customer INTERSECT SELECT s_nationkey FROM supplier")),
+
+    Q("s3_except",
+      (s, d) => Tables.customer(s, d).select(col("c_nationkey").as("nk"))
+        .except(Tables.supplier(s, d).select(col("s_nationkey").as("nk"))),
+      Some("SELECT c_nationkey AS nk FROM customer EXCEPT SELECT s_nationkey FROM supplier")),
+
+    // ------------------------------------------------------- scalar funcs (C1–C8)
+    Q("c1_regexp_extract",
+      (s, d) => Tables.events(s, d)
+        .select(col("event_id"),
+          regexp_extract(col("props"), "\"k\": *(-?\\d+)", 1).cast("int").as("k")),
+      Some("SELECT event_id, CAST(regexp_extract(props, '\"k\": *(-?\\d+)', 1) AS INT) AS k " +
+        "FROM events")),
+
+    Q("c2_concat_key",
+      (s, d) => Tables.lineitem(s, d)
+        .select(concat_ws(":", col("l_orderkey"), col("l_linenumber")).as("k"),
+          col("l_quantity")),
+      Some("SELECT concat_ws(':', l_orderkey, l_linenumber) AS k, l_quantity FROM lineitem")),
+
+    Q("c3_format_string",
+      (s, d) => Tables.nation(s, d)
+        .select(col("n_nationkey"), format_string("blk%05d.dat", col("n_nationkey")).as("f")),
+      Some("SELECT n_nationkey, printf('blk%05d.dat', n_nationkey) AS f FROM nation")),
+
+    Q("c4_arith_greatest",
+      (s, d) => Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          (col("l_tax") + col("l_discount")).as("t_plus_d"),
+          greatest(col("l_tax"), col("l_discount")).as("g"),
+          least(col("l_tax"), col("l_discount")).as("l")),
+      Some("SELECT l_orderkey, l_linenumber, l_tax + l_discount AS t_plus_d, " +
+        "greatest(l_tax, l_discount) AS g, least(l_tax, l_discount) AS l FROM lineitem")),
+
+    Q("c5_md5",
+      (s, d) => Tables.customer(s, d).select(col("c_custkey"), md5(col("c_name")).as("h")),
+      Some("SELECT c_custkey, md5(c_name) AS h FROM customer")),
+
+    Q("c6_json_extract",
+      (s, d) => Tables.events(s, d)
+        .select(col("event_id"), get_json_object(col("props"), "$.k").as("k_str")),
+      Some("SELECT event_id, regexp_extract(props, '\"k\": *(-?\\d+)', 1) AS k_str FROM events")),
+
+    Q("c7_case_when",
+      (s, d) => Tables.orders(s, d)
+        .select(col("o_orderkey"),
+          when(col("o_totalprice") < 50000, "low")
+            .when(col("o_totalprice") < 150000, "mid")
+            .otherwise("high").as("bucket"))
+        .groupBy("bucket").agg(count(lit(1)).as("n")),
+      Some("SELECT CASE WHEN o_totalprice < 50000 THEN 'low' WHEN o_totalprice < 150000 " +
+        "THEN 'mid' ELSE 'high' END AS bucket, count(*) AS n FROM orders GROUP BY 1")),
+
+    // ------------------------------------------- chain traversal (J3/O2/W1 analog)
+    // Per-user event chains (parent = previous event): heights via pointer
+    // doubling must equal the row_number oracle.
+    Q("b1_chain_depths",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+        val nodes = Tables.events(s, d)
+          .select(col("event_id"), col("user_id"), usCol.as("us"))
+          .withColumn("parent", lag(col("event_id"), 1).over(w))
+          .select("event_id", "parent")
+        ChainOps.depths(nodes, "event_id", "parent")
+      },
+      Some("SELECT event_id, CAST(row_number() OVER (PARTITION BY user_id " +
+        "ORDER BY epoch_us(ts), event_id) - 1 AS BIGINT) AS height FROM events")),
+
+    // ---------------------------------------------------- event-time (T7 analog)
+    Q("e1_tumbling_counts",
+      (s, d) => Tables.events(s, d)
+        .groupBy(expr("(ts div 1000) div 3600000000").as("hr"), col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value")),
+      Some("SELECT epoch_us(ts) // 3600000000 AS hr, event_type, count(*) AS n, " +
+        "CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value " +
+        "FROM events GROUP BY 1, 2")),
+
+    Q("e2_type_stats",
+      (s, d) => Tables.events(s, d)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"),
+          min(col("value")).as("min_value"), max(col("value")).as("max_value")),
+      Some("SELECT event_type, count(*) AS n, " +
+        "CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value, " +
+        "min(value) AS min_value, max(value) AS max_value FROM events GROUP BY event_type"))
+  )
+}
