@@ -1,0 +1,67 @@
+package graft.chain
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.ChainOps
+
+/** Best-chain resolution over an append-only block set — the Spark-native
+  * replacement for the reference's tip traversal
+  * (`repeat(out("chain")).until(...)`, BlockchainToGraph.java:38–49) and its
+  * mutable reorg delete-path (BlockchainToGraph.java:523–777). Blocks are
+  * never mutated: the best chain is a VIEW over immutable bronze, so a reorg
+  * is just this computation returning a different answer (SURVEY.md §2.9 T4).
+  *
+  * Scale: heights come from pointer doubling (O(log depth) self-joins,
+  * ChainOps); chain membership from ancestor doubling — the frontier set S_k
+  * holds the 2^k nearest ancestors of the tip and one join per round against
+  * the 2^k-jump table doubles it, so a 1M-block chain resolves in ~20 rounds
+  * of ≤1M-row hash joins. Each round is localCheckpoint'ed: the logical plan
+  * stays flat instead of doubling per iteration.
+  */
+object BestChain {
+
+  /** (hash, height) for every block in a parent-pointer forest. */
+  def heights(blocks: DataFrame): DataFrame =
+    ChainOps.rootsAndDepths(blocks.select("hash", "parent_hash"), "hash", "parent_hash")
+      .select(col("hash"), col("height").cast("int").as("height"))
+
+  /** blocks + (height, is_on_best_chain). Best tip = max height, ties broken
+    * by min hash (deterministic; the reference takes file order —
+    * BlockchainToGraph.java:91–102 — which a batch engine cannot see).
+    */
+  def annotate(blocks: DataFrame): DataFrame = {
+    val h = heights(blocks)
+    val withH = blocks.join(h, "hash")
+
+    val tipRows = withH.orderBy(col("height").desc, col("hash").asc).select("hash", "height").take(1)
+    if (tipRows.isEmpty) // empty chain: empty annotation, not a driver crash
+      return withH.withColumn("is_on_best_chain", lit(false))
+    val tipHash = tipRows(0).getString(0)
+    val tipHeight = tipRows(0).getInt(1)
+
+    // anc: current 2^k-jump table (src -> ancestor 2^k above, absent past root)
+    var anc = withH.select(col("hash").as("src"), col("parent_hash").as("dst"))
+      .where(col("dst").isNotNull)
+      .localCheckpoint()
+    // S: ancestors of the tip found so far (including the tip itself)
+    var s = withH.sparkSession.createDataFrame(
+      withH.sparkSession.sparkContext.parallelize(Seq(org.apache.spark.sql.Row(tipHash))),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("hash", org.apache.spark.sql.types.StringType))))
+    var span = 1L // S currently covers ancestors within distance span-1
+    while (span <= tipHeight) {
+      s = s.unionByName(
+          s.join(anc, s("hash") === anc("src")).select(col("dst").as("hash")))
+        .distinct()
+        .localCheckpoint()
+      anc = anc.as("a")
+        .join(anc.as("b"), col("a.dst") === col("b.src"))
+        .select(col("a.src").as("src"), col("b.dst").as("dst"))
+        .localCheckpoint()
+      span *= 2
+    }
+    withH.join(s.withColumn("is_on_best_chain", lit(true)), Seq("hash"), "left")
+      .na.fill(false, Seq("is_on_best_chain"))
+  }
+}

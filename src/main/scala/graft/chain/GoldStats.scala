@@ -1,0 +1,159 @@
+package graft.chain
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions
+
+/** Gold layer: the reference's complete derived-property inventory
+  * (TransactionGraph.java:116–153) as deterministic batch aggregates over
+  * best-chain bronze. Where the reference maintains each property by mutable
+  * `+=`/`-=` on every event (BlockchainToGraph.java:837–947) — with reorg
+  * reversal as a hand-written inverse (:568–777) — these are pure
+  * groupBy().agg() recomputes: idempotent, retraction-free, and
+  * partial-aggregated map-side by Catalyst.
+  *
+  * All joins are equi-joins on tx_hash / address; at 100 TB bronze is
+  * bucketed by tx_hash so the tx-grain joins co-locate, and the address-grain
+  * aggregates are one hash-shuffle each. No collect_set of unbounded arrays —
+  * counterparty distincts are join-then-countDistinct, which AQE can
+  * skew-split (the sentinel '<undecodable>' address is the known hot key).
+  */
+object GoldStats {
+
+  /** Best-chain transactions with height + ts attached.
+    * txs(tx_hash, block_hash, is_coinbase) ⋈ annotated blocks. */
+  def chainTxs(txs: DataFrame, annotatedBlocks: DataFrame): DataFrame =
+    txs.join(
+      annotatedBlocks.where(col("is_on_best_chain"))
+        .select(col("hash").as("block_hash"), col("height"), col("ts")),
+      "block_hash")
+
+  /** Per-transaction stats (≙ the 7 Transaction* properties,
+    * TransactionGraph.java:140–147).
+    *
+    * @param cTxs  chainTxs output
+    * @param rin   Enrich.resolvedInputs, pre-filtered to best-chain txs
+    * @param outs  tx_outputs, pre-filtered to best-chain txs
+    */
+  def txStats(cTxs: DataFrame, rin: DataFrame, outs: DataFrame): DataFrame = {
+    val inAgg = rin.groupBy("tx_hash").agg(
+      count(lit(1)).as("input_count"),
+      sum("value").as("in_value"))
+    val outAgg = outs.groupBy("tx_hash").agg(
+      count(lit(1)).as("output_count"),
+      sum("value").as("out_value"))
+    // First global appearance of each address (chain order = height, then
+    // tx_hash as the deterministic batch stand-in for intra-block order)
+    // → TransactionNewAddressCount (BlockchainToGraph.java:1076–1080).
+    val firstTx = outs.join(cTxs.select("tx_hash", "height"), "tx_hash")
+      .groupBy("address")
+      .agg(min(struct(col("height"), col("tx_hash"))).as("f"))
+      .select(col("f.tx_hash").as("tx_hash"))
+      .groupBy("tx_hash").agg(count(lit(1)).as("new_address_count"))
+    // Self-churn: an output pays an address that also funds the tx
+    // (BlockchainToGraph.java:873–882).
+    val churn = rin.as("i")
+      .join(outs.as("o"),
+        col("i.tx_hash") === col("o.tx_hash") && col("i.src_address") === col("o.address"),
+        "left_semi")
+      .select(col("i.tx_hash")).distinct()
+      .withColumn("is_between_one_address", lit(true))
+    cTxs
+      .join(inAgg, Seq("tx_hash"), "left")
+      .join(outAgg, Seq("tx_hash"), "left")
+      .join(firstTx, Seq("tx_hash"), "left")
+      .join(churn, Seq("tx_hash"), "left")
+      .select(
+        col("tx_hash"), col("block_hash"), col("is_coinbase"),
+        col("ts").as("date"),
+        coalesce(col("input_count"), lit(0L)).as("input_count"),
+        coalesce(col("output_count"), lit(0L)).as("output_count"),
+        coalesce(col("in_value"), lit(0L)).as("balance"),
+        when(col("is_coinbase"), lit(0L))
+          .otherwise(coalesce(col("in_value"), lit(0L)) - coalesce(col("out_value"), lit(0L)))
+          .as("fee"),
+        coalesce(col("new_address_count"), lit(0L)).as("new_address_count"),
+        coalesce(col("is_between_one_address"), lit(false)).as("is_between_one_address"))
+  }
+
+  /** Per-block stats (≙ BlockBalance/CoinBaseBalance/Fee/TransactionCount,
+    * TransactionGraph.java:118–123; balance = subsidy + Σ tx input sums,
+    * BlockchainToGraph.java:541–542, 1037–1041).
+    */
+  def blockStats(annotatedBlocks: DataFrame, txStats: DataFrame): DataFrame =
+    txStats.groupBy("block_hash").agg(
+      count(lit(1)).as("tx_count"),
+      sum("balance").as("sum_in"),
+      sum("fee").as("total_fee"))
+      .join(annotatedBlocks.where(col("is_on_best_chain"))
+        .select(col("hash").as("block_hash"), col("height"), col("ts")), "block_hash")
+      .select(
+        col("block_hash").as("hash"), col("height"), col("ts"),
+        col("tx_count"),
+        GraftFunctions.block_subsidy(col("height")).as("coinbase_balance"),
+        (GraftFunctions.block_subsidy(col("height")) + col("sum_in")).as("balance"),
+        col("total_fee").as("fee"))
+
+  /** Per-address stats (≙ the 12 Address* properties,
+    * TransactionGraph.java:126–137; running `+=` maintenance at
+    * BlockchainToGraph.java:837–947 becomes plain aggregation).
+    */
+  def addressStats(cTxs: DataFrame, rin: DataFrame, outs: DataFrame): DataFrame = {
+    val txMeta = cTxs.select("tx_hash", "ts")
+    val recv = outs.join(txMeta, "tx_hash")
+      .select(col("address"), col("tx_hash"), col("value"), col("ts"))
+    val spent = rin.join(txMeta, "tx_hash")
+      .select(col("src_address").as("address"), col("tx_hash"), col("value"), col("ts"))
+
+    val recvAgg = recv.groupBy("address").agg(
+      sum("value").as("input_tx_balance"),
+      countDistinct("tx_hash").as("input_tx_count"),
+      min("ts").as("first_recv"), max("ts").as("last_recv"))
+    val spentAgg = spent.groupBy("address").agg(
+      sum("value").as("output_tx_balance"),
+      countDistinct("tx_hash").as("output_tx_count"),
+      min("ts").as("first_spend"), max("ts").as("last_spend"))
+    val touch = recv.select("address", "tx_hash")
+      .union(spent.select("address", "tx_hash"))
+      .groupBy("address").agg(countDistinct("tx_hash").as("tx_count"))
+
+    // Distinct counterparties (BlockchainToGraph.java:950–983): funders of
+    // the txs that paid me / recipients of the txs I funded.
+    val txFunders = rin.select(col("tx_hash"), col("src_address")).distinct()
+    val txRecipients = outs.select(col("tx_hash"), col("address").as("recipient")).distinct()
+    val inCp = recv.select("address", "tx_hash").distinct()
+      .join(txFunders, "tx_hash")
+      .groupBy("address").agg(countDistinct("src_address").as("input_addr_count"))
+    val outCp = spent.select("address", "tx_hash").distinct()
+      .join(txRecipients, "tx_hash")
+      .groupBy("address").agg(countDistinct("recipient").as("output_addr_count"))
+
+    // Self-churn per address: txs where the address both funds and receives
+    // (AddressBetweenAddressTransactionCount, BlockchainToGraph.java:870–882).
+    val between = recv.select("address", "tx_hash").distinct()
+      .join(spent.select("address", "tx_hash").distinct(), Seq("address", "tx_hash"))
+      .groupBy("address").agg(count(lit(1)).as("between_addr_tx_count"))
+
+    recvAgg
+      .join(spentAgg, Seq("address"), "full")
+      .join(touch, Seq("address"), "left")
+      .join(inCp, Seq("address"), "left")
+      .join(outCp, Seq("address"), "left")
+      .join(between, Seq("address"), "left")
+      .select(
+        col("address"),
+        (coalesce(col("input_tx_balance"), lit(0L)) - coalesce(col("output_tx_balance"), lit(0L)))
+          .as("balance"),
+        least(col("first_recv"), col("first_spend")).as("first_seen"),
+        greatest(col("last_recv"), col("last_spend")).as("last_seen"),
+        coalesce(col("input_tx_balance"), lit(0L)).as("input_tx_balance"),
+        coalesce(col("output_tx_balance"), lit(0L)).as("output_tx_balance"),
+        coalesce(col("tx_count"), lit(0L)).as("tx_count"),
+        coalesce(col("input_tx_count"), lit(0L)).as("input_tx_count"),
+        coalesce(col("output_tx_count"), lit(0L)).as("output_tx_count"),
+        coalesce(col("input_addr_count"), lit(0L)).as("input_addr_count"),
+        coalesce(col("output_addr_count"), lit(0L)).as("output_addr_count"),
+        coalesce(col("between_addr_tx_count"), lit(0L)).as("between_addr_tx_count"))
+  }
+}

@@ -1,0 +1,53 @@
+package graft.chain
+
+import org.apache.spark.graphx.{Edge, Graph}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Wallet clustering = connected components over the co-spend graph —
+  * completing the reference's abandoned `AddressWalletID` feature
+  * (declared at TransactionGraph.java:137, never computed:
+  * BlockchainToGraph.java:29, 896 always writes 0).
+  *
+  * Co-spend heuristic: addresses funding the same transaction belong to one
+  * wallet. Edges are a star per tx (each funder → the tx's min funder), so
+  * edge count is linear in inputs, not quadratic per tx. GraphX
+  * `connectedComponents` is Pregel under the hood — O(diameter) supersteps of
+  * partition-local message passing, the scalable form of the reference's
+  * per-vertex traversals.
+  */
+object WalletCluster {
+
+  /** @param addresses  one-column DF of the full address universe
+    * @param txFunders  (tx_hash, src_address) distinct funding pairs
+    * @return (address, wallet_id) where wallet_id = min address in the
+    *         component (stable, engine-independent label)
+    */
+  def clusters(addresses: DataFrame, txFunders: DataFrame): DataFrame = {
+    val spark = addresses.sparkSession
+    import spark.implicits._
+
+    val universe = addresses.select(col(addresses.columns.head).as("address")).distinct()
+    // Dense unique vertex ids (no hash-collision risk at 100 TB).
+    val vertices = universe.rdd.map(_.getString(0)).zipWithUniqueId()
+    val vdf = vertices.toDF("address", "vid").persist(StorageLevel.MEMORY_AND_DISK)
+
+    val funders = txFunders.select(col("tx_hash"), col("src_address").as("address")).distinct()
+      .join(vdf, "address")
+    val hub = funders.groupBy("tx_hash").agg(min("vid").as("hub_vid"))
+    val edgeRows = funders.join(hub, "tx_hash")
+      .where(col("vid") =!= col("hub_vid"))
+      .select(col("vid").as("src"), col("hub_vid").as("dst"))
+      .distinct()
+
+    val edges = edgeRows.rdd.map(r => Edge(r.getLong(0), r.getLong(1), ()))
+    val graph = Graph(vertices.map { case (_, vid) => (vid, ()) }, edges)
+    val cc = graph.connectedComponents().vertices.toDF("vid", "cc")
+
+    val labeled = vdf.join(cc, "vid")
+    val walletLabel = labeled.groupBy("cc").agg(min("address").as("wallet_id"))
+    val out = labeled.join(walletLabel, "cc").select("address", "wallet_id")
+    out
+  }
+}

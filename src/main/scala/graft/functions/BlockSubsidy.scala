@@ -41,4 +41,8 @@ object GraftFunctions {
   /** Column-API entry point: `block_subsidy($"height")`. */
   def block_subsidy(height: Column): Column =
     GraftShims.toColumn(BlockSubsidy(GraftShims.toExpression(height)))
+
+  /** Column-API entry point: `script_to_address($"script")` (C7). */
+  def script_to_address(script: Column): Column =
+    GraftShims.toColumn(ScriptToAddressExpr(GraftShims.toExpression(script)))
 }

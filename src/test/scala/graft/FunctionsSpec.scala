@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions
+
+class FunctionsSpec extends SparkSpec {
+
+  test("block_subsidy: halving schedule incl. 64-halving cutoff") {
+    import spark.implicits._
+    val df = Seq(0, 1, 209999, 210000, 420000, 210000 * 64, Int.MaxValue)
+      .toDF("h")
+      .select(col("h"), GraftFunctions.block_subsidy(col("h")).as("s"))
+    val got = df.collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(got(0) == 5000000000L)
+    assert(got(1) == 5000000000L)
+    assert(got(209999) == 5000000000L)
+    assert(got(210000) == 2500000000L)
+    assert(got(420000) == 1250000000L)
+    assert(got(210000 * 64) == 0L)
+    assert(got(Int.MaxValue) == 0L)
+  }
+
+  test("block_subsidy survives codegen and interpreted paths identically") {
+    import spark.implicits._
+    val df = (0 until 100).map(i => i * 50000).toDF("h")
+    val viaExpr = df.select(GraftFunctions.block_subsidy(col("h")).as("s"))
+      .agg(sum("s")).head().getLong(0)
+    val viaScala = (0 until 100).map { i =>
+      val halvings = i * 50000 / 210000
+      if (halvings >= 64) 0L else 5000000000L >> halvings
+    }.sum
+    assert(viaExpr == viaScala)
+  }
+
+  test("script_to_address: P2PKH, P2WPKH, garbage, empty, null") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "76a914" + "ab" * 20 + "88ac"),
+      (2L, "0014" + "cd" * 20),
+      (3L, "6a4c00"),
+      (4L, ""),
+      (5L, null)).toDF("id", "hex")
+      .select(col("id"), GraftFunctions.script_to_address(unhex(col("hex"))).as("a"))
+    val got = df.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == "1" + "ab" * 20)
+    assert(got(2L) == "bc1" + "cd" * 20)
+    assert(got(3L) == "<undecodable>")
+    assert(got(4L) == "<undecodable>")
+    assert(got(5L) == "<undecodable>")
+  }
+}

@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{AsOfJoin, Dedup, Similarity, TextOps}
+
+class OperatorsSpec extends SparkSpec {
+
+  test("as-of join: greatest right ts <= left ts per key, inclusive") {
+    import spark.implicits._
+    val left = Seq(("u1", 100L, "p1"), ("u1", 250L, "p2"), ("u2", 50L, "p3"))
+      .toDF("k", "ts", "payload")
+    val right = Seq(("u1", 90L), ("u1", 100L), ("u1", 240L), ("u2", 60L))
+      .toDF("k", "ts")
+    val got = AsOfJoin.lastRightAtOrBefore(left, right, "k", "ts", "asof")
+      .collect().map(r => r.getAs[String]("payload") -> Option(r.getAs[Long]("asof"))).toMap
+    assert(got("p1").contains(100L)) // simultaneous right row matches
+    assert(got("p2").contains(240L))
+    assert(got("p3").isEmpty || got("p3").contains(0L) == false) // no prior right row
+  }
+
+  test("exact dedup keeps min id per key") {
+    import spark.implicits._
+    val df = Seq((1L, "x"), (2L, "x"), (3L, "y")).toDF("id", "text")
+    val got = Dedup.exact(df, Seq("text"), "id")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == Map("x" -> ((1L, 2L)), "y" -> ((3L, 1L))))
+  }
+
+  test("ngram jaccard: identical docs score 1.0, disjoint docs drop out") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "completely different words entirely here now")).toDF("doc_id", "text")
+    val pairs = Dedup.ngramJaccardPairs(df, "doc_id", "text", 3, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.toSeq == Seq((1L, 2L, 1.0)))
+  }
+
+  test("minhash LSH: exact duplicates always collide; disjoint docs never") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (3L, "one two three four five six seven eight")).toDF("doc_id", "text")
+    val sigs = Dedup.minhashSignatures(df, "doc_id", "text")
+    val pairs = Dedup.minhashCandidatePairs(sigs, "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))
+  }
+
+  test("simhash: identical docs at hamming 0; near-identical within 3") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "spark is a unified analytics engine for large scale data"),
+      (2L, "spark is a unified analytics engine for large scale data"),
+      (3L, "cats purr loudly when petted gently every morning")).toDF("doc_id", "text")
+    val sigs = Dedup.simhash(df, "doc_id", "text")
+    val pairs = Dedup.simhashCandidatePairs(sigs, "doc_id", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 0))
+    assert(!pairs.exists(p => p._2 == 3L || p._1 == 3L))
+  }
+
+  test("brute-force cosine top-k ranks an identical vector first") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(0.9f, 0.1f, 0.0f)),
+      (3L, Array(0.0f, 1.0f, 0.0f)),
+      (10L, Array(1.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val queries = corpus.where(col("vec_id") === 10L)
+    val got = Similarity.bruteForceTopK(corpus, queries, "vec_id", "embedding", 2)
+      .orderBy("rank").collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("rank")))
+    assert(got.head == ((1L, 1))) // exact duplicate direction wins
+    assert(got(1) == ((2L, 2)))
+  }
+
+  test("language id picks the profile with most marker hits") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "the cat and the dog of the house is big"),
+      (2L, "el perro y la casa de la madre que canta")).toDF("doc_id", "text")
+    val got = TextOps.languageId(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == "en")
+    assert(got(2L) == "es")
+  }
+
+  test("quality metrics: ratios on a known sentence") {
+    import spark.implicits._
+    val df = Seq((1L, "the cat sat.")).toDF("doc_id", "text")
+    val r = TextOps.qualityMetrics(df, "doc_id", "text").collect().head
+    assert(r.getAs[Int]("n_chars") == 12)
+    assert(r.getAs[Int]("n_tokens") == 3)
+    assert(math.abs(r.getAs[Double]("stopword_ratio") - 1.0 / 3) < 1e-9)
+    assert(math.abs(r.getAs[Double]("punct_ratio") - 1.0 / 12) < 1e-9)
+  }
+}
