@@ -448,6 +448,38 @@ object Relational {
         "CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value " +
         "FROM events GROUP BY 1, 2")),
 
+    // Session windows (T7): Spark's native session_window vs the
+    // gaps-and-islands SQL formulation — identical session boundaries
+    // (a new session starts when the gap is >= the 30-minute timeout).
+    Q("e3_session_window",
+      (s, d) => Tables.events(s, d)
+        .select(col("user_id"), timestamp_micros(usCol).as("tts"))
+        .groupBy(session_window(col("tts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("user_id"), unix_micros(col("session_window.start")).as("session_start_us"),
+          col("n")),
+      Some("WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events), " +
+        "g AS (SELECT user_id, us, CASE WHEN us - lag(us) OVER " +
+        "(PARTITION BY user_id ORDER BY us) >= 1800000000 OR lag(us) OVER " +
+        "(PARTITION BY user_id ORDER BY us) IS NULL THEN 1 ELSE 0 END AS brk FROM e), " +
+        "sess AS (SELECT user_id, us, SUM(brk) OVER (PARTITION BY user_id ORDER BY us " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM g) " +
+        "SELECT user_id, min(us) AS session_start_us, count(*) AS n " +
+        "FROM sess GROUP BY user_id, sid")),
+
+    // Exact distinct via the retractable Aggregator (§2.10) — must equal
+    // plain COUNT(DISTINCT) when no retractions occur.
+    Q("a7c_distinct_retractable",
+      (s, d) => {
+        val f = udaf(graft.functions.ExactDistinctWithRetraction,
+          org.apache.spark.sql.Encoders.product[(String, Int)])
+        Tables.orders(s, d)
+          .groupBy("o_orderpriority")
+          .agg(f(col("o_custkey").cast("string"), lit(1)).as("n_cust"))
+      },
+      Some("SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_cust FROM orders " +
+        "GROUP BY o_orderpriority")),
+
     Q("e2_type_stats",
       (s, d) => Tables.events(s, d)
         .groupBy("event_type")

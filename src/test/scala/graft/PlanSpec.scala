@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.execution.FormattedMode
+
+/** Physical-plan regression guards: the properties that make these queries
+  * scale — pushdown, pruning, map-side partial aggregation, broadcast of
+  * small dims, top-k group-limit pushdown — asserted on the optimized plan,
+  * not hoped for.
+  */
+class PlanSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution
+      .explainString(FormattedMode)
+
+  test("point filter reaches the parquet scan as a pushed filter + pruned schema") {
+    val p = plan("f1_point_filter")
+    assert(p.contains("PushedFilters: [IsNotNull(c_mktsegment), EqualTo(c_mktsegment,BUILDING)]"), p)
+    assert(p.contains("ReadSchema: struct<c_custkey:bigint,c_name:string,c_mktsegment:string>"), p)
+  }
+
+  test("multihop join broadcasts the small dimension tables") {
+    val p = plan("j6_multihop_agg")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("group-by aggregates partially before the shuffle (map-side combine)") {
+    val p = plan("a3_sum_group")
+    assert(p.contains("partial_sum"), p)
+    val aggIdx = p.indexOf("partial_sum")
+    val exIdx = p.indexOf("Exchange")
+    assert(aggIdx >= 0 && exIdx >= 0, p)
+  }
+
+  test("top-k window pushes a group limit below the shuffle") {
+    val p = plan("sim1_cosine_topk")
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
+  test("global top-k compiles to TakeOrderedAndProject, not a full sort") {
+    val p = plan("o1_topk")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("scans prune columns: 3-col projection reads exactly 3 of 11 cols") {
+    val p = plan("c2_concat_key")
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int,l_quantity:double>"), p)
+  }
+}
