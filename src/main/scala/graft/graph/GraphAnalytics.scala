@@ -1,0 +1,66 @@
+package graft.graph
+
+import org.apache.spark.graphx.{Edge, Graph}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Whole-graph batch analytics over the value-flow graph — the GraphX layer
+  * of SURVEY.md §7.1. Vertices are addresses; a directed edge (a → b, v)
+  * means a tx funded by `a` paid `v` satoshis to `b` (src_address of a
+  * resolved input × address of an output of the same tx).
+  *
+  * The reference can only answer per-vertex questions by point traversals;
+  * this layer answers whole-graph ones (influence ranking, flow structure)
+  * as Pregel jobs — O(iterations) supersteps over partitioned adjacency,
+  * the 100 TB form of graph analytics.
+  */
+object GraphAnalytics {
+
+  /** Flow edges (src, dst, value) from resolved inputs + outputs of the same
+    * tx. Coinbase txs contribute nothing (no funding address). Output value
+    * is attributed to each funding address in full — the reference's
+    * counterparty semantics (BlockchainToGraph.java:950–983), kept rather
+    * than pro-rated.
+    */
+  def flowEdges(rin: DataFrame, outs: DataFrame): DataFrame =
+    rin.select(col("tx_hash"), col("src_address").as("src")).distinct()
+      .join(outs.select(col("tx_hash"), col("address").as("dst"), col("value")), "tx_hash")
+      .groupBy("src", "dst").agg(sum("value").as("value"))
+
+  /** In/out degree + flow totals per address — oracle-checkable SQL shape,
+    * listed here because it IS the degree view of the graph.
+    */
+  def degrees(edges: DataFrame): DataFrame = {
+    val out = edges.groupBy(col("src").as("address"))
+      .agg(count(lit(1)).as("out_degree"), sum("value").as("out_value"))
+    val in = edges.groupBy(col("dst").as("address"))
+      .agg(count(lit(1)).as("in_degree"), sum("value").as("in_value"))
+    out.join(in, Seq("address"), "full")
+      .select(col("address"),
+        coalesce(col("out_degree"), lit(0L)).as("out_degree"),
+        coalesce(col("in_degree"), lit(0L)).as("in_degree"),
+        coalesce(col("out_value"), lit(0L)).as("out_value"),
+        coalesce(col("in_value"), lit(0L)).as("in_value"))
+  }
+
+  /** PageRank over the flow graph: influence ranking of addresses.
+    * Returns (address, rank) — GraphX Pregel under the hood.
+    */
+  def pageRank(edges: DataFrame, iterations: Int = 10, resetProb: Double = 0.15): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val verts = edges.select(col("src").as("address"))
+      .union(edges.select(col("dst").as("address"))).distinct()
+      .rdd.map(_.getString(0)).zipWithUniqueId()
+    val vdf = verts.toDF("address", "vid").persist(StorageLevel.MEMORY_AND_DISK)
+    val e = edges
+      .join(vdf.select(col("address").as("src"), col("vid").as("src_vid")), "src")
+      .join(vdf.select(col("address").as("dst"), col("vid").as("dst_vid")), "dst")
+      .select("src_vid", "dst_vid")
+      .rdd.map(r => Edge(r.getLong(0), r.getLong(1), 1.0))
+    val graph = Graph(verts.map { case (_, vid) => (vid, ()) }, e)
+    val ranks = graph.staticPageRank(iterations, resetProb).vertices.toDF("vid", "rank")
+    vdf.join(ranks, "vid").select("address", "rank")
+  }
+}

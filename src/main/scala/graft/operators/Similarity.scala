@@ -51,6 +51,20 @@ object Similarity {
       .where(col("rank") <= k)
   }
 
+  /** Exact embedding-cosine near-duplicate pairs: all (a, b) with
+    * cosine >= threshold. Brute-force all-pairs — the correctness baseline
+    * the LSH path is verified against; at 100 TB use lshTopK buckets as the
+    * candidate generator and this only as the per-bucket verifier.
+    */
+  def exactNearDupPairs(
+      corpus: DataFrame, idCol: String, vecCol: String, threshold: Double): DataFrame = {
+    val a = corpus.select(col(idCol).as("id1"), col(vecCol).as("_va"))
+    val b = corpus.select(col(idCol).as("id2"), col(vecCol).as("_vb"))
+    a.join(b, col("id1") < col("id2"))
+      .select(col("id1"), col("id2"), cosine(col("_va"), col("_vb")).as("cos"))
+      .where(col("cos") >= threshold)
+  }
+
   /** b-bit random-hyperplane signature of a vector column. Hyperplanes are
     * derived deterministically from xxhash64(seed, planeIdx, dimIdx) mapped
     * to +-1 — no RNG state to ship, identical on every executor.

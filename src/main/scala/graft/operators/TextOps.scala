@@ -72,4 +72,19 @@ object TextOps {
     */
   def fingerprint(textCol: Column): Column =
     md5(regexp_replace(lower(trim(textCol)), "\\s+", " "))
+
+  /** TF-IDF per (document, term): tf * ln(N / df). Two hash aggregates and
+    * one broadcast-able join on term — the classic formulation, no ML-lib
+    * state. docCount is passed in (a cheap count) so the plan stays a pure
+    * dataflow.
+    */
+  def tfidf(df: DataFrame, idCol: String, textCol: String, docCount: Long): DataFrame = {
+    val terms = df.select(col(idCol), explode(tokens(col(textCol))).as("term"))
+    val tf = terms.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    tf.join(dfreq, "term")
+      .select(col(idCol), col("term"),
+        (col("tf").cast("double") * log(lit(docCount.toDouble) / col("df").cast("double")))
+          .as("tfidf"))
+  }
 }

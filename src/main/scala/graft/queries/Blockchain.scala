@@ -194,6 +194,48 @@ object Blockchain {
          |)
          |SELECT address, min(wallet) AS wallet_id FROM lbl GROUP BY address""".stripMargin)),
 
+    // Value-flow graph degrees (the SQL-checkable face of the GraphX layer).
+    Q("g1_flow_degrees",
+      (s, _) => {
+        val ann = BestChain.annotate(F.blocksDf(s))
+        val cTxs = GoldStats.chainTxs(F.transactionsDf(s), ann)
+        val rin = Enrich.resolvedInputs(F.txInputsDf(s), F.txOutputsDf(s))
+          .join(cTxs.select("tx_hash"), Seq("tx_hash"), "left_semi")
+        val outs = F.txOutputsDf(s).join(cTxs.select("tx_hash"), Seq("tx_hash"), "left_semi")
+        graft.graph.GraphAnalytics.degrees(graft.graph.GraphAnalytics.flowEdges(rin, outs))
+      },
+      Some(s"""WITH RECURSIVE ${chainCte.stripPrefix("WITH ")},
+         |edges AS (
+         |  SELECT f.src, o.address AS dst, CAST(SUM(o.value) AS BIGINT) AS value
+         |  FROM (SELECT DISTINCT tx_hash, src_address AS src FROM rin) f
+         |  JOIN outs o ON f.tx_hash = o.tx_hash GROUP BY f.src, o.address
+         |), od AS (
+         |  SELECT src AS address, count(*) AS out_degree, CAST(SUM(value) AS BIGINT) AS out_value
+         |  FROM edges GROUP BY src
+         |), id_ AS (
+         |  SELECT dst AS address, count(*) AS in_degree, CAST(SUM(value) AS BIGINT) AS in_value
+         |  FROM edges GROUP BY dst
+         |)
+         |SELECT coalesce(od.address, id_.address) AS address,
+         |  coalesce(od.out_degree, 0) AS out_degree, coalesce(id_.in_degree, 0) AS in_degree,
+         |  CAST(coalesce(od.out_value, 0) AS BIGINT) AS out_value,
+         |  CAST(coalesce(id_.in_value, 0) AS BIGINT) AS in_value
+         |FROM od FULL JOIN id_ ON od.address = id_.address""".stripMargin)),
+
+    // PageRank influence ranking — iterative float math is engine-defined;
+    // rows-only gate.
+    Q("g2_pagerank",
+      (s, _) => {
+        val ann = BestChain.annotate(F.blocksDf(s))
+        val cTxs = GoldStats.chainTxs(F.transactionsDf(s), ann)
+        val rin = Enrich.resolvedInputs(F.txInputsDf(s), F.txOutputsDf(s))
+          .join(cTxs.select("tx_hash"), Seq("tx_hash"), "left_semi")
+        val outs = F.txOutputsDf(s).join(cTxs.select("tx_hash"), Seq("tx_hash"), "left_semi")
+        graft.graph.GraphAnalytics.pageRank(
+          graft.graph.GraphAnalytics.flowEdges(rin, outs))
+      },
+      None),
+
     Q("bc8_script_decode",
       (s, _) => {
         import s.implicits._

@@ -137,6 +137,46 @@ object Pipeline {
       Some("SELECT vec_id, label, list_sum(list_transform(embedding, " +
         "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS sq_norm FROM embeddings")),
 
+    // Exact embedding-cosine near-dup (the LSH path's correctness baseline).
+    // Both engines fold the arrays left-to-right in double, so the cosine
+    // bits agree exactly and the threshold cut is deterministic.
+    Q("d6_embedding_neardup",
+      (s, d) => Similarity.exactNearDupPairs(
+        Tables.embeddings(s, d).where(col("vec_id") < 200), "vec_id", "embedding", 0.35)
+        .select(col("id1"), col("id2"), col("cos")),
+      Some("""WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 200),
+        |scored AS (
+        |  SELECT a.vec_id AS id1, b.vec_id AS id2,
+        |    list_sum(list_transform(list_zip(a.embedding, b.embedding),
+        |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) /
+        |    (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+        |     sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+        |    AS cos
+        |  FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |)
+        |SELECT id1, id2, cos FROM scored WHERE cos >= 0.35""".stripMargin)),
+
+    // TF-IDF: tf * ln(N/df) — a two-aggregate dataflow, no ML-lib state.
+    Q("t5_tfidf",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val n = docs.count()
+        TextOps.tfidf(docs.where(col("doc_id") < 100), "doc_id", "text", n)
+      },
+      Some("""WITH toks AS (
+        |  SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
+        |  FROM documents WHERE doc_id < 100
+        |), terms AS (
+        |  SELECT doc_id, unnest(t) AS term FROM toks
+        |), tf AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2
+        |), dfreq AS (
+        |  SELECT term, count(*) AS df FROM tf GROUP BY 1
+        |), n AS (SELECT count(*) AS n FROM documents)
+        |SELECT tf.doc_id, tf.term,
+        |  CAST(tf.tf AS DOUBLE) * ln(CAST(n.n AS DOUBLE) / CAST(dfreq.df AS DOUBLE)) AS tfidf
+        |FROM tf JOIN dfreq USING (term) CROSS JOIN n""".stripMargin)),
+
     // --------------------------------------------------------- label analytics
     Q("sim4_label_counts",
       (s, d) => Tables.embeddings(s, d)

@@ -377,6 +377,37 @@ object Relational {
         .except(Tables.supplier(s, d).select(col("s_nationkey").as("nk"))),
       Some("SELECT c_nationkey AS nk FROM customer EXCEPT SELECT s_nationkey FROM supplier")),
 
+    Q("s4_intersect_all",
+      (s, d) => Tables.customer(s, d).select(col("c_nationkey").as("nk"))
+        .intersectAll(Tables.supplier(s, d).select(col("s_nationkey").as("nk"))),
+      Some("SELECT c_nationkey AS nk FROM customer INTERSECT ALL SELECT s_nationkey FROM supplier")),
+
+    Q("s5_except_all",
+      (s, d) => Tables.customer(s, d).select(col("c_nationkey").as("nk"))
+        .exceptAll(Tables.supplier(s, d).select(col("s_nationkey").as("nk"))),
+      Some("SELECT c_nationkey AS nk FROM customer EXCEPT ALL SELECT s_nationkey FROM supplier")),
+
+    // ------------------------------------------------- generators / explode
+    Q("c9_posexplode",
+      (s, d) => Tables.documents(s, d).where(col("doc_id") < 50)
+        .select(col("doc_id"),
+          posexplode(split(lower(trim(col("text"))), "\\s+")).as(Seq("pos", "token"))),
+      Some("""WITH toks AS (
+        |  SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
+        |  FROM documents WHERE doc_id < 50
+        |), idx AS (
+        |  SELECT doc_id, t, unnest(generate_series(1, len(t))) AS i FROM toks
+        |)
+        |SELECT doc_id, CAST(i - 1 AS INT) AS pos, t[i] AS token FROM idx""".stripMargin)),
+
+    Q("a13_percentiles",
+      (s, d) => Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(expr("percentile(l_quantity, 0.5)").as("p50"),
+          expr("percentile(l_quantity, 0.95)").as("p95")),
+      Some("SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS p50, " +
+        "quantile_cont(l_quantity, 0.95) AS p95 FROM lineitem GROUP BY 1")),
+
     // ------------------------------------------------------- scalar funcs (C1–C8)
     Q("c1_regexp_extract",
       (s, d) => Tables.events(s, d)
