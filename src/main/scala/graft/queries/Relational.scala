@@ -445,6 +445,15 @@ object Relational {
         .select(col("event_id"), get_json_object(col("props"), "$.k").as("k_str")),
       Some("SELECT event_id, regexp_extract(props, '\"k\": *(-?\\d+)', 1) AS k_str FROM events")),
 
+    // C6: hash-to-hex recompute family (sha2 + hex round-trip).
+    Q("c10_sha_hex",
+      (s, d) => Tables.customer(s, d)
+        .select(col("c_custkey"),
+          sha2(col("c_name").cast("binary"), 256).as("h"),
+          lower(hex(col("c_name").cast("binary"))).as("name_hex")),
+      Some("SELECT c_custkey, sha256(c_name) AS h, lower(hex(CAST(c_name AS BLOB))) AS name_hex " +
+        "FROM customer")),
+
     Q("c7_case_when",
       (s, d) => Tables.orders(s, d)
         .select(col("o_orderkey"),

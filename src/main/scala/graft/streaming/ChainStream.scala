@@ -75,6 +75,21 @@ object ChainStream {
         ()
       }
 
+  /** Incremental file-list scan (S2) — the reference enumerates blk%05d.dat
+    * from a persisted cursor (BlockchainToGraph.java:79–88, 1096–1107); the
+    * Spark form is a file stream source whose checkpoint IS the cursor.
+    * `maxFilesPerTrigger` bounds per-batch work exactly like the reference's
+    * one-file-at-a-time loop, but each batch is still fully parallel.
+    */
+  def fileStreamBlocks(
+      spark: SparkSession, dir: String,
+      schema: org.apache.spark.sql.types.StructType,
+      maxFilesPerTrigger: Int = 4): DataFrame =
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(dir)
+
   /** Tumbling / session event-time aggregation over a stream (T7):
     * watermark + window — the declared streaming-agg surface.
     */

@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.chain.BestChain
+import graft.operators.ChainOps
+
+/** Property-based invariants (SURVEY.md §5.2.3): chain resolution checked
+  * against a driver-side brute-force reference on random forests, replay
+  * idempotence, and reorg convergence.
+  */
+class PropertySpec extends SparkSpec {
+
+  /** Deterministic sampling loop (scalatest/scalacheck bridge not on the
+    * offline classpath — raw Gen with fixed seeds is equivalent here).
+    */
+  private def forAllSeeded[T](gen: Gen[T], n: Int)(body: T => Unit): Unit =
+    (0 until n).foreach { i =>
+      gen(Gen.Parameters.default, Seed(42L + i)).foreach(body)
+    }
+
+  /** Random parent-pointer forest: n nodes, each node's parent is a
+    * lower-indexed node or none (acyclic by construction).
+    */
+  private val forestGen: Gen[Seq[(String, Option[String])]] =
+    Gen.choose(1, 40).flatMap { n =>
+      Gen.sequence[Seq[Option[Int]], Option[Int]](
+        (0 until n).map { i =>
+          if (i == 0) Gen.const(None)
+          else Gen.frequency(
+            (1, Gen.const(None)),
+            (4, Gen.choose(0, i - 1).map(Some(_))))
+        })
+        .map(parents => parents.zipWithIndex.map { case (p, i) =>
+          (s"n$i", p.map(j => s"n$j"))
+        })
+    }
+
+  private def bruteDepths(nodes: Seq[(String, Option[String])]): Map[String, Long] = {
+    val parent = nodes.toMap
+    def depth(id: String): Long = parent(id) match {
+      case None => 0L
+      case Some(p) => 1L + depth(p)
+    }
+    nodes.map { case (id, _) => id -> depth(id) }.toMap
+  }
+
+  test("pointer-doubling depths equal brute-force recursion on random forests") {
+    import spark.implicits._
+    forAllSeeded(forestGen, 10) { nodes =>
+      val df = nodes.toDF("id", "parent")
+      val got = ChainOps.rootsAndDepths(df, "id", "parent")
+        .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+      assert(got == bruteDepths(nodes))
+    }
+  }
+
+  test("replay idempotence: duplicated bronze rows do not change the best chain") {
+    import spark.implicits._
+    forAllSeeded(forestGen, 5) { nodes =>
+      val df = nodes.toDF("hash", "parent_hash")
+      val doubled = df.union(df).dropDuplicates("hash")
+      val a = BestChain.annotate(df).where(col("is_on_best_chain"))
+        .select("hash").collect().map(_.getString(0)).toSet
+      val b = BestChain.annotate(doubled).where(col("is_on_best_chain"))
+        .select("hash").collect().map(_.getString(0)).toSet
+      assert(a == b)
+    }
+  }
+
+  test("best chain is a connected path from a root to the max-height tip") {
+    import spark.implicits._
+    forAllSeeded(forestGen, 10) { nodes =>
+      val df = nodes.toDF("hash", "parent_hash")
+      val ann = BestChain.annotate(df).collect()
+        .map(r => r.getAs[String]("hash") ->
+          ((r.getAs[String]("parent_hash"), r.getAs[Int]("height"), r.getAs[Boolean]("is_on_best_chain"))))
+        .toMap
+      val chain = ann.filter(_._2._3)
+      val maxH = ann.values.map(_._2).max
+      // exactly one chain member per height 0..tipHeight
+      val tipH = chain.values.map(_._2).max
+      assert(tipH == maxH)
+      assert(chain.values.map(_._2).toSeq.sorted == (0 to tipH))
+      // each non-root member's parent is also a member, one height below
+      chain.foreach { case (_, (parent, h, _)) =>
+        if (h > 0) assert(chain(parent)._2 == h - 1)
+      }
+    }
+  }
+}
