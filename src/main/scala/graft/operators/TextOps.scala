@@ -84,7 +84,9 @@ object TextOps {
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     tf.join(dfreq, "term")
       .select(col(idCol), col("term"),
-        (col("tf").cast("double") * log(lit(docCount.toDouble) / col("df").cast("double")))
+        // ln() is not correctly-rounded and differs by 1 ulp across libms
+        // (JVM vs DuckDB) — round to 6dp so scores are engine-portable.
+        round(col("tf").cast("double") * log(lit(docCount.toDouble) / col("df").cast("double")), 6)
           .as("tfidf"))
   }
 }

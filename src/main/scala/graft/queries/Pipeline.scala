@@ -174,7 +174,7 @@ object Pipeline {
         |  SELECT term, count(*) AS df FROM tf GROUP BY 1
         |), n AS (SELECT count(*) AS n FROM documents)
         |SELECT tf.doc_id, tf.term,
-        |  CAST(tf.tf AS DOUBLE) * ln(CAST(n.n AS DOUBLE) / CAST(dfreq.df AS DOUBLE)) AS tfidf
+        |  round(CAST(tf.tf AS DOUBLE) * ln(CAST(n.n AS DOUBLE) / CAST(dfreq.df AS DOUBLE)), 6) AS tfidf
         |FROM tf JOIN dfreq USING (term) CROSS JOIN n""".stripMargin)),
 
     // --------------------------------------------------------- label analytics
