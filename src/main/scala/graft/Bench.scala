@@ -16,9 +16,11 @@ object Bench {
     "a1_count_group", "a3_sum_group", "a7_count_distinct",
     "j1_fk_join", "j5_big_join_agg", "j6_multihop_agg", "j8_range_join",
     "w1_rank", "w3_running_sum", "w4_sessionize",
-    "o1_topk", "e1_tumbling_counts",
-    "d1_exact_dedup", "d2_fingerprint_dedup", "t1_token_stats",
-    "sim1_cosine_topk")
+    "o1_topk", "e1_tumbling_counts", "e3_session_window",
+    "d1_exact_dedup", "d2_fingerprint_dedup", "d4_minhash_pairs",
+    "t1_token_stats", "t5_tfidf",
+    "sim1_cosine_topk", "sim2_lsh_topk",
+    "bc5_block_stats", "bc7_wallet_clusters")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

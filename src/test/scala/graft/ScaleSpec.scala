@@ -1,0 +1,66 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.FormattedMode
+import org.apache.spark.sql.functions._
+
+import graft.operators.Salting
+import graft.sinks.BronzeWriter
+
+/** Physical-layout and skew-handling checks: bucketed bronze makes the
+  * outpoint join shuffle-free; salting preserves aggregate/join semantics.
+  */
+class ScaleSpec extends SparkSpec {
+
+  test("bucketed outpoint join plans with zero exchanges") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-bucket").toString
+    val outs = (1 to 1000).map(i => (s"tx$i", 0, i * 100L)).toDF("tx_hash", "idx", "value")
+    val ins = (1 to 500).map(i => (s"spend$i", s"tx$i", 0)).toDF("tx_hash", "prev_tx_hash", "prev_index")
+
+    BronzeWriter.writeBucketed(outs, "b_outs", s"$dir/outs", "tx_hash", 4)
+    BronzeWriter.writeBucketed(ins, "b_ins", s"$dir/ins", "prev_tx_hash", 4)
+    // Force the sort-merge path (at real scale neither side broadcasts).
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("b_ins").join(spark.table("b_outs"),
+        col("prev_tx_hash") === spark.table("b_outs")("tx_hash"))
+      val plan = joined.queryExecution.explainString(FormattedMode)
+      assert(plan.contains("SortMergeJoin"), plan)
+      assert(!plan.contains("Exchange"), plan)
+      assert(plan.contains("Bucketed: true"), plan)
+      assert(joined.count() == 500)
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.sql("DROP TABLE IF EXISTS b_outs")
+      spark.sql("DROP TABLE IF EXISTS b_ins")
+    }
+  }
+
+  test("salted two-phase aggregation equals direct aggregation") {
+    import spark.implicits._
+    // 90% of rows on one hot key — the sentinel-address shape.
+    val df = ((1 to 900).map(i => ("<undecodable>", i.toLong)) ++
+      (1 to 100).map(i => (s"addr$i", i.toLong))).toDF("k", "v")
+    val direct = df.groupBy("k")
+      .agg(sum("v").as("s"), count(lit(1)).as("n"), max("v").as("mx"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val salted = Salting.twoPhaseAgg(df, Seq("k"), 8)(
+      Seq(sum("v").as("s"), count(lit(1)).as("n"), max("v").as("mx")),
+      Seq(sum("s").as("s"), sum("n").as("n"), max("mx").as("mx")))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(salted == direct)
+  }
+
+  test("salted join equals plain join") {
+    import spark.implicits._
+    val fact = ((1 to 500).map(_ => ("hot", 1L)) ++ Seq(("cold", 2L))).toDF("k", "v")
+    val dim = Seq(("hot", "H"), ("cold", "C"), ("unused", "U")).toDF("k", "label")
+    val direct = fact.join(dim, "k").groupBy("label").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val salted = Salting.saltedJoin(fact, dim, "k", 8).groupBy("label").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(salted == direct && direct == Map("H" -> 500L, "C" -> 1L))
+  }
+}
