@@ -23,6 +23,38 @@ object AsOfJoin {
     *
     * Returns the `left` columns + `asOfCol` (null when no prior right row).
     */
+  /** Forward as-of: smallest `right.tsCol >= left.tsCol` per key, as
+    * `asOfCol`. Implemented by time reversal over the backward join — one
+    * shuffle, same scale properties.
+    */
+  def firstRightAtOrAfter(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      asOfCol: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val neg = (df: DataFrame) => df.withColumn(tsCol, -col(tsCol))
+    neg(lastRightAtOrBefore(neg(left), neg(right), keyCol, tsCol, asOfCol))
+      .withColumn(asOfCol, -col(asOfCol))
+  }
+
+  /** Backward as-of with a tolerance window: matches further than
+    * `tolerance` time units in the past become NULL.
+    */
+  def lastRightWithin(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      tolerance: Long,
+      asOfCol: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, when}
+    lastRightAtOrBefore(left, right, keyCol, tsCol, asOfCol)
+      .withColumn(asOfCol,
+        when(col(tsCol) - col(asOfCol) <= tolerance, col(asOfCol)))
+  }
+
   def lastRightAtOrBefore(
       left: DataFrame,
       right: DataFrame,

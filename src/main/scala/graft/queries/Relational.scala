@@ -165,6 +165,20 @@ object Relational {
         "WHERE c.user_id = e.user_id AND c.event_type = 'click' AND epoch_us(c.ts) <= epoch_us(e.ts)) " +
         "AS last_click_us FROM events e WHERE e.event_type = 'purchase'")),
 
+    Q("j11_asof_forward",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), usCol.as("us"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), usCol.as("us"))
+        AsOfJoin.firstRightAtOrAfter(purchases, clicks, "user_id", "us", "next_click_us")
+          .select("event_id", "next_click_us")
+      },
+      Some("SELECT e.event_id, (SELECT min(epoch_us(c.ts)) FROM events c " +
+        "WHERE c.user_id = e.user_id AND c.event_type = 'click' AND epoch_us(c.ts) >= epoch_us(e.ts)) " +
+        "AS next_click_us FROM events e WHERE e.event_type = 'purchase'")),
+
     Q("j10_cross_join",
       (s, d) => {
         val r = Tables.region(s, d)

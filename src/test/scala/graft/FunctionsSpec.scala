@@ -33,6 +33,17 @@ class FunctionsSpec extends SparkSpec {
     assert(viaExpr == viaScala)
   }
 
+  test("extensions: native functions callable from plain SQL") {
+    val r = spark.sql(
+      "SELECT block_subsidy(210000) AS s, " +
+        "script_to_address(unhex('6a00')) AS a, " +
+        "vec_dot_f(array(CAST(1.5 AS FLOAT), CAST(2 AS FLOAT)), " +
+        "          array(CAST(2 AS FLOAT), CAST(3 AS FLOAT))) AS d").head()
+    assert(r.getLong(0) == 2500000000L)
+    assert(r.getString(1) == "<undecodable>")
+    assert(r.getDouble(2) == 9.0)
+  }
+
   test("script_to_address: P2PKH, P2WPKH, garbage, empty, null") {
     import spark.implicits._
     val df = Seq(

@@ -19,6 +19,20 @@ class OperatorsSpec extends SparkSpec {
     assert(got("p3").isEmpty || got("p3").contains(0L) == false) // no prior right row
   }
 
+  test("forward as-of and tolerance variants") {
+    import spark.implicits._
+    val left = Seq(("u1", 100L, "p1"), ("u1", 250L, "p2")).toDF("k", "ts", "payload")
+    val right = Seq(("u1", 90L), ("u1", 120L), ("u1", 400L)).toDF("k", "ts")
+    val fwd = AsOfJoin.firstRightAtOrAfter(left, right, "k", "ts", "next")
+      .collect().map(r => r.getAs[String]("payload") -> r.getAs[Any]("next")).toMap
+    assert(fwd("p1") == 120L)
+    assert(fwd("p2") == 400L)
+    val tol = AsOfJoin.lastRightWithin(left, right, "k", "ts", tolerance = 20L, "prev")
+      .collect().map(r => r.getAs[String]("payload") -> Option(r.getAs[Any]("prev"))).toMap
+    assert(tol("p1").contains(90L))  // 100-90=10 <= 20
+    assert(tol("p2").isEmpty)        // 250-120=130 > 20 -> null
+  }
+
   test("exact dedup keeps min id per key") {
     import spark.implicits._
     val df = Seq((1L, "x"), (2L, "x"), (3L, "y")).toDF("id", "text")

@@ -57,6 +57,26 @@ class StreamingSpec extends SparkSpec {
     assert(all2.contains("b"))
   }
 
+  test("dedupedBlocks drops duplicate hashes within the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = Files.createTempDirectory("graft-stream-d").toString
+    val input = MemoryStream[(String, Timestamp)]
+    val blocks = input.toDF().toDF("hash", "ts")
+    val q = ChainStream.dedupedBlocks(blocks, "ts", "10 minutes")
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .format("memory").queryName("dedup").start()
+    def t(s: String) = Timestamp.valueOf(s)
+    input.addData(("b1", t("2024-01-01 10:00:00")), ("b2", t("2024-01-01 10:01:00")))
+    q.processAllAvailable()
+    input.addData(("b1", t("2024-01-01 10:02:00"))) // replay inside watermark
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.sql("SELECT hash FROM dedup").as[String].collect().sorted
+    assert(got.toSeq == Seq("b1", "b2"))
+  }
+
   test("windowedCounts aggregates a stream by tumbling event-time windows") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
