@@ -38,12 +38,19 @@ object Bench {
     // One warmup pass (first query only) absorbs JVM/codegen startup noise.
     try all(names.head)(spark, sfDir).write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
+    // A failed query must be LOUD: a swallowed exception reads as a
+    // suspiciously fast time and poisons the round's numbers.
+    var failures = List.empty[String]
     val results = names.map { name =>
       val t0 = System.nanoTime()
       try all(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
+      catch { case e: Throwable =>
+        failures ::= name
+        System.err.println(s"[bench] $name FAILED: ${e.getMessage.linesIterator.next()}")
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }
+    failures.foreach(n => System.err.println(s"[bench] WARNING: $n time is a failure, not a run"))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum

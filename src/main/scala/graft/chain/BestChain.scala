@@ -21,6 +21,13 @@ import graft.operators.ChainOps
   */
 object BestChain {
 
+  /** Below this many blocks the whole forest fits trivially in driver
+    * memory; resolve it there in one pass instead of paying O(log d)
+    * distributed jobs of fixed latency — the same adaptive size cut as a
+    * broadcast join. 100k string pairs ≈ 20 MB.
+    */
+  val DriverSideThreshold: Long = 100000L
+
   /** (hash, height) for every block in a parent-pointer forest. */
   def heights(blocks: DataFrame): DataFrame =
     ChainOps.rootsAndDepths(blocks.select("hash", "parent_hash"), "hash", "parent_hash")
@@ -29,8 +36,53 @@ object BestChain {
   /** blocks + (height, is_on_best_chain). Best tip = max height, ties broken
     * by min hash (deterministic; the reference takes file order —
     * BlockchainToGraph.java:91–102 — which a batch engine cannot see).
+    * Forests under [[DriverSideThreshold]] resolve driver-side in one
+    * collect; larger ones take the doubling path ([[annotateDistributed]]).
     */
   def annotate(blocks: DataFrame): DataFrame = {
+    val pairs = blocks.select("hash", "parent_hash")
+      .limit(DriverSideThreshold.toInt + 1).collect()
+    if (pairs.length > DriverSideThreshold) return annotateDistributed(blocks)
+    if (pairs.isEmpty) return blocks
+      .withColumn("height", lit(0).cast("int"))
+      .withColumn("is_on_best_chain", lit(false))
+      .where(lit(false))
+
+    val ids = pairs.map(_.getString(0)).toSet
+    // node → parent, only when the parent actually exists; roots (null or
+    // dangling parent — the same orphan semantics as ChainOps) are absent.
+    val parentOf: Map[String, String] = pairs.flatMap(r =>
+      Option(r.getString(1)).filter(ids.contains).map(r.getString(0) -> _)).toMap
+    val memo = scala.collection.mutable.HashMap.empty[String, Int]
+    pairs.foreach { r =>
+      // walk up to the first memoized ancestor or a root (stack-safe),
+      // then assign heights back down the walked path
+      var stack = List.empty[String]
+      var cur = r.getString(0)
+      while (!memo.contains(cur) && parentOf.contains(cur)) {
+        stack ::= cur
+        cur = parentOf(cur)
+      }
+      var hh = memo.getOrElseUpdate(cur, 0)
+      stack.foreach { n => hh += 1; memo(n) = hh }
+    }
+    val (tip, tipH) = memo.minBy { case (k, v) => (-v, k) }
+    val onChain = scala.collection.mutable.HashSet(tip)
+    var cur = tip
+    var steps = tipH
+    while (steps > 0) {
+      parentOf.get(cur).foreach { p => onChain += p; cur = p }
+      steps -= 1
+    }
+    val spark = blocks.sparkSession
+    val ann = spark.createDataFrame(
+      memo.toSeq.map { case (k, v) => (k, v, onChain.contains(k)) })
+      .toDF("hash", "height", "is_on_best_chain")
+    blocks.join(ann, "hash")
+  }
+
+  /** The distributed doubling path — O(log depth) self-join rounds. */
+  def annotateDistributed(blocks: DataFrame): DataFrame = {
     val h = heights(blocks)
     val withH = blocks.join(h, "hash")
 

@@ -68,6 +68,41 @@ object ChainOps {
   def depths(nodes: DataFrame, idCol: String, parentCol: String): DataFrame =
     rootsAndDepths(nodes, idCol, parentCol).drop("root")
 
+  /** Pregel alternative to [[rootsAndDepths]] — the general graph-traversal
+    * form of the reference's `repeat(out("chain")).until(...)` for when the
+    * structure is not a simple forest (SURVEY.md §2.3 J3). Messages flow
+    * root→leaf: each vertex adopts parent depth + 1; converges in
+    * O(depth) supersteps of partition-local message passing (vs O(log d)
+    * shuffles for doubling — Pregel supersteps are cheaper per round,
+    * doubling needs fewer rounds; both ship).
+    */
+  def depthsPregel(nodes: DataFrame, idCol: String, parentCol: String): DataFrame = {
+    import org.apache.spark.graphx.{Edge, EdgeDirection, Graph, Pregel}
+    val spark = nodes.sparkSession
+    import spark.implicits._
+    val withIds = nodes.select(col(idCol).as("id"), col(parentCol).as("parent"))
+      .rdd.map(r => (r.getString(0), Option(r.getString(1))))
+      .zipWithUniqueId().map { case ((id, p), vid) => (id, p, vid) }
+    val idToVid = withIds.map { case (id, _, vid) => (id, vid) }.collectAsMap()
+    val bc = spark.sparkContext.broadcast(idToVid)
+    // edge parent → child carries the depth increment
+    val edges = withIds.flatMap { case (_, p, vid) =>
+      p.flatMap(bc.value.get).map(pvid => Edge(pvid, vid, 1))
+    }
+    val roots = withIds.map { case (id, p, vid) =>
+      (vid, (id, if (p.flatMap(bc.value.get).isEmpty) 0L else Long.MinValue))
+    }
+    val graph = Graph(roots, edges)
+    val resolved = Pregel(graph, Long.MinValue, activeDirection = EdgeDirection.Out)(
+      vprog = (_, attr, msg) => (attr._1, math.max(attr._2, msg)),
+      sendMsg = t =>
+        if (t.srcAttr._2 >= 0 && t.dstAttr._2 < t.srcAttr._2 + 1)
+          Iterator((t.dstId, t.srcAttr._2 + 1))
+        else Iterator.empty,
+      mergeMsg = math.max)
+    resolved.vertices.map { case (_, (id, d)) => (id, d) }.toDF(idCol, "height")
+  }
+
   /** Chain tip = maximal height — the reference's getBestAndHeight
     * (BlockchainToGraph.java:38–49) without any traversal: with height
     * materialized this is a single agg, and with height-bucketed partitioning

@@ -37,18 +37,26 @@ object Dedup {
     df.groupBy(keyCols.map(col): _*)
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
 
-  /** MinHash signature: for each row, `numHashes` independent min-hashes over
-    * its word-k-shingle set. One explode + one hash-aggregate; signature is
+  /** MinHash signature: for each row, `numHashes` min-hashes over its
+    * word-k-shingle set. One explode + one hash-aggregate; the signature is
     * assembled map-side (partial agg) so the shuffle carries numHashes longs
-    * per id, not per shingle.
+    * per id, not per shingle. The hash family derives all numHashes values
+    * from TWO string hashes per shingle — h_i = h1 XOR rot(h2, i) — instead
+    * of hashing the string numHashes times (XOR-rotate rather than
+    * Kirsch–Mitzenmacher h1+i·h2 because ANSI mode forbids wrapping long
+    * arithmetic; runtime is dominated by the 64 min buffers either way).
     */
   def minhashSignatures(
       df: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 64, shingleK: Int = 3): DataFrame = {
     val exploded = df
       .select(col(idCol), explode(shingles(col(textCol), shingleK)).as("_sh"))
-    val mins = (0 until numHashes).map(i =>
-      min(xxhash64(lit(i), col("_sh"))).as(s"_h$i"))
+      .withColumn("_h1", xxhash64(col("_sh")))
+      .withColumn("_h2", xxhash64(lit(7), col("_sh")))
+    val mins = (0 until numHashes).map { i =>
+      val rot = shiftleft(col("_h2"), i).bitwiseOR(shiftrightunsigned(col("_h2"), 64 - i))
+      min(col("_h1").bitwiseXOR(rot)).as(s"_h$i")
+    }
     exploded
       .groupBy(col(idCol))
       .agg(mins.head, mins.tail: _*)

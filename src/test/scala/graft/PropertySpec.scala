@@ -57,6 +57,18 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("Pregel depths equal doubling depths on random forests") {
+    import spark.implicits._
+    forAllSeeded(forestGen, 5) { nodes =>
+      val df = nodes.toDF("id", "parent")
+      val doubling = ChainOps.rootsAndDepths(df, "id", "parent")
+        .select("id", "height").collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val pregel = ChainOps.depthsPregel(df, "id", "parent")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(pregel == doubling)
+    }
+  }
+
   test("replay idempotence: duplicated bronze rows do not change the best chain") {
     import spark.implicits._
     forAllSeeded(forestGen, 5) { nodes =>
@@ -67,6 +79,17 @@ class PropertySpec extends SparkSpec {
       val b = BestChain.annotate(doubled).where(col("is_on_best_chain"))
         .select("hash").collect().map(_.getString(0)).toSet
       assert(a == b)
+    }
+  }
+
+  test("driver-side and distributed best-chain paths agree") {
+    import spark.implicits._
+    forAllSeeded(forestGen, 6) { nodes =>
+      val df = nodes.toDF("hash", "parent_hash")
+      def norm(d: org.apache.spark.sql.DataFrame) = d
+        .select("hash", "height", "is_on_best_chain").collect()
+        .map(r => (r.getString(0), r.getInt(1), r.getBoolean(2))).toSet
+      assert(norm(BestChain.annotate(df)) == norm(BestChain.annotateDistributed(df)))
     }
   }
 
