@@ -284,6 +284,33 @@ object Relational {
       Some("SELECT l_returnflag, l_linestatus, count(*) AS n FROM lineitem " +
         "GROUP BY CUBE(l_returnflag, l_linestatus)")),
 
+    Q("a14_pivot",
+      (s, d) => Tables.orders(s, d)
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(dsum(col("o_totalprice")))
+        .na.fill(0.0, Seq("F", "O", "P")),
+      Some("SELECT o_orderpriority, " +
+        "CAST(coalesce(SUM(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(18,4)) END), 0) AS DOUBLE) AS F, " +
+        "CAST(coalesce(SUM(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(18,4)) END), 0) AS DOUBLE) AS O, " +
+        "CAST(coalesce(SUM(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(18,4)) END), 0) AS DOUBLE) AS P " +
+        "FROM orders GROUP BY o_orderpriority")),
+
+    Q("a15_unpivot",
+      (s, d) => Tables.lineitem(s, d)
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_tax"), col("l_discount")),
+          "metric", "value"),
+      Some("SELECT l_orderkey, l_linenumber, 'l_tax' AS metric, l_tax AS value FROM lineitem " +
+        "UNION ALL SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem")),
+
+    Q("c11_from_json",
+      (s, d) => Tables.events(s, d)
+        .select(col("event_id"),
+          from_json(col("props"), lit("k INT")).getField("k").as("k")),
+      Some("SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k FROM events")),
+
     // ---------------------------------------------------------- windows (W1–W3)
     Q("w1_rank",
       (s, d) => {

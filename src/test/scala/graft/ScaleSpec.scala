@@ -6,7 +6,7 @@ import org.apache.spark.sql.execution.FormattedMode
 import org.apache.spark.sql.functions._
 
 import graft.operators.Salting
-import graft.sinks.BronzeWriter
+import graft.sinks.{BronzeWriter, PartitionedGold}
 
 /** Physical-layout and skew-handling checks: bucketed bronze makes the
   * outpoint join shuffle-free; salting preserves aggregate/join semantics.
@@ -36,6 +36,34 @@ class ScaleSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS b_outs")
       spark.sql("DROP TABLE IF EXISTS b_ins")
     }
+  }
+
+  test("dynamic partition overwrite touches only affected height buckets") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-gold").toString + "/gold"
+    val gold1 = Seq((0, 10L), (10000, 20L), (20001, 30L)).toDF("height", "v")
+    PartitionedGold.overwriteAffected(
+      PartitionedGold.withBucket(gold1, "height"), dir)
+    def fileTimes() = {
+      val d = new java.io.File(dir)
+      d.listFiles().filter(_.getName.startsWith("height_bucket="))
+        .map(p => p.getName -> p.listFiles().map(f => f.getName + ":" + f.lastModified()).sorted.toSeq)
+        .toMap
+    }
+    val before = fileTimes()
+    assert(before.keySet == Set("height_bucket=0", "height_bucket=1", "height_bucket=2"))
+    Thread.sleep(1100) // ensure mtime resolution can't mask a rewrite
+    // "reorg" recomputes only bucket 2
+    val reorged = Seq((20001, 99L)).toDF("height", "v")
+    PartitionedGold.overwriteAffected(
+      PartitionedGold.withBucket(reorged, "height"), dir)
+    val after = fileTimes()
+    assert(after("height_bucket=0") == before("height_bucket=0")) // untouched files
+    assert(after("height_bucket=1") == before("height_bucket=1"))
+    assert(after("height_bucket=2") != before("height_bucket=2")) // rewritten
+    val readBack = spark.read.parquet(dir).collect()
+      .map(r => r.getAs[Int]("height") -> r.getAs[Long]("v")).toMap
+    assert(readBack == Map(0 -> 10L, 10000 -> 20L, 20001 -> 99L))
   }
 
   test("salted two-phase aggregation equals direct aggregation") {
