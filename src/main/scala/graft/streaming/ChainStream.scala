@@ -75,6 +75,30 @@ object ChainStream {
         ()
       }
 
+  /** Stateful running balances (SURVEY.md §2.4 A4 streaming form): the
+    * reference maintains AddressBalance by `+=`/`-=` on every event
+    * (BlockchainToGraph.java:856–862, 913–919); here the state store keeps
+    * one Long per address and each micro-batch emits the updated balance.
+    * Reorg retraction = feeding negative deltas (cf.
+    * [[graft.functions.ExactDistinctWithRetraction]] for distinct counts).
+    * State is partitioned by key across executors — 1B addresses is just a
+    * bigger state store, not a bigger driver.
+    */
+  def runningBalances(
+      deltas: org.apache.spark.sql.Dataset[(String, Long)]): DataFrame = {
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    import deltas.sparkSession.implicits._
+    deltas
+      .groupByKey(_._1)
+      .mapGroupsWithState[Long, (String, Long)](GroupStateTimeout.NoTimeout) {
+        (addr, rows, state) =>
+          val bal = state.getOption.getOrElse(0L) + rows.map(_._2).sum
+          state.update(bal)
+          (addr, bal)
+      }
+      .toDF("address", "balance")
+  }
+
   /** Incremental file-list scan (S2) — the reference enumerates blk%05d.dat
     * from a persisted cursor (BlockchainToGraph.java:79–88, 1096–1107); the
     * Spark form is a file stream source whose checkpoint IS the cursor.

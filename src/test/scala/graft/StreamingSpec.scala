@@ -57,6 +57,40 @@ class StreamingSpec extends SparkSpec {
     assert(all2.contains("b"))
   }
 
+  test("runningBalances: stateful per-address balance with retraction deltas") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = Files.createTempDirectory("graft-stream-b").toString
+    val input = MemoryStream[(String, Long)]
+    val q = ChainStream.runningBalances(input.toDS())
+      .writeStream.outputMode("update")
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .format("memory").queryName("balances").start()
+    input.addData(("A", 50L), ("B", 30L), ("A", 20L))
+    q.processAllAvailable()
+    input.addData(("A", -40L)) // reorg retraction
+    q.processAllAvailable()
+    q.stop()
+    // memory sink in update mode appends each emission; last per key wins
+    val last = spark.sql("SELECT address, balance FROM balances").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).groupBy(_._1)
+      .map { case (k, vs) => k -> vs.last._2 }
+    assert(last("A") == 30L) // 50+20-40
+    assert(last("B") == 30L)
+  }
+
+  test("config source parses and validates key=value files") {
+    val conf = graft.sources.ConfSource.parse(Seq(
+      "# comment", "datadir=/data/blocks", "  bitcoindir = /usr/bin ", "", "junk"))
+    assert(conf == Map("datadir" -> "/data/blocks", "bitcoindir" -> "/usr/bin"))
+    val err = intercept[IllegalArgumentException] {
+      val p = Files.createTempFile("conf", ".conf")
+      java.nio.file.Files.writeString(p, "datadir=/x\n")
+      graft.sources.ConfSource.load(p.toString, required = Seq("datadir", "configdir"))
+    }
+    assert(err.getMessage.contains("configdir"))
+  }
+
   test("dedupedBlocks drops duplicate hashes within the watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
