@@ -311,6 +311,38 @@ object Relational {
           from_json(col("props"), lit("k INT")).getField("k").as("k")),
       Some("SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k FROM events")),
 
+    // Array function family over tokenized text (slice/sort/distinct/size).
+    Q("c12_array_ops",
+      (s, d) => {
+        val toks = split(lower(trim(col("text"))), "\\s+")
+        Tables.documents(s, d).where(col("doc_id") < 50)
+          .select(col("doc_id"),
+            size(toks).as("n"),
+            size(array_distinct(toks)).as("n_distinct"),
+            concat_ws(" ", slice(toks, 1, 5)).as("first5"),
+            concat_ws(" ", sort_array(array_distinct(toks))).as("sorted_vocab"))
+      },
+      Some("""WITH t AS (
+        |  SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+        |  FROM documents WHERE doc_id < 50
+        |)
+        |SELECT doc_id, CAST(len(toks) AS INT) AS n,
+        |  CAST(len(list_distinct(toks)) AS INT) AS n_distinct,
+        |  array_to_string(toks[1:5], ' ') AS first5,
+        |  array_to_string(list_sort(list_distinct(toks)), ' ') AS sorted_vocab
+        |FROM t""".stripMargin)),
+
+    // Map functions: JSON → map, keys/values/lookup.
+    Q("c13_map_ops",
+      (s, d) => Tables.events(s, d)
+        .select(col("event_id"),
+          from_json(col("props"), lit("map<string,int>")).as("m"))
+        .select(col("event_id"),
+          size(map_keys(col("m"))).as("n_keys"),
+          element_at(col("m"), "k").as("k")),
+      Some("SELECT event_id, CAST(len(json_keys(props)) AS INT) AS n_keys, " +
+        "CAST(json_extract_string(props, '$.k') AS INT) AS k FROM events")),
+
     // ---------------------------------------------------------- windows (W1–W3)
     Q("w1_rank",
       (s, d) => {
