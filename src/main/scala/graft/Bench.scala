@@ -35,13 +35,16 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     val all = SparkEntry.queries
     val names = headline.filter(all.contains)
-    // One warmup pass (first query only) absorbs JVM/codegen startup noise.
-    try all(names.head)(spark, sfDir).write.format("noop").mode("overwrite").save()
-    catch { case _: Throwable => () }
+    // Steady-state protocol: warm each query immediately before timing it
+    // (cold-vs-warm codegen/JIT is 6x on the heaviest query, and a single
+    // up-front warm pass gets evicted from the codegen cache by the other
+    // queries' plans before the timed run).
     // A failed query must be LOUD: a swallowed exception reads as a
     // suspiciously fast time and poisons the round's numbers.
     var failures = List.empty[String]
     val results = names.map { name =>
+      try all(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => () }
       val t0 = System.nanoTime()
       try all(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
