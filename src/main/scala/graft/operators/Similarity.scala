@@ -66,31 +66,25 @@ object Similarity {
       .where(col("cos") >= threshold)
   }
 
-  /** b-bit random-hyperplane signature of a vector column. Hyperplanes are
-    * derived deterministically from xxhash64(seed, planeIdx, dimIdx) mapped
-    * to +-1 — no RNG state to ship, identical on every executor.
+  /** b-bit random-hyperplane signature of a vector column — the native
+    * [[graft.functions.HyperplaneSigExpr]]: one primitive loop over a cached
+    * ±1 plane matrix, vs bits× interpreted higher-order folds.
     */
-  def hyperplaneSignature(vec: Column, bits: Int, seed: Int = 42): Column = {
-    val bitCols = (0 until bits).map { p =>
-      val dotSign = aggregate(
-        zip_with(vec,
-          // +-1 pseudo-plane component per dimension
-          transform(sequence(lit(0), size(vec) - 1),
-            d => when(xxhash64(lit(seed), lit(p), d).bitwiseAND(1) === 0, lit(1.0)).otherwise(lit(-1.0))),
-          (x, h) => x * h),
-        lit(0.0), (acc, v) => acc + v)
-      when(dotSign > 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
-    }
-    bitCols.reduce(_.bitwiseOR(_))
-  }
+  def hyperplaneSignature(vec: Column, bits: Int, seed: Int = 42): Column =
+    graft.functions.HyperplaneSigOps.hyperplane_sig(vec, bits, seed)
 
   /** LSH-bucketed approximate top-k: same output shape as bruteForceTopK but
     * only scores candidates colliding with the query on >=1 signature band.
+    * Band geometry is the recall/cost dial: for cos≈0.4 neighbors (weakly
+    * similar), P(bit agree) ≈ 0.63, so 4-bit bands collide at ~16% each
+    * (≈50% recall over 4 bands) while 8-bit bands collide at ~2.5%
+    * (near-zero recall). Tighten bands (8+ bits) only when true neighbors
+    * are near-duplicates (cos > 0.9).
     */
   def lshTopK(
       corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int,
-      bits: Int = 16, bandBits: Int = 8, seed: Int = 42): DataFrame = {
+      bits: Int = 16, bandBits: Int = 4, seed: Int = 42): DataFrame = {
     val bands = bits / bandBits
     def banded(df: DataFrame, idAs: String, keepVec: Boolean): DataFrame = {
       val sig = hyperplaneSignature(col(vecCol), bits, seed)
