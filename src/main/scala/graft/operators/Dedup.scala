@@ -118,15 +118,28 @@ object Dedup {
   /** Exact n-gram Jaccard similarity for all pairs sharing >=1 shingle —
     * the verification stage of MinHash, or standalone exact near-dup on
     * moderate corpora. Shuffles on the shingle, so hot shingles (stopword
-    * runs) are the skew risk: `df.groupBy(_sh).count` guardrails apply at
-    * 100 TB (drop shingles with document frequency above a cap).
+    * runs appearing in a large fraction of documents) are the skew risk:
+    * a shingle shared by m docs produces m² join rows. `maxShingleDf` caps
+    * document frequency — shingles above it are dropped from candidate
+    * GENERATION only (set sizes keep them, so Jaccard values of surviving
+    * pairs shift at most by the capped shingles' contribution; pairs sharing
+    * ONLY ultra-common shingles are by construction not near-duplicates).
+    * None (default) keeps exact semantics.
     */
   def ngramJaccardPairs(
       df: DataFrame, idCol: String, textCol: String,
-      shingleK: Int = 3, threshold: Double = 0.0): DataFrame = {
-    val sh = shingleRows(df, idCol, textCol, shingleK)
+      shingleK: Int = 3, threshold: Double = 0.0,
+      maxShingleDf: Option[Long] = None): DataFrame = {
+    val shAll = shingleRows(df, idCol, textCol, shingleK)
       .withColumnRenamed(idCol, "id")
-    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n"))
+    val sh = maxShingleDf match {
+      case None => shAll
+      case Some(cap) =>
+        val hot = shAll.groupBy("_sh").agg(count(lit(1)).as("df"))
+          .where(col("df") > cap).select("_sh")
+        shAll.join(hot, Seq("_sh"), "left_anti")
+    }
+    val sizes = shAll.groupBy("id").agg(count(lit(1)).as("n"))
     val inter = sh.as("a")
       .join(sh.as("b"), col("a._sh") === col("b._sh") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id1"), col("b.id").as("id2"))

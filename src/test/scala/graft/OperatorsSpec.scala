@@ -52,6 +52,24 @@ class OperatorsSpec extends SparkSpec {
     assert(pairs.toSeq == Seq((1L, 2L, 1.0)))
   }
 
+  test("ngram jaccard df cap: hot-shingle-only pairs are pruned, near-dups survive") {
+    import spark.implicits._
+    val hot = "common boiler plate" // appears in every doc
+    val df = Seq(
+      (1L, s"$hot alpha beta gamma delta epsilon"),
+      (2L, s"$hot alpha beta gamma delta epsilon"), // near-dup of 1
+      (3L, s"$hot totally different content here now"),
+      (4L, s"$hot yet another unrelated piece text")).toDF("doc_id", "text")
+    val uncapped = Dedup.ngramJaccardPairs(df, "doc_id", "text", 3, 0.0)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // every pair shares the hot shingles -> all 6 pairs generated
+    assert(uncapped.size == 6)
+    val capped = Dedup.ngramJaccardPairs(df, "doc_id", "text", 3, 0.0, maxShingleDf = Some(2))
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // only the true near-dup pair survives candidate generation
+    assert(capped == Set((1L, 2L)))
+  }
+
   test("minhash LSH: exact duplicates always collide; disjoint docs never") {
     import spark.implicits._
     val df = Seq(
