@@ -239,27 +239,35 @@ object Blockchain {
     Q("bc8_script_decode",
       (s, _) => {
         import s.implicits._
-        // P2PKH, P2WPKH, garbage, empty, null — all script shapes.
+        // Every standard script template + garbage/empty/null. The oracle
+        // carries the published expected addresses (Bitcoin wiki P2PKH
+        // worked example, BIP-173 / BIP-350 segwit vectors) — anchored
+        // externally in AddressCodecSpec, so this is a real wire-format gate.
         val scripts = Seq(
-          (1L, "76a914" + "ab" * 20 + "88ac"),
-          (2L, "0014" + "cd" * 20),
-          (3L, "6a4c00"),
-          (4L, ""),
-          (5L, null)
+          (1L, "76a914010966776006953d5567439e5e39f86a0d273bee88ac"), // P2PKH
+          (2L, "a914010966776006953d5567439e5e39f86a0d273bee87"),     // P2SH
+          (3L, "0014751e76e8199196d454941c45d1b3a323f1433bd6"),       // P2WPKH
+          (4L, "00201863143c14c5166804bd19203356da136c985678cd4d27a1b8c6329604903262"), // P2WSH
+          (5L, "512079be667ef9dcbbac55a06295ce870b07029bfcdb2dce28d959f2815b16f81798"), // P2TR
+          (6L, "210279be667ef9dcbbac55a06295ce870b07029bfcdb2dce28d959f2815b16f81798ac"), // P2PK c
+          (7L, "0450863ad64a87ae8a2fe83c1af1a8403cb53f53e486d8511dad8a04887e5b2352" +
+            "2cd470243453a299fa9e77237716103abc11a1df38855ed6f2ee187e9c582ba6"), // raw pubkey, no push op: undecodable
+          (8L, "6a4c00"),
+          (9L, ""),
+          (10L, null)
         ).toDF("id", "script_hex")
         scripts.select(col("id"),
           GraftFunctions.script_to_address(unhex(col("script_hex"))).as("address"))
       },
-      Some("""WITH scripts(id, script_hex) AS (VALUES
-         | (1, '76a914' || repeat('ab', 20) || '88ac'),
-         | (2, '0014' || repeat('cd', 20)),
-         | (3, '6a4c00'), (4, ''), (5, NULL))
-         |SELECT CAST(id AS BIGINT) AS id,
-         |  CASE WHEN script_hex LIKE '76a914%88ac' AND length(script_hex) = 50
-         |         THEN '1' || substr(script_hex, 7, 40)
-         |       WHEN script_hex LIKE '0014%' AND length(script_hex) = 44
-         |         THEN 'bc1' || substr(script_hex, 5, 40)
-         |       ELSE '<undecodable>' END AS address
-         |FROM scripts""".stripMargin))
+      Some("""WITH expected(id, address) AS (VALUES
+         | (1, '16UwLL9Risc3QfPqBUvKofHmBQ7wMtjvM'),
+         | (2, '31nVrspaydBz8aMpxH9WkS2DuhgqS1fCuG'),
+         | (3, 'bc1qw508d6qejxtdg4y5r3zarvary0c5xw7kv8f3t4'),
+         | (4, 'bc1qrp33g0q5c5txsp9arysrx4k6zdkfs4nce4xj0gdcccefvpysxf3qccfmv3'),
+         | (5, 'bc1p0xlxvlhemja6c4dqv22uapctqupfhlxm9h8z3k2e72q4k9hcz7vqzk5jj0'),
+         | (6, '1BgGZ9tcN4rm9KBzDn7KprQz87SZ26SAMH'),
+         | (7, '<undecodable>'), (8, '<undecodable>'),
+         | (9, '<undecodable>'), (10, '<undecodable>'))
+         |SELECT CAST(id AS BIGINT) AS id, address FROM expected""".stripMargin))
   )
 }

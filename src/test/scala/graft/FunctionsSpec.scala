@@ -44,18 +44,18 @@ class FunctionsSpec extends SparkSpec {
     assert(r.getDouble(2) == 9.0)
   }
 
-  test("script_to_address: P2PKH, P2WPKH, garbage, empty, null") {
+  test("script_to_address: real Base58Check/bech32 through codegen path") {
     import spark.implicits._
     val df = Seq(
-      (1L, "76a914" + "ab" * 20 + "88ac"),
-      (2L, "0014" + "cd" * 20),
+      (1L, "76a914010966776006953d5567439e5e39f86a0d273bee88ac"),
+      (2L, "0014751e76e8199196d454941c45d1b3a323f1433bd6"),
       (3L, "6a4c00"),
       (4L, ""),
       (5L, null)).toDF("id", "hex")
       .select(col("id"), GraftFunctions.script_to_address(unhex(col("hex"))).as("a"))
     val got = df.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
-    assert(got(1L) == "1" + "ab" * 20)
-    assert(got(2L) == "bc1" + "cd" * 20)
+    assert(got(1L) == "16UwLL9Risc3QfPqBUvKofHmBQ7wMtjvM")
+    assert(got(2L) == "bc1qw508d6qejxtdg4y5r3zarvary0c5xw7kv8f3t4")
     assert(got(3L) == "<undecodable>")
     assert(got(4L) == "<undecodable>")
     assert(got(5L) == "<undecodable>")
