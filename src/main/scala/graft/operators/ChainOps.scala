@@ -80,18 +80,25 @@ object ChainOps {
     import org.apache.spark.graphx.{Edge, EdgeDirection, Graph, Pregel}
     val spark = nodes.sparkSession
     import spark.implicits._
-    val withIds = nodes.select(col(idCol).as("id"), col(parentCol).as("parent"))
-      .rdd.map(r => (r.getString(0), Option(r.getString(1))))
-      .zipWithUniqueId().map { case ((id, p), vid) => (id, p, vid) }
-    val idToVid = withIds.map { case (id, _, vid) => (id, vid) }.collectAsMap()
-    val bc = spark.sparkContext.broadcast(idToVid)
+    // Dense unique vertex ids assigned distributively; the parent→vid lookup
+    // is a JOIN against the same table (pattern of WalletCluster.clusters) —
+    // no driver-held hash map, so a 1M-block forest never funnels through
+    // the driver.
+    val base = nodes.select(col(idCol).as("id"), col(parentCol).as("parent"))
+    val vdf = base.select("id").rdd.map(_.getString(0)).zipWithUniqueId()
+      .toDF("id", "vid").persist(StorageLevel.MEMORY_AND_DISK)
+    val withIds = base.join(vdf, "id")
+      .join(vdf.select(col("id").as("parent"), col("vid").as("parent_vid")),
+        Seq("parent"), "left") // dangling parent (orphan) → null = root
+      .select($"id", $"vid", $"parent_vid")
+      .persist(StorageLevel.MEMORY_AND_DISK)
     // edge parent → child carries the depth increment
-    val edges = withIds.flatMap { case (_, p, vid) =>
-      p.flatMap(bc.value.get).map(pvid => Edge(pvid, vid, 1))
-    }
-    val roots = withIds.map { case (id, p, vid) =>
-      (vid, (id, if (p.flatMap(bc.value.get).isEmpty) 0L else Long.MinValue))
-    }
+    val edges = withIds.where($"parent_vid".isNotNull)
+      .select($"parent_vid", $"vid")
+      .rdd.map(r => Edge(r.getLong(0), r.getLong(1), 1))
+    val roots = withIds
+      .select($"vid", $"id", $"parent_vid".isNull.as("is_root"))
+      .rdd.map(r => (r.getLong(0), (r.getString(1), if (r.getBoolean(2)) 0L else Long.MinValue)))
     val graph = Graph(roots, edges)
     val resolved = Pregel(graph, Long.MinValue, activeDirection = EdgeDirection.Out)(
       vprog = (_, attr, msg) => (attr._1, math.max(attr._2, msg)),
