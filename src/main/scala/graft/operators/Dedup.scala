@@ -86,14 +86,50 @@ object Dedup {
       .select(col(idCol), array((0 until numHashes).map(i => col(s"_h$i")): _*).as("signature"))
   }
 
+  /** Cap-aware band self-join shared by minhash/simhash banding. A bucket of
+    * m rows yields m² all-pairs join rows — one degenerate bucket (a corpus
+    * of near-empty docs collapsing to one signature) is the skew bomb. Over
+    * `maxBucketSize`, the bucket switches to STAR pairs (bucket-min id ↔
+    * each member): m−1 candidates instead of m², and because near-dup
+    * consumers cluster candidates transitively (connected components), the
+    * star keeps every member reachable — unlike dropping the bucket, which
+    * would silently un-dedup exactly the most duplicated documents.
+    * `extraCols` ride along (e.g. simhash signatures for verification).
+    */
+  private[operators] def cappedBucketPairs(
+      banded: DataFrame, idCol: String, keyCols: Seq[String],
+      extraCol: Option[String], maxBucketSize: Int): DataFrame = {
+    val keys = keyCols.map(col)
+    val statsAggs = Seq(count(lit(1)).as("_n"), min(col(idCol)).as("_minid")) ++
+      extraCol.map(e => min_by(col(e), col(idCol)).as("_mine"))
+    val stats = banded.groupBy(keys: _*).agg(statsAggs.head, statsAggs.tail: _*)
+    val tagged = banded.join(stats, keyCols)
+    val normal = tagged.where(col("_n") <= maxBucketSize)
+    def side(n: Int) = normal.select(
+      (keys :+ col(idCol).as(s"id$n")) ++
+        extraCol.map(e => col(e).as(s"_e$n")): _*)
+    val allPairs = side(1).join(side(2), keyCols)
+      .where(col("id1") < col("id2"))
+    val hot = tagged.where(col("_n") > maxBucketSize && col(idCol) =!= col("_minid"))
+      .select(
+        (Seq(col("_minid").as("id1"), col(idCol).as("id2")) ++
+          extraCol.map(e => Seq(col("_mine").as("_e1"), col(e).as("_e2")))
+            .getOrElse(Nil)): _*)
+    val cols = Seq("id1", "id2") ++ extraCol.map(_ => Seq("_e1", "_e2")).getOrElse(Nil)
+    allPairs.select(cols.map(col): _*).union(hot.select(cols.map(col): _*)).distinct()
+  }
+
   /** LSH banding: candidate pairs whose signatures collide on at least one
     * band of `rowsPerBand` consecutive signature slots. The self-join keys on
     * (band index, band hash) so it is an equi-join Catalyst shuffles by
     * bucket — candidate generation is linear in collisions, never all-pairs.
+    * Degenerate buckets above `maxBucketSize` degrade to star pairs
+    * ([[cappedBucketPairs]]) so one hot signature cannot go quadratic.
     */
   def minhashCandidatePairs(
       signatures: DataFrame, idCol: String,
-      numHashes: Int = 32, rowsPerBand: Int = 4): DataFrame = {
+      numHashes: Int = 32, rowsPerBand: Int = 4,
+      maxBucketSize: Int = 1000): DataFrame = {
     val numBands = numHashes / rowsPerBand
     // Bands are unrolled statically — each is a literal slice, keeping the
     // whole projection inside one codegen stage.
@@ -107,12 +143,7 @@ object Dedup {
     val banded = signatures
       .select(col(idCol), explode(array(bandStructs: _*)).as("bb"))
       .select(col(idCol), col("bb.band"), col("bb.bucket"))
-    val a = banded.select(col("band"), col("bucket"), col(idCol).as("id1"))
-    val b = banded.select(col("band"), col("bucket"), col(idCol).as("id2"))
-    a.join(b, Seq("band", "bucket"))
-      .where(col("id1") < col("id2"))
-      .select("id1", "id2")
-      .distinct()
+    cappedBucketPairs(banded, idCol, Seq("band", "bucket"), None, maxBucketSize)
   }
 
   /** Exact n-gram Jaccard similarity for all pairs sharing >=1 shingle —
@@ -170,10 +201,13 @@ object Dedup {
 
   /** SimHash near-dup candidates: pairs agreeing exactly on >=1 of the four
     * 16-bit chunks (guarantees recall for Hamming distance <= 3), verified by
-    * full Hamming distance <= maxHamming.
+    * full Hamming distance <= maxHamming. Chunk buckets above `maxBucketSize`
+    * degrade to star pairs ([[cappedBucketPairs]]) — the star hub's signature
+    * rides along so verification still sees real Hamming distances.
     */
   def simhashCandidatePairs(
-      sigs: DataFrame, idCol: String, maxHamming: Int = 3): DataFrame = {
+      sigs: DataFrame, idCol: String, maxHamming: Int = 3,
+      maxBucketSize: Int = 1000): DataFrame = {
     val chunkStructs = (0 until 4).map { c =>
       struct(lit(c).as("chunk"),
         shiftright(col("simhash"), c * 16).bitwiseAND(0xFFFFL).as("key"))
@@ -181,15 +215,9 @@ object Dedup {
     val chunked = sigs
       .select(col(idCol), col("simhash"), explode(array(chunkStructs: _*)).as("cc"))
       .select(col(idCol), col("simhash"), col("cc.chunk"), col("cc.key"))
-    val a = chunked.select(col("chunk"), col("key"),
-      col(idCol).as("id1"), col("simhash").as("sh1"))
-    val b = chunked.select(col("chunk"), col("key"),
-      col(idCol).as("id2"), col("simhash").as("sh2"))
-    a.join(b, Seq("chunk", "key"))
-      .where(col("id1") < col("id2"))
+    cappedBucketPairs(chunked, idCol, Seq("chunk", "key"), Some("simhash"), maxBucketSize)
       .select(col("id1"), col("id2"),
-        bit_count(col("sh1").bitwiseXOR(col("sh2"))).as("hamming"))
-      .distinct()
+        bit_count(col("_e1").bitwiseXOR(col("_e2"))).as("hamming"))
       .where(col("hamming") <= maxHamming)
   }
 }

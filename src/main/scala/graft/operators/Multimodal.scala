@@ -9,13 +9,13 @@ import org.apache.spark.sql.types._
   *
   * The Spark-side plumbing is real — schemas, partition-sized batching,
   * iterator-to-iterator transforms (no per-row task overhead, spill-safe,
-  * the Scala analogue of `mapInPandas` batch shape). The media codecs
-  * themselves are STUBBED with deterministic byte-derived fakes (this
-  * container has no image/audio libraries): `decodeImageMeta` parses a fake
-  * 16-byte header instead of a JPEG SOF scan; `embedMedia` derives a vector
-  * from content hashes instead of a vision model. Swapping in real codecs
-  * changes ONLY the function bodies marked STUB — the dataflow, schema and
-  * batching contracts stay identical.
+  * the Scala analogue of `mapInPandas` batch shape). Header decode is a REAL
+  * pure-JVM byte scan of the published JPEG (ISO/IEC 10918 marker segments)
+  * and PNG (RFC 2083 IHDR) formats — no image library needed to extract
+  * dimensions/channels. `embedMedia` remains a deterministic STUB (a vision
+  * model does not fit this container); swapping a real model in changes only
+  * the marked function body — the dataflow, schema and batching contracts
+  * stay identical.
   */
 object Multimodal {
 
@@ -32,17 +32,64 @@ object Multimodal {
     StructField("channels", IntegerType),
     StructField("valid", BooleanType, nullable = false)))
 
-  /** STUB codec: synthetic image header = "IMG0" magic + width/height/channels
-    * int32s (big-endian). Real impl: JPEG/PNG header scan.
+  /** (width, height, channels) from real image headers — PNG IHDR or a JPEG
+    * marker-segment walk to the first SOFn. Malformed/truncated/unknown
+    * bytes → None, never an exception (a poisoned row must not kill a task
+    * processing a billion images).
     */
-  private def decodeHeader(bytes: Array[Byte]): Option[(Int, Int, Int)] = {
+  private[graft] def decodeHeader(bytes: Array[Byte]): Option[(Int, Int, Int)] = {
+    if (bytes == null || bytes.length < 4) return None
+    def u16(off: Int): Int = ((bytes(off) & 0xFF) << 8) | (bytes(off + 1) & 0xFF)
     def i32(off: Int): Int =
       ((bytes(off) & 0xFF) << 24) | ((bytes(off + 1) & 0xFF) << 16) |
         ((bytes(off + 2) & 0xFF) << 8) | (bytes(off + 3) & 0xFF)
-    if (bytes != null && bytes.length >= 16 &&
-      bytes(0) == 'I' && bytes(1) == 'M' && bytes(2) == 'G' && bytes(3) == '0')
-      Some((i32(4), i32(8), i32(12)))
-    else None
+
+    // PNG: 8-byte signature, then the IHDR chunk is mandatory-first:
+    // len(4) "IHDR" width(4) height(4) bitdepth(1) colortype(1)
+    if (bytes.length >= 26 &&
+      (bytes(0) & 0xFF) == 0x89 && bytes(1) == 'P' && bytes(2) == 'N' && bytes(3) == 'G' &&
+      bytes(12) == 'I' && bytes(13) == 'H' && bytes(14) == 'D' && bytes(15) == 'R') {
+      val channels = (bytes(25) & 0xFF) match {
+        case 0 => 1 // greyscale
+        case 2 => 3 // truecolor
+        case 3 => 1 // palette
+        case 4 => 2 // grey + alpha
+        case 6 => 4 // truecolor + alpha
+        case _ => return None
+      }
+      val w = i32(16); val h = i32(20)
+      return if (w > 0 && h > 0) Some((w, h, channels)) else None
+    }
+
+    // JPEG: SOI then marker segments; dims live in the first SOFn
+    // (C0–CF except DHT C4, JPG C8, DAC CC):
+    // FF Cn len(2) precision(1) height(2) width(2) nComponents(1)
+    if ((bytes(0) & 0xFF) == 0xFF && (bytes(1) & 0xFF) == 0xD8) {
+      var pos = 2
+      while (pos + 4 <= bytes.length) {
+        if ((bytes(pos) & 0xFF) != 0xFF) return None // marker desync
+        var marker = bytes(pos + 1) & 0xFF
+        while (marker == 0xFF && pos + 2 < bytes.length) { // fill bytes
+          pos += 1; marker = bytes(pos + 1) & 0xFF
+        }
+        if (marker >= 0xC0 && marker <= 0xCF &&
+          marker != 0xC4 && marker != 0xC8 && marker != 0xCC) {
+          if (pos + 10 > bytes.length) return None
+          val h = u16(pos + 5); val w = u16(pos + 7)
+          val c = bytes(pos + 9) & 0xFF
+          return if (w > 0 && h > 0 && c > 0) Some((w, h, c)) else None
+        } else if (marker == 0xD8 || marker == 0x01 ||
+          (marker >= 0xD0 && marker <= 0xD7)) {
+          pos += 2 // standalone marker, no length field
+        } else if (marker == 0xD9 || marker == 0xDA) {
+          return None // EOI / start-of-scan before any SOF: no dims
+        } else {
+          pos += 2 + u16(pos + 2) // length includes itself
+        }
+      }
+      return None
+    }
+    None
   }
 
   /** Decode image metadata for every row — iterator-to-iterator per

@@ -52,18 +52,42 @@ object Similarity {
       .where(col("rank") <= k)
   }
 
-  /** Exact embedding-cosine near-duplicate pairs: all (a, b) with
-    * cosine >= threshold. Brute-force all-pairs — the correctness baseline
-    * the LSH path is verified against; at 100 TB use lshTopK buckets as the
-    * candidate generator and this only as the per-bucket verifier.
+  /** Embedding-cosine near-duplicate pairs: (a, b) with cosine >= threshold.
+    *
+    * DEFAULT path is scale-safe: hyperplane-LSH band buckets generate the
+    * candidate pairs (an equi-join on (band, bucket), hot buckets star-capped
+    * via [[Dedup.cappedBucketPairs]]) and exact cosine verifies each — the
+    * O(n²) surface never materializes. `exact = true` switches to the
+    * brute-force all-pairs theta join: full recall, quadratic cost — the
+    * verification baseline, for bounded corpora only.
     */
   def exactNearDupPairs(
-      corpus: DataFrame, idCol: String, vecCol: String, threshold: Double): DataFrame = {
-    val a = corpus.select(col(idCol).as("id1"), col(vecCol).as("_va"))
-    val b = corpus.select(col(idCol).as("id2"), col(vecCol).as("_vb"))
-    a.join(b, col("id1") < col("id2"))
-      .select(col("id1"), col("id2"), cosine(col("_va"), col("_vb")).as("cos"))
-      .where(col("cos") >= threshold)
+      corpus: DataFrame, idCol: String, vecCol: String, threshold: Double,
+      exact: Boolean = false,
+      bits: Int = 16, bandBits: Int = 4, seed: Int = 42,
+      maxBucketSize: Int = 1000): DataFrame = {
+    if (exact) {
+      val a = corpus.select(col(idCol).as("id1"), col(vecCol).as("_va"))
+      val b = corpus.select(col(idCol).as("id2"), col(vecCol).as("_vb"))
+      a.join(b, col("id1") < col("id2"))
+        .select(col("id1"), col("id2"), cosine(col("_va"), col("_vb")).as("cos"))
+        .where(col("cos") >= threshold)
+    } else {
+      val bands = bits / bandBits
+      val sig = hyperplaneSignature(col(vecCol), bits, seed)
+      val bandStructs = (0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          shiftright(col("_sig"), b * bandBits)
+            .bitwiseAND((1L << bandBits) - 1).as("bucket"))
+      }
+      val banded = corpus
+        .select(col(idCol), col(vecCol).as("_v"), sig.as("_sig"))
+        .select(col(idCol), col("_v"), explode(array(bandStructs: _*)).as("bb"))
+        .select(col(idCol), col("bb.band"), col("bb.bucket"), col("_v"))
+      Dedup.cappedBucketPairs(banded, idCol, Seq("band", "bucket"), Some("_v"), maxBucketSize)
+        .select(col("id1"), col("id2"), cosine(col("_e1"), col("_e2")).as("cos"))
+        .where(col("cos") >= threshold)
+    }
   }
 
   /** b-bit random-hyperplane signature of a vector column — the native

@@ -139,10 +139,13 @@ object Pipeline {
 
     // Exact embedding-cosine near-dup (the LSH path's correctness baseline).
     // Both engines fold the arrays left-to-right in double, so the cosine
-    // bits agree exactly and the threshold cut is deterministic.
+    // bits agree exactly and the threshold cut is deterministic. exact=true
+    // is deliberate: the oracle is all-pairs SQL and the corpus is bounded;
+    // the operator's DEFAULT is the LSH-candidate path.
     Q("d6_embedding_neardup",
       (s, d) => Similarity.exactNearDupPairs(
-        Tables.embeddings(s, d).where(col("vec_id") < 200), "vec_id", "embedding", 0.35)
+        Tables.embeddings(s, d).where(col("vec_id") < 200), "vec_id", "embedding", 0.35,
+        exact = true)
         .select(col("id1"), col("id2"), col("cos")),
       Some("""WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 200),
         |scored AS (
@@ -176,6 +179,33 @@ object Pipeline {
         |SELECT tf.doc_id, tf.term,
         |  round(CAST(tf.tf AS DOUBLE) * ln(CAST(n.n AS DOUBLE) / CAST(dfreq.df AS DOUBLE)), 6) AS tfidf
         |FROM tf JOIN dfreq USING (term) CROSS JOIN n""".stripMargin)),
+
+    // ------------------------------------------------------------- multimodal
+    // Real JPEG/PNG header decode over checked-in image-bytes fixtures (the
+    // same bytes BlockFileSpec validates structurally): a spec-complete 5x3
+    // RGB PNG, a minimal 7x4 greyscale JPEG, garbage, empty, truncated.
+    Q("mm1_image_meta",
+      (s, _) => {
+        import s.implicits._
+        val fixtures = Seq(
+          (1L, "89504e470d0a1a0a0000000d4948445200000005000000030802000000d45452af" +
+            "0000001b49444154789c6360e01291d330b2710b884ac9ab68ea6120c0070006" +
+            "bf0c4fd192568a0000000049454e44ae426082"), // PNG 5x3 RGB
+          (2L, "ffd8ffe000104a46494600010100000100010000ffc0000b080004000701011100ffd9"), // JPEG 7x4 grey
+          (3L, "deadbeef"),
+          (4L, ""),
+          (5L, "89504e47") // truncated PNG signature
+        ).toDF("media_id", "hex")
+        graft.operators.Multimodal.decodeImageMeta(
+          fixtures.select(col("media_id"), unhex(col("hex")).as("bytes")))
+      },
+      Some("""WITH expected(media_id, width, height, channels, valid) AS (VALUES
+        | (1, 5, 3, 3, TRUE), (2, 7, 4, 1, TRUE),
+        | (3, NULL, NULL, NULL, FALSE), (4, NULL, NULL, NULL, FALSE),
+        | (5, NULL, NULL, NULL, FALSE))
+        |SELECT CAST(media_id AS BIGINT) AS media_id, CAST(width AS INTEGER) AS width,
+        |  CAST(height AS INTEGER) AS height, CAST(channels AS INTEGER) AS channels, valid
+        |FROM expected""".stripMargin)),
 
     // --------------------------------------------------------- label analytics
     Q("sim4_label_counts",

@@ -28,8 +28,14 @@ object BlockFileSource {
       inputs: Seq[RawInput], outputs: Seq[RawOutput])
   case class RawBlock(hash: String, parent_hash: String, ts: Long, txs: Seq[RawTx])
 
-  /** Mainnet start-of-record magic. */
+  /** Start-of-record magics, big-endian as they appear in the file (public
+    * chain parameters; the reference inherits them from bitcoinj's
+    * NetworkParameters). Mainnet is the default everywhere.
+    */
   val Magic: Int = 0xf9beb4d9
+  val TestnetMagic: Int = 0x0b110907
+  val RegtestMagic: Int = 0xfabfb5da
+  val SignetMagic: Int = 0x0a03cf40
 
   private def sha256d(bytes: Array[Byte], from: Int, len: Int): Array[Byte] = {
     val md = MessageDigest.getInstance("SHA-256")
@@ -117,13 +123,13 @@ object BlockFileSource {
   }
 
   /** Parse one blk-file's bytes into blocks (magic-framed records). */
-  def parseFile(raw: Array[Byte]): Seq[RawBlock] = {
+  def parseFile(raw: Array[Byte], networkMagic: Int = Magic): Seq[RawBlock] = {
     val r = new Reader(ByteBuffer.wrap(raw).order(ByteOrder.LITTLE_ENDIAN))
     val out = Seq.newBuilder[RawBlock]
     while (r.buf.remaining() >= 8) {
       val magic = ((r.u8()) | (r.u8() << 8) | (r.u8() << 16) | (r.u8() << 24))
       if (magic == 0) { /* zero padding at file tail */ }
-      else if (Integer.reverseBytes(magic) != Magic)
+      else if (Integer.reverseBytes(magic) != networkMagic)
         throw new IllegalArgumentException(f"bad magic 0x$magic%08x")
       else {
         val size = r.u32().toInt
@@ -145,13 +151,13 @@ object BlockFileSource {
   }
 
   /** Distributed scan: every blk file → parsed blocks. */
-  def read(spark: SparkSession, path: String): Dataset[RawBlock] = {
+  def read(spark: SparkSession, path: String, networkMagic: Int = Magic): Dataset[RawBlock] = {
     import spark.implicits._
     spark.read.format("binaryFile")
       .option("pathGlobFilter", "blk*.dat")
       .load(path)
       .select("content").as[Array[Byte]]
-      .flatMap(parseFile(_))
+      .flatMap(parseFile(_, networkMagic))
   }
 
   /** Bronze projection: the four relational tables of the chain layer

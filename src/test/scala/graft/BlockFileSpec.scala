@@ -75,7 +75,8 @@ class BlockFileSpec extends SparkSpec {
   private val coinbasePrev = "0" * 64
 
   /** Serialize a block; returns (framed record bytes, block hash). */
-  private def block(prevHashHex: String, time: Long, txs: Seq[Array[Byte]]): (Array[Byte], String) = {
+  private def block(prevHashHex: String, time: Long, txs: Seq[Array[Byte]],
+      magic: Int = BlockFileSource.Magic): (Array[Byte], String) = {
     val hdr = new W
     hdr.u32(2).bytes(hexLe(prevHashHex)).bytes(new Array[Byte](32)).u32(time).u32(0x1d00ffffL).u32(42)
     val header = hdr.result
@@ -84,7 +85,8 @@ class BlockFileSpec extends SparkSpec {
     txs.foreach(blk.bytes)
     val body = blk.result
     val rec = new W
-    rec.u32(0xd9b4bef9L).u32(body.length).bytes(body)
+    // file order = the 4 magic bytes big-endian-most-significant first
+    rec.u32(Integer.reverseBytes(magic).toLong & 0xFFFFFFFFL).u32(body.length).bytes(body)
     (rec.result, revHex(sha256d(header)))
   }
 
@@ -135,29 +137,58 @@ class BlockFileSpec extends SparkSpec {
       .map(r => r.getAs[String]("tx_hash") -> r).toMap
     assert(ts(tx1id).getAs[Long]("balance") == 5000000000L)
     assert(ts(tx1id).getAs[Long]("fee") == 100000000L)
-    // script decode produced the P2PKH hex address of payload byte 1
+    // script decode produced the real Base58Check P2PKH address of the
+    // generated hash160 payload (0x01 * 20)
     val addrs = GoldStats.addressStats(cTxs, rin, bronze("tx_outputs"))
       .select("address").collect().map(_.getString(0)).toSet
-    assert(addrs.contains("1" + "01" * 20))
+    assert(addrs.contains(
+      graft.functions.AddressCodec.Base58.encodeCheck(0x00, Array.fill[Byte](20)(1))))
   }
 
-  test("multimodal: header decode, embedding shape, frame sampling") {
-    import spark.implicits._
-    def img(w: Int, h: Int, c: Int): Array[Byte] = {
-      val b = ByteBuffer.allocate(16)
-      b.put('I'.toByte).put('M'.toByte).put('G'.toByte).put('0'.toByte)
-      b.putInt(w).putInt(h).putInt(c)
-      b.array()
+  test("blk parser: regtest-framed files parse with the regtest magic and reject mainnet") {
+    val (cbBytes, _) = tx(Seq((coinbasePrev, -1)), Seq((5000000000L, p2pkh(9))))
+    val (bBytes, bHash) = block("0" * 64, 1000, Seq(cbBytes), magic = BlockFileSource.RegtestMagic)
+    val dir = Files.createTempDirectory("graft-blk-regtest")
+    Files.write(Paths.get(dir.toString, "blk00000.dat"), bBytes)
+
+    val parsed = BlockFileSource.read(spark, dir.toString, BlockFileSource.RegtestMagic).collect()
+    assert(parsed.map(_.hash).toSeq == Seq(bHash))
+    // the same file under the default mainnet magic must fail loudly
+    val err = intercept[org.apache.spark.SparkException] {
+      BlockFileSource.read(spark, dir.toString).collect()
     }
+    assert(err.getMessage.contains("bad magic") ||
+      Option(err.getCause).exists(_.getMessage.contains("bad magic")))
+  }
+
+  private def unhexStr(s: String): Array[Byte] =
+    s.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+
+  // Real image fixtures: a spec-complete 5x3 RGB PNG (valid CRCs, zlib IDAT)
+  // and a minimal JPEG whose marker walk reaches SOF0 (4 rows, 7 cols, 1
+  // component).
+  private val PngFixture = unhexStr(
+    "89504e470d0a1a0a0000000d4948445200000005000000030802000000d45452af" +
+      "0000001b49444154789c6360e01291d330b2710b884ac9ab68ea6120c0070006" +
+      "bf0c4fd192568a0000000049454e44ae426082")
+  private val JpegFixture = unhexStr(
+    "ffd8ffe000104a46494600010100000100010000ffc0000b080004000701011100ffd9")
+
+  test("multimodal: real PNG/JPEG header decode, embedding shape, frame sampling") {
+    import spark.implicits._
     val media = Seq(
-      (1L, "m/1.img", "image", img(640, 480, 3)),
-      (2L, "m/2.img", "image", Array[Byte](1, 2, 3)),
-      (3L, "m/3.vid", "video", Array.tabulate(300)(_.toByte)))
+      (1L, "m/1.png", "image", PngFixture),
+      (2L, "m/2.jpg", "image", JpegFixture),
+      (3L, "m/3.img", "image", Array[Byte](1, 2, 3)),
+      (4L, "m/4.vid", "video", Array.tabulate(300)(_.toByte)))
       .toDF("media_id", "uri", "media_type", "bytes")
 
     val meta = Multimodal.decodeImageMeta(media).collect().map(r => r.getLong(0) -> r).toMap
-    assert(meta(1L).getAs[Int]("width") == 640 && meta(1L).getAs[Boolean]("valid"))
-    assert(!meta(2L).getAs[Boolean]("valid"))
+    assert(meta(1L).getAs[Int]("width") == 5 && meta(1L).getAs[Int]("height") == 3 &&
+      meta(1L).getAs[Int]("channels") == 3 && meta(1L).getAs[Boolean]("valid"))
+    assert(meta(2L).getAs[Int]("width") == 7 && meta(2L).getAs[Int]("height") == 4 &&
+      meta(2L).getAs[Int]("channels") == 1 && meta(2L).getAs[Boolean]("valid"))
+    assert(!meta(3L).getAs[Boolean]("valid"))
 
     val emb = Multimodal.embedMedia(media, dim = 8).collect().map(r => r.getLong(0) -> r).toMap
     assert(emb(1L).getSeq[Float](1).length == 8)
@@ -166,7 +197,20 @@ class BlockFileSpec extends SparkSpec {
     assert(emb(3L).getSeq[Float](1).toSeq == emb2(3L).getSeq[Float](1).toSeq)
 
     val frames = Multimodal.sampleFrames(media, everyNBytes = 64, maxFrames = 8).collect()
-    assert(frames.forall(_.getLong(0) == 3L))
+    assert(frames.forall(_.getLong(0) == 4L))
     assert(frames.length == 4) // 300 / 64
+  }
+
+  test("image header decode: malformed inputs return None, never throw") {
+    import graft.operators.Multimodal.decodeHeader
+    assert(decodeHeader(null).isEmpty)
+    assert(decodeHeader(Array.emptyByteArray).isEmpty)
+    assert(decodeHeader(unhexStr("89504e47")).isEmpty) // truncated PNG sig
+    assert(decodeHeader(unhexStr("ffd8ffe0")).isEmpty) // JPEG cut mid-segment
+    assert(decodeHeader(unhexStr("ffd8ffda0002")).isEmpty) // SOS before SOF
+    assert(decodeHeader(PngFixture.take(20).toArray).isEmpty)
+    // corrupt the PNG colortype byte → unknown channels → None
+    val bad = PngFixture.clone(); bad(25) = 9
+    assert(decodeHeader(bad).isEmpty)
   }
 }

@@ -96,6 +96,32 @@ class OperatorsSpec extends SparkSpec {
     assert(!pairs.exists(p => p._2 == 3L || p._1 == 3L))
   }
 
+  test("hot-bucket cap bounds minhash candidates: 1k identical docs → star, not m²") {
+    import spark.implicits._
+    // 1000 identical docs collapse to ONE signature — every band bucket is
+    // degenerate. Uncapped that is ~500k pairs/band; capped it must be the
+    // m−1 star, with every doc still reachable from the hub (id 0).
+    val df = (0L until 1000L).map(i => (i, "the same exact text in every document"))
+      .toDF("doc_id", "text")
+    val sigs = Dedup.minhashSignatures(df, "doc_id", "text")
+    val pairs = Dedup.minhashCandidatePairs(sigs, "doc_id", maxBucketSize = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.length == 999)
+    assert(pairs.forall(_._1 == 0L))
+    assert(pairs.map(_._2).toSet == (1L until 1000L).toSet)
+  }
+
+  test("hot-bucket cap bounds simhash candidates and keeps hamming real") {
+    import spark.implicits._
+    val df = (0L until 500L).map(i => (i, "identical content for the skew bomb test"))
+      .toDF("doc_id", "text")
+    val sigs = Dedup.simhash(df, "doc_id", "text")
+    val pairs = Dedup.simhashCandidatePairs(sigs, "doc_id", 3, maxBucketSize = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.length == 499)
+    assert(pairs.forall(p => p._1 == 0L && p._3 == 0))
+  }
+
   test("brute-force cosine top-k ranks an identical vector first") {
     import spark.implicits._
     val corpus = Seq(

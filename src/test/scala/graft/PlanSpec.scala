@@ -49,4 +49,19 @@ class PlanSpec extends SparkSpec {
     val p = plan("c2_concat_key")
     assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int,l_quantity:double>"), p)
   }
+
+  test("near-dup default path is the band equi-join, never a quadratic join") {
+    import org.apache.spark.sql.functions.col
+    val emb = graft.tables.Tables.embeddings(spark, sf).where(col("vec_id") < 100)
+    val p = graft.operators.Similarity
+      .exactNearDupPairs(emb, "vec_id", "embedding", 0.35)
+      .queryExecution.explainString(FormattedMode)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("band"), p) // candidates come from the (band, bucket) equi-join
+    // and the explicit exact baseline IS the quadratic theta join
+    val pExact = graft.operators.Similarity
+      .exactNearDupPairs(emb, "vec_id", "embedding", 0.35, exact = true)
+      .queryExecution.explainString(FormattedMode)
+    assert(pExact.contains("NestedLoopJoin") || pExact.contains("CartesianProduct"), pExact)
+  }
 }
