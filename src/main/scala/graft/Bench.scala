@@ -19,8 +19,9 @@ object Bench {
     "o1_topk", "e1_tumbling_counts", "e3_session_window",
     "d1_exact_dedup", "d2_fingerprint_dedup", "d4_minhash_pairs",
     "t1_token_stats", "t5_tfidf",
-    "sim1_cosine_topk", "sim2_lsh_topk",
-    "bc5_block_stats", "bc7_wallet_clusters")
+    "sim1_cosine_topk", "sim2_lsh_topk", "sim5_ivf_topk",
+    "bc5_block_stats", "bc7_wallet_clusters",
+    "bk0_e2e_pipeline", "bk2_tx_stats", "bk4_address_stats")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

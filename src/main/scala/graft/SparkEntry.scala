@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
-import graft.queries.{Blockchain, Pipeline, Relational}
+import graft.queries.{Blockchain, BlkScale, Pipeline, Relational}
 import graft.tables.Tables
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
@@ -13,7 +13,8 @@ object SparkEntry {
   /** Full registered inventory: SURVEY.md §2 relational operators + the
     * training-data-pipeline operators (dedup / similarity / text).
     */
-  def registry: Seq[Q] = Relational.queries ++ Pipeline.queries ++ Blockchain.queries
+  def registry: Seq[Q] =
+    Relational.queries ++ Pipeline.queries ++ Blockchain.queries ++ BlkScale.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * TPC-H Q1-shaped pricing summary — scan + filter + hash aggregate, the

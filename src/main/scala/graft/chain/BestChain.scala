@@ -92,25 +92,32 @@ object BestChain {
     val tipHash = tipRows(0).getString(0)
     val tipHeight = tipRows(0).getInt(1)
 
-    // anc: current 2^k-jump table (src -> ancestor 2^k above, absent past root)
-    var anc = withH.select(col("hash").as("src"), col("parent_hash").as("dst"))
-      .where(col("dst").isNotNull)
-      .localCheckpoint()
+    // anc: current 2^k-jump table (src -> ancestor 2^k above, absent past
+    // root). Rounds are rebased to cached RDDs (ChainOps.rebase) — same flat
+    // re-planning as the heights loop.
+    var (anc, ancRdd) = ChainOps.rebase(
+      withH.select(col("hash").as("src"), col("parent_hash").as("dst"))
+        .where(col("dst").isNotNull))
     // S: ancestors of the tip found so far (including the tip itself)
     var s = withH.sparkSession.createDataFrame(
       withH.sparkSession.sparkContext.parallelize(Seq(org.apache.spark.sql.Row(tipHash))),
       org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("hash", org.apache.spark.sql.types.StringType))))
+    var sRdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = null
     var span = 1L // S currently covers ancestors within distance span-1
     while (span <= tipHeight) {
-      s = s.unionByName(
+      val (s2, s2Rdd) = ChainOps.rebase(
+        s.unionByName(
           s.join(anc, s("hash") === anc("src")).select(col("dst").as("hash")))
-        .distinct()
-        .localCheckpoint()
-      anc = anc.as("a")
-        .join(anc.as("b"), col("a.dst") === col("b.src"))
-        .select(col("a.src").as("src"), col("b.dst").as("dst"))
-        .localCheckpoint()
+          .distinct())
+      if (sRdd != null) sRdd.unpersist(blocking = false)
+      s = s2; sRdd = s2Rdd
+      val (anc2, anc2Rdd) = ChainOps.rebase(
+        anc.as("a")
+          .join(anc.as("b"), col("a.dst") === col("b.src"))
+          .select(col("a.src").as("src"), col("b.dst").as("dst")))
+      ancRdd.unpersist(blocking = false)
+      anc = anc2; ancRdd = anc2Rdd
       span *= 2
     }
     withH.join(s.withColumn("is_on_best_chain", lit(true)), Seq("hash"), "left")

@@ -17,6 +17,26 @@ import org.apache.spark.storage.StorageLevel
   */
 object ChainOps {
 
+  /** Truncate a DataFrame's lineage at the RDD level: compile + materialize
+    * the rows into a cached RDD and re-wrap with a fresh LogicalRDD.
+    *
+    * This is the iteration primitive for the doubling loops. Plain
+    * `persist()` leaves the logical plan growing (it doubles per self-join
+    * round → 2^rounds plan nodes), and Spark 4's `localCheckpoint()` runs
+    * `rewriteStatsAndConstraints` over the pre-checkpoint plan whose
+    * constraint/stats rewrite goes combinatorial across chained self-join
+    * rounds (observed: driver pinned for minutes at 13 rounds). Dropping to
+    * the RDD erases Catalyst state entirely: the next round plans against a
+    * flat scan, every round, at constant cost. Returns the rebased frame and
+    * its backing RDD so callers can unpersist the previous round.
+    */
+  private[graft] def rebase(df: DataFrame): (DataFrame, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]) = {
+    val rdd = df.rdd
+    rdd.persist(StorageLevel.MEMORY_AND_DISK)
+    rdd.count() // materialize now so the previous round can be dropped
+    (df.sparkSession.createDataFrame(rdd, df.schema), rdd)
+  }
+
   /** Resolve each node's root and depth in a parent-pointer forest.
     *
     * @param nodes  rows with (idCol, parentCol); parentCol NULL marks a root.
@@ -30,13 +50,14 @@ object ChainOps {
 
     // Root nodes point at themselves with dist 0 — the self-loop makes the
     // doubling join total (every ptr resolves) and gives a clean fixpoint.
-    var state = nodes
+    // Each round is rebased to a cached RDD ([[rebase]]): the logical plan
+    // stays a flat scan instead of doubling per self-join round.
+    var (state, stateRdd) = rebase(nodes
       .select(
         col(idCol).as("id"),
         coalesce(col(parentCol), col(idCol)).as("ptr"),
         when(col(parentCol).isNull, lit(0L)).otherwise(lit(1L)).as("dist"),
-        col(parentCol).isNull.as("done"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+        col(parentCol).isNull.as("done")))
 
     var unresolved = state.where(!$"done").limit(1).count()
     while (unresolved > 0) {
@@ -45,17 +66,17 @@ object ChainOps {
       // Left join: a dangling pointer (orphan whose parent was never seen —
       // the case the reference dies on, BlockchainToGraph.java:431) resolves
       // as its own root instead of silently dropping the row.
-      val next = state
+      val (next, nextRdd) = rebase(state
         .join(hop, state("ptr") === hop("h_id"), "left")
         .select(
           $"id",
           when($"done" || $"h_id".isNull, $"ptr").otherwise($"h_ptr").as("ptr"),
           when($"done" || $"h_id".isNull, $"dist").otherwise($"dist" + $"h_dist").as("dist"),
-          ($"done" || $"h_id".isNull || $"h_done").as("done"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+          ($"done" || $"h_id".isNull || $"h_done").as("done")))
+      stateRdd.unpersist(blocking = false)
       val remaining = next.where(!$"done").limit(1).count()
-      state.unpersist(blocking = false)
       state = next
+      stateRdd = nextRdd
       unresolved = remaining
     }
     val out = state.select($"id".as(idCol), $"ptr".as("root"), $"dist".as("height"))

@@ -14,9 +14,14 @@ import org.apache.spark.sql.functions._
   *
   *  - `lshTopK`: random-hyperplane (SimHash-for-vectors) bucketing. Corpus
   *    and queries are hashed to a b-bit signature; candidates = bucket
-  *    collisions on any band; exact cosine re-ranks candidates. Probes
-  *    shrink the scanned fraction to ~2^-bits per band at the cost of
-  *    recall — the 100 TB scale path (IVF via k-means is the round-2 step).
+  *    collisions on any band; exact cosine re-ranks candidates. Cheap to
+  *    index, but band geometry caps recall for weakly-similar neighbors.
+  *
+  *  - `ivfTopK`: inverted-file index — spherical k-means centroids trained
+  *    on a driver-side sample partition the corpus into nlist cells; a query
+  *    exact-scores only its nprobe nearest cells. Scans ~nprobe/nlist of the
+  *    corpus with recall >= 0.9 of brute force (spec-gated) — the 100 TB
+  *    recall-at-scale path.
   */
 object Similarity {
 
@@ -88,6 +93,100 @@ object Similarity {
         .select(col("id1"), col("id2"), cosine(col("_e1"), col("_e2")).as("cos"))
         .where(col("cos") >= threshold)
     }
+  }
+
+  // ------------------------------------------------------------------- IVF
+
+  private def dot(a: Array[Float], b: Array[Float]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+    s
+  }
+
+  private def normalize(v: Array[Float]): Array[Float] = {
+    val n = math.sqrt(dot(v, v))
+    if (n == 0) v else v.map(x => (x / n).toFloat)
+  }
+
+  /** Indices of the `n` centroids nearest to `v` by cosine (centroids are
+    * unit-norm, so argmax dot ≡ argmax cosine). Deterministic tie-break on
+    * the lower cell index.
+    */
+  private[graft] def nearestCells(v: Array[Float], centroids: Array[Array[Float]], n: Int): Array[Int] =
+    centroids.indices
+      .map(i => (i, dot(v, centroids(i))))
+      .sortBy { case (i, d) => (-d, i) }
+      .take(n).map(_._1).toArray
+
+  /** Spherical k-means (Lloyd) on a driver-side sample: unit-normalize,
+    * assign to argmax-dot centroid, recenter on the mean, renormalize.
+    * Deterministic: evenly-spaced init over the (ordered) sample, no RNG.
+    * The model is nlist×dim floats — kilobytes, broadcast to executors; only
+    * the SAMPLE ever visits the driver, never the corpus.
+    */
+  private[graft] def trainCentroids(
+      sample: Array[Array[Float]], nlist: Int, maxIter: Int): Array[Array[Float]] = {
+    require(sample.nonEmpty, "empty centroid training sample")
+    val data = sample.map(normalize)
+    val k = math.min(nlist, data.length)
+    var centroids = Array.tabulate(k)(i => data(i * data.length / k))
+    var iter = 0
+    while (iter < maxIter) {
+      val sums = Array.fill(k)(new Array[Double](data(0).length))
+      val counts = new Array[Int](k)
+      data.foreach { v =>
+        val c = nearestCells(v, centroids, 1)(0)
+        counts(c) += 1
+        var i = 0
+        while (i < v.length) { sums(c)(i) += v(i); i += 1 }
+      }
+      centroids = Array.tabulate(k) { c =>
+        if (counts(c) == 0) centroids(c) // empty cell keeps its centroid
+        else normalize(sums(c).map(_.toFloat))
+      }
+      iter += 1
+    }
+    centroids
+  }
+
+  /** IVF approximate top-k: same output shape as [[bruteForceTopK]], scanning
+    * only each query's `nprobe` nearest of `nlist` k-means cells.
+    *
+    * Index build is one narrow pass over the corpus (typed map with the
+    * broadcast centroid matrix — JIT'd argmax, no row blowup); the probe
+    * join is a broadcast hash join on the cell id, so the exact cosine
+    * re-rank touches ~nprobe/nlist of the corpus per query. At 100 TB the
+    * cells DataFrame is the persisted index: build once, probe per query
+    * batch.
+    */
+  def ivfTopK(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      nlist: Int = 64, nprobe: Int = 8, maxIter: Int = 5): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val typed = corpus.select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Array[Float])]
+    // deterministic sample: first nlist*20 ids (embeddings carry no order
+    // bias; swap in .sample() for adversarially ordered corpora)
+    val sample = typed.orderBy(col(idCol)).limit(nlist * 20).collect().map(_._2)
+    val centroids = trainCentroids(sample, nlist, maxIter)
+    val bc = spark.sparkContext.broadcast(centroids)
+    val cells = typed
+      .map { case (id, v) => (nearestCells(v, bc.value, 1)(0), id, v) }
+      .toDF("cell", idCol, vecCol)
+    val probes = queries.select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Array[Float])]
+      .flatMap { case (qid, qv) => nearestCells(qv, bc.value, nprobe).map(c => (c, qid, qv)) }
+      .toDF("cell", "query_id", "_qv")
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col(idCol).asc)
+    cells.join(broadcast(probes), "cell")
+      .where(col(idCol) =!= col("query_id"))
+      .select(col("query_id"), col(idCol),
+        cosine(col(vecCol), col("_qv")).as("score"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
   }
 
   /** b-bit random-hyperplane signature of a vector column — the native

@@ -1,0 +1,309 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Q
+import graft.chain.{BestChain, BlkCorpus, Enrich, GoldStats, WalletCluster}
+import graft.sources.BlockFileSource
+
+/** The blockchain pipeline at NON-fixture scale: S1 (raw blk files) → bronze
+  * → distributed best-chain resolution → gold, over the deterministic
+  * [[BlkCorpus]] (5.2k-block chain, ~20 orphans, a 140-block reorged-away
+  * branch with double-spends, segwit txs, real script→address decode).
+  *
+  * Oracle layering: bk1 verifies the DISTRIBUTED best-chain annotation
+  * bit-for-bit against a recursive-CTE recomputation over the bronze parquet
+  * (heights + tip walk — fully independent of the Spark operators). bk2–bk5
+  * then verify the gold aggregations against set-based SQL that consumes the
+  * bk1-verified annotation parquet — so every layer is gated, without paying
+  * the 5.2k-deep recursion in every query. bk0 runs the WHOLE pipeline from
+  * raw bytes in one go and checks its global digest. The parser itself is
+  * byte-level-gated in BlockFileSpec against an independent serializer
+  * (DuckDB cannot parse Bitcoin wire format).
+  */
+object BlkScale {
+
+  private def pq(dir: String): String = s"read_parquet('$dir/*.parquet')"
+
+  /** Non-recursive bronze CTEs over the materialized parquet. */
+  private def bronzeCtes: String =
+    s"""blocks AS (SELECT * FROM ${pq(BlkCorpus.bronzeDir("blocks"))}),
+       |txsb AS (SELECT * FROM ${pq(BlkCorpus.bronzeDir("transactions"))}),
+       |ins AS (SELECT * FROM ${pq(BlkCorpus.bronzeDir("tx_inputs"))}),
+       |outs0 AS (SELECT * FROM ${pq(BlkCorpus.bronzeDir("tx_outputs"))})""".stripMargin
+
+  /** Recursive heights + best-chain membership from bronze blocks alone —
+    * the INDEPENDENT recomputation of what annotateDistributed produces.
+    * Tie-break matches BestChain: max height, then min hash.
+    */
+  private def chainCte: String =
+    s"""h(hash, height) AS (
+       |  SELECT hash, 0 FROM blocks WHERE parent_hash IS NULL
+       |  UNION ALL
+       |  SELECT b.hash, h.height + 1 FROM blocks b JOIN h ON b.parent_hash = h.hash
+       |), tip AS (
+       |  SELECT hash, height FROM h ORDER BY height DESC, hash LIMIT 1
+       |), chain(hash) AS (
+       |  SELECT hash FROM tip
+       |  UNION ALL
+       |  SELECT b.parent_hash FROM blocks b JOIN chain c ON b.hash = c.hash
+       |  WHERE b.parent_hash IS NOT NULL
+       |)""".stripMargin
+
+  /** Chain-filtered tx context + resolved inputs + outputs, from the
+    * bk1-verified annotation (set-based; no recursion).
+    */
+  private def goldCtes: String =
+    s"""ann AS (SELECT * FROM ${pq(BlkCorpus.annotatedDir)}),
+       |ctx AS (
+       |  SELECT t.tx_hash, t.block_hash, t.is_coinbase, a.height, a.ts
+       |  FROM txsb t JOIN ann a ON t.block_hash = a.hash
+       |  WHERE a.is_on_best_chain
+       |), rin AS (
+       |  SELECT i.tx_hash, i.prev_tx_hash, i.prev_index, o.value, o.address AS src_address
+       |  FROM ins i JOIN outs0 o
+       |    ON i.prev_tx_hash = o.tx_hash AND i.prev_index = o.idx
+       |  WHERE i.tx_hash IN (SELECT tx_hash FROM ctx)
+       |), outs AS (
+       |  SELECT * FROM outs0 WHERE tx_hash IN (SELECT tx_hash FROM ctx)
+       |)""".stripMargin
+
+  val queries: Seq[Q] = Seq(
+
+    // Full pipeline from raw bytes: parse → bronze → distributed best-chain
+    // → gold tx stats → one digest row. THE end-to-end number for Bench.
+    Q("bk0_e2e_pipeline",
+      (s, _) => {
+        BlkCorpus.ensureMaterialized(s)
+        val bronze = BlockFileSource.toBronze(BlockFileSource.read(s, BlkCorpus.rawDir))
+        val ann = BestChain.annotateDistributed(bronze("blocks"))
+        val cTxs = GoldStats.chainTxs(bronze("transactions"), ann)
+        val rin = Enrich.resolvedInputs(bronze("tx_inputs"), bronze("tx_outputs"))
+          .join(cTxs.select("tx_hash"), Seq("tx_hash"), "left_semi")
+        val outs = bronze("tx_outputs")
+          .join(cTxs.select("tx_hash"), Seq("tx_hash"), "left_semi")
+        val ts = GoldStats.txStats(cTxs, rin, outs)
+        ann.agg(
+            count(lit(1)).as("n_blocks"),
+            sum(col("is_on_best_chain").cast("long")).as("n_best"),
+            max(col("height").cast("long")).as("best_height"))
+          .crossJoin(ts.agg(
+            count(lit(1)).as("n_chain_txs"),
+            sum("fee").as("total_fee")))
+      },
+      Some(s"""WITH RECURSIVE $bronzeCtes,
+         |$chainCte,
+         |ctx AS (
+         |  SELECT t.tx_hash, t.is_coinbase FROM txsb t
+         |  WHERE t.block_hash IN (SELECT hash FROM chain)
+         |), fees AS (
+         |  SELECT c.tx_hash,
+         |    CASE WHEN c.is_coinbase THEN 0 ELSE
+         |      coalesce(i.in_value, 0) - coalesce(o.out_value, 0) END AS fee
+         |  FROM ctx c
+         |  LEFT JOIN (SELECT i.tx_hash, sum(o.value) AS in_value FROM ins i
+         |    JOIN outs0 o ON i.prev_tx_hash = o.tx_hash AND i.prev_index = o.idx
+         |    GROUP BY i.tx_hash) i ON c.tx_hash = i.tx_hash
+         |  LEFT JOIN (SELECT tx_hash, sum(value) AS out_value FROM outs0
+         |    GROUP BY tx_hash) o ON c.tx_hash = o.tx_hash
+         |)
+         |SELECT CAST((SELECT count(*) FROM h) AS BIGINT) AS n_blocks,
+         |  CAST((SELECT count(*) FROM chain) AS BIGINT) AS n_best,
+         |  CAST((SELECT max(height) FROM h) AS BIGINT) AS best_height,
+         |  CAST((SELECT count(*) FROM ctx) AS BIGINT) AS n_chain_txs,
+         |  CAST((SELECT sum(fee) FROM fees) AS BIGINT) AS total_fee""".stripMargin)),
+
+    // Distributed best-chain annotation vs independent recursive-CTE
+    // recomputation: every block's height + membership, incl. the 140-deep
+    // stale branch and every orphan.
+    Q("bk1_best_chain",
+      (s, _) => BestChain.annotateDistributed(BlkCorpus.bronze(s, "blocks"))
+        .select(col("hash"), col("height").cast("long").as("height"),
+          col("is_on_best_chain")),
+      Some(s"""WITH RECURSIVE $bronzeCtes,
+         |$chainCte
+         |SELECT h.hash, CAST(h.height AS BIGINT) AS height,
+         |  h.hash IN (SELECT hash FROM chain) AS is_on_best_chain
+         |FROM h""".stripMargin)),
+
+    // Per-transaction gold stats at scale (bc4 semantics on 21k+ txs).
+    Q("bk2_tx_stats",
+      (s, _) => {
+        val ann = BlkCorpus.annotated(s)
+        val cTxs = GoldStats.chainTxs(BlkCorpus.bronze(s, "transactions"), ann)
+        val rin = Enrich.resolvedInputs(
+            BlkCorpus.bronze(s, "tx_inputs"), BlkCorpus.bronze(s, "tx_outputs"))
+          .join(cTxs.select("tx_hash"), Seq("tx_hash"), "left_semi")
+        val outs = BlkCorpus.bronze(s, "tx_outputs")
+          .join(cTxs.select("tx_hash"), Seq("tx_hash"), "left_semi")
+        GoldStats.txStats(cTxs, rin, outs)
+          .select(col("tx_hash"), col("is_coinbase"), col("date"),
+            col("input_count"), col("output_count"), col("balance"), col("fee"),
+            col("new_address_count"), col("is_between_one_address"))
+      },
+      Some(s"""WITH $bronzeCtes,
+         |$goldCtes,
+         |inagg AS (
+         |  SELECT tx_hash, count(*) AS input_count, sum(value) AS in_value
+         |  FROM rin GROUP BY tx_hash
+         |), outagg AS (
+         |  SELECT tx_hash, count(*) AS output_count, sum(value) AS out_value
+         |  FROM outs GROUP BY tx_hash
+         |), first_tx AS (
+         |  SELECT address, tx_hash FROM (
+         |    SELECT o.address, o.tx_hash,
+         |      row_number() OVER (PARTITION BY o.address ORDER BY c.height, o.tx_hash) AS rn
+         |    FROM outs o JOIN ctx c ON o.tx_hash = c.tx_hash) WHERE rn = 1
+         |), newaddr AS (
+         |  SELECT tx_hash, count(*) AS new_address_count FROM first_tx GROUP BY tx_hash
+         |), churn AS (
+         |  SELECT DISTINCT i.tx_hash FROM rin i
+         |  JOIN outs o ON i.tx_hash = o.tx_hash AND i.src_address = o.address
+         |)
+         |SELECT c.tx_hash, c.is_coinbase, CAST(c.ts AS BIGINT) AS date,
+         |  CAST(coalesce(ia.input_count, 0) AS BIGINT) AS input_count,
+         |  CAST(coalesce(oa.output_count, 0) AS BIGINT) AS output_count,
+         |  CAST(coalesce(ia.in_value, 0) AS BIGINT) AS balance,
+         |  CAST(CASE WHEN c.is_coinbase THEN 0 ELSE
+         |    coalesce(ia.in_value, 0) - coalesce(oa.out_value, 0) END AS BIGINT) AS fee,
+         |  CAST(coalesce(na.new_address_count, 0) AS BIGINT) AS new_address_count,
+         |  (ch.tx_hash IS NOT NULL) AS is_between_one_address
+         |FROM ctx c
+         |LEFT JOIN inagg ia ON c.tx_hash = ia.tx_hash
+         |LEFT JOIN outagg oa ON c.tx_hash = oa.tx_hash
+         |LEFT JOIN newaddr na ON c.tx_hash = na.tx_hash
+         |LEFT JOIN churn ch ON c.tx_hash = ch.tx_hash""".stripMargin)),
+
+    // Per-block gold stats at scale (bc5 semantics on 5.2k blocks).
+    Q("bk3_block_stats",
+      (s, _) => {
+        val ann = BlkCorpus.annotated(s)
+        val cTxs = GoldStats.chainTxs(BlkCorpus.bronze(s, "transactions"), ann)
+        val rin = Enrich.resolvedInputs(
+            BlkCorpus.bronze(s, "tx_inputs"), BlkCorpus.bronze(s, "tx_outputs"))
+          .join(cTxs.select("tx_hash"), Seq("tx_hash"), "left_semi")
+        val outs = BlkCorpus.bronze(s, "tx_outputs")
+          .join(cTxs.select("tx_hash"), Seq("tx_hash"), "left_semi")
+        GoldStats.blockStats(ann, GoldStats.txStats(cTxs, rin, outs))
+          .select(col("hash"), col("height").cast("long").as("height"), col("ts"),
+            col("tx_count"), col("coinbase_balance"), col("balance"), col("fee"))
+      },
+      Some(s"""WITH $bronzeCtes,
+         |$goldCtes,
+         |inagg AS (
+         |  SELECT tx_hash, sum(value) AS in_value FROM rin GROUP BY tx_hash
+         |), outagg AS (
+         |  SELECT tx_hash, sum(value) AS out_value FROM outs GROUP BY tx_hash
+         |), txagg AS (
+         |  SELECT c.block_hash, count(*) AS tx_count,
+         |    sum(coalesce(ia.in_value, 0)) AS sum_in,
+         |    sum(CASE WHEN c.is_coinbase THEN 0 ELSE
+         |      coalesce(ia.in_value, 0) - coalesce(oa.out_value, 0) END) AS fee
+         |  FROM ctx c
+         |  LEFT JOIN inagg ia ON c.tx_hash = ia.tx_hash
+         |  LEFT JOIN outagg oa ON c.tx_hash = oa.tx_hash
+         |  GROUP BY c.block_hash
+         |)
+         |SELECT a.hash, CAST(a.height AS BIGINT) AS height, CAST(a.ts AS BIGINT) AS ts,
+         |  CAST(t.tx_count AS BIGINT) AS tx_count,
+         |  5000000000 >> (a.height // 210000) AS coinbase_balance,
+         |  CAST((5000000000 >> (a.height // 210000)) + t.sum_in AS BIGINT) AS balance,
+         |  CAST(t.fee AS BIGINT) AS fee
+         |FROM ann a JOIN txagg t ON a.hash = t.block_hash
+         |WHERE a.is_on_best_chain""".stripMargin)),
+
+    // Per-address gold stats at scale (bc6 semantics, ~1.5k reused addresses).
+    Q("bk4_address_stats",
+      (s, _) => {
+        val ann = BlkCorpus.annotated(s)
+        val cTxs = GoldStats.chainTxs(BlkCorpus.bronze(s, "transactions"), ann)
+        val rin = Enrich.resolvedInputs(
+            BlkCorpus.bronze(s, "tx_inputs"), BlkCorpus.bronze(s, "tx_outputs"))
+          .join(cTxs.select("tx_hash"), Seq("tx_hash"), "left_semi")
+        val outs = BlkCorpus.bronze(s, "tx_outputs")
+          .join(cTxs.select("tx_hash"), Seq("tx_hash"), "left_semi")
+        GoldStats.addressStats(cTxs, rin, outs)
+      },
+      Some(s"""WITH $bronzeCtes,
+         |$goldCtes,
+         |recv AS (
+         |  SELECT o.address, o.tx_hash, o.value, c.ts
+         |  FROM outs o JOIN ctx c ON o.tx_hash = c.tx_hash
+         |), spent AS (
+         |  SELECT i.src_address AS address, i.tx_hash, i.value, c.ts
+         |  FROM rin i JOIN ctx c ON i.tx_hash = c.tx_hash
+         |), ragg AS (
+         |  SELECT address, sum(value) AS itb, count(DISTINCT tx_hash) AS itc,
+         |    min(ts) AS fr, max(ts) AS lr FROM recv GROUP BY address
+         |), sagg AS (
+         |  SELECT address, sum(value) AS otb, count(DISTINCT tx_hash) AS otc,
+         |    min(ts) AS fs, max(ts) AS ls FROM spent GROUP BY address
+         |), touch AS (
+         |  SELECT address, count(DISTINCT tx_hash) AS tx_count FROM (
+         |    SELECT address, tx_hash FROM recv
+         |    UNION ALL SELECT address, tx_hash FROM spent) GROUP BY address
+         |), incp AS (
+         |  SELECT r.address, count(DISTINCT f.src_address) AS iac
+         |  FROM (SELECT DISTINCT address, tx_hash FROM recv) r
+         |  JOIN (SELECT DISTINCT tx_hash, src_address FROM rin) f ON r.tx_hash = f.tx_hash
+         |  GROUP BY r.address
+         |), outcp AS (
+         |  SELECT s.address, count(DISTINCT t.recipient) AS oac
+         |  FROM (SELECT DISTINCT address, tx_hash FROM spent) s
+         |  JOIN (SELECT DISTINCT tx_hash, address AS recipient FROM outs) t ON s.tx_hash = t.tx_hash
+         |  GROUP BY s.address
+         |), btw AS (
+         |  SELECT r.address, count(*) AS batc
+         |  FROM (SELECT DISTINCT address, tx_hash FROM recv) r
+         |  JOIN (SELECT DISTINCT address, tx_hash FROM spent) sp
+         |    ON r.address = sp.address AND r.tx_hash = sp.tx_hash
+         |  GROUP BY r.address
+         |)
+         |SELECT coalesce(ragg.address, sagg.address) AS address,
+         |  CAST(coalesce(ragg.itb, 0) - coalesce(sagg.otb, 0) AS BIGINT) AS balance,
+         |  CAST(least(ragg.fr, sagg.fs) AS BIGINT) AS first_seen,
+         |  CAST(greatest(ragg.lr, sagg.ls) AS BIGINT) AS last_seen,
+         |  CAST(coalesce(ragg.itb, 0) AS BIGINT) AS input_tx_balance,
+         |  CAST(coalesce(sagg.otb, 0) AS BIGINT) AS output_tx_balance,
+         |  CAST(coalesce(touch.tx_count, 0) AS BIGINT) AS tx_count,
+         |  CAST(coalesce(ragg.itc, 0) AS BIGINT) AS input_tx_count,
+         |  CAST(coalesce(sagg.otc, 0) AS BIGINT) AS output_tx_count,
+         |  CAST(coalesce(incp.iac, 0) AS BIGINT) AS input_addr_count,
+         |  CAST(coalesce(outcp.oac, 0) AS BIGINT) AS output_addr_count,
+         |  CAST(coalesce(btw.batc, 0) AS BIGINT) AS between_addr_tx_count
+         |FROM ragg FULL JOIN sagg ON ragg.address = sagg.address
+         |LEFT JOIN touch ON coalesce(ragg.address, sagg.address) = touch.address
+         |LEFT JOIN incp ON coalesce(ragg.address, sagg.address) = incp.address
+         |LEFT JOIN outcp ON coalesce(ragg.address, sagg.address) = outcp.address
+         |LEFT JOIN btw ON coalesce(ragg.address, sagg.address) = btw.address""".stripMargin)),
+
+    // Wallet clustering at scale: GraphX connected components vs recursive
+    // min-label propagation to fixpoint over the same co-spend graph.
+    Q("bk5_wallet_clusters",
+      (s, _) => {
+        val ann = BlkCorpus.annotated(s)
+        val cTxs = GoldStats.chainTxs(BlkCorpus.bronze(s, "transactions"), ann)
+        val rin = Enrich.resolvedInputs(
+            BlkCorpus.bronze(s, "tx_inputs"), BlkCorpus.bronze(s, "tx_outputs"))
+          .join(cTxs.select("tx_hash"), Seq("tx_hash"), "left_semi")
+        val outs = BlkCorpus.bronze(s, "tx_outputs")
+          .join(cTxs.select("tx_hash"), Seq("tx_hash"), "left_semi")
+        val universe = outs.select("address")
+          .union(rin.select(col("src_address").as("address"))).distinct()
+        WalletCluster.clusters(universe, rin.select("tx_hash", "src_address"))
+      },
+      Some(s"""WITH RECURSIVE $bronzeCtes,
+         |$goldCtes,
+         |addrs AS (
+         |  SELECT address FROM outs UNION SELECT src_address FROM rin
+         |), pairs AS (
+         |  SELECT DISTINCT a.src_address AS x, b.src_address AS y
+         |  FROM rin a JOIN rin b ON a.tx_hash = b.tx_hash
+         |), lbl(address, wallet) AS (
+         |  SELECT address, address FROM addrs
+         |  UNION
+         |  SELECT p.x, l.wallet FROM pairs p JOIN lbl l ON p.y = l.address
+         |)
+         |SELECT address, min(wallet) AS wallet_id FROM lbl GROUP BY address""".stripMargin))
+  )
+}

@@ -127,6 +127,23 @@ object Pipeline {
       },
       None),
 
+    // IVF (k-means inverted-file) approximate top-k — the recall-at-scale
+    // ANN path; scores are engine-defined floats, rows-only gate. Recall vs
+    // brute force is spec-gated (>= 0.9) in SimilaritySpec. The synthetic
+    // embeddings are structureless (within-label cosine ≈ cross-label ≈ 0 —
+    // measured), which is IVF's worst case: hitting 0.9 recall needs
+    // nprobe/nlist ≈ 0.6 here, where clustered real-world corpora run at
+    // 0.05–0.15 for the same recall.
+    Q("sim5_ivf_topk",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val queries = emb.filter(col("vec_id") < 10)
+        Similarity.ivfTopK(emb, queries, "vec_id", "embedding", k = 5,
+          nlist = 64, nprobe = 40)
+          .select(col("query_id"), col("vec_id"), col("rank"))
+      },
+      None),
+
     // Embedding norms ARE oracle-checkable exactly: fixed-order double
     // accumulation over the array matches DuckDB's list_aggregate order.
     Q("sim3_norms",

@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.chain.{BestChain, BlkCorpus}
+import graft.sources.BlockFileSource
+
+/** Structural gates on the generated corpus: the properties that make it a
+  * real scale test (deep reorg, orphans, double-spends, segwit) must actually
+  * be present — a generator bug that quietly dropped the stale branch would
+  * otherwise turn bk1–bk5 into a straight-chain pushover.
+  */
+class BlkCorpusSpec extends SparkSpec {
+
+  test("corpus: 5.2k-block chain with orphans and a >=100-block stale branch") {
+    BlkCorpus.ensureMaterialized(spark)
+    val ann = spark.read.parquet(BlkCorpus.annotatedDir).cache()
+    val n = ann.count()
+    assert(n > BlkCorpus.MainChainLength) // stale blocks exist
+    // best chain is exactly the main chain
+    assert(ann.where(col("is_on_best_chain")).count() == BlkCorpus.MainChainLength)
+    assert(ann.agg(max("height")).head.getInt(0) == BlkCorpus.MainChainLength - 1)
+    // the reorged-away branch: >=100 consecutive stale heights
+    val staleDepth = ann.where(!col("is_on_best_chain") &&
+        col("height") > BlkCorpus.DeepForkHeight).count()
+    assert(staleDepth == BlkCorpus.DeepForkLength,
+      s"deep stale branch has $staleDepth blocks")
+    // everyday orphans scattered below the fork point
+    assert(ann.where(!col("is_on_best_chain") &&
+      col("height") <= BlkCorpus.DeepForkHeight).count() >= 5)
+  }
+
+  test("corpus: double-spends exist but only on the stale branch") {
+    BlkCorpus.ensureMaterialized(spark)
+    val ins = spark.read.parquet(BlkCorpus.bronzeDir("tx_inputs"))
+    // an outpoint spent by two different txs = a double spend across branches
+    val doubled = ins.groupBy("prev_tx_hash", "prev_index")
+      .agg(countDistinct("tx_hash").as("n")).where(col("n") > 1)
+    assert(doubled.count() > 0, "no cross-branch double-spends generated")
+    // but the BEST-CHAIN spend set is conflict-free
+    val ann = spark.read.parquet(BlkCorpus.annotatedDir)
+    val chainTx = spark.read.parquet(BlkCorpus.bronzeDir("transactions"))
+      .join(ann.where(col("is_on_best_chain"))
+        .select(col("hash").as("block_hash")), "block_hash")
+      .select("tx_hash")
+    val chainDoubled = ins.join(chainTx, Seq("tx_hash"), "left_semi")
+      .groupBy("prev_tx_hash", "prev_index")
+      .agg(countDistinct("tx_hash").as("n")).where(col("n") > 1)
+    assert(chainDoubled.count() == 0, "main chain double-spends itself")
+  }
+
+  test("corpus: real addresses decode and segwit txids verify") {
+    BlkCorpus.ensureMaterialized(spark)
+    val outs = spark.read.parquet(BlkCorpus.bronzeDir("tx_outputs")).cache()
+    val total = outs.count()
+    assert(outs.where(col("address") === graft.functions.ScriptToAddress.Sentinel)
+      .count() == 0, "every generated script must decode")
+    // all four templates present: Base58 ('1'/'3'), bech32 v0, bech32m v1
+    Seq("1%", "3%", "bc1q%", "bc1p%").foreach { p =>
+      assert(outs.where(col("address").like(p)).count() > 0, s"no $p addresses")
+    }
+    assert(total > 20000L, s"corpus too small: $total outputs")
+  }
+}

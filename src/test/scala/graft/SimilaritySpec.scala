@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Similarity
+import graft.tables.Tables
+
+/** Quality gates for the approximate similarity paths: approximate operators
+  * pass rows-only correctness gates with ZERO recall, so recall against the
+  * exact baseline is asserted here (memory: round 1 caught lshTopK at 0/50
+  * from too-tight bands exactly this way).
+  */
+class SimilaritySpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.1"
+
+  private def topkSet(df: org.apache.spark.sql.DataFrame, idCol: String): Set[(Long, Long)] =
+    df.select(col("query_id").cast("long"), col(idCol).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("IVF top-k recall >= 0.9 of brute force on sf0.1 embeddings") {
+    val emb = Tables.embeddings(spark, sf)
+    val queries = emb.filter(col("vec_id") < 10)
+    val exact = topkSet(
+      Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 5), "vec_id")
+    // the synthetic embeddings are measured structureless (random-vector
+    // cosines), IVF's worst case — nprobe/nlist ≈ 0.6 is what 0.9 recall
+    // costs here; clustered corpora reach it at a tenth of that
+    val ivf = topkSet(
+      Similarity.ivfTopK(emb, queries, "vec_id", "embedding", k = 5,
+        nlist = 64, nprobe = 40), "vec_id")
+    val recall = (ivf & exact).size.toDouble / exact.size
+    assert(recall >= 0.9, s"IVF recall $recall (${(ivf & exact).size}/${exact.size})")
+  }
+
+  test("IVF scans a bounded corpus fraction (cell containment)") {
+    val emb = Tables.embeddings(spark, sf)
+    val n = emb.count()
+    val queries = emb.filter(col("vec_id") < 10)
+    // candidate rows before re-rank ≈ nprobe/nlist of the corpus per query —
+    // assert via the scored output cap: every query returns exactly k rows
+    // and the plan joins on the cell id, not all-pairs
+    val df = Similarity.ivfTopK(emb, queries, "vec_id", "embedding", k = 5,
+      nlist = 32, nprobe = 4)
+    val plan = df.queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(plan.contains("cell"), plan)
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"), plan)
+    val counts = df.groupBy("query_id").count().collect().map(_.getLong(1))
+    assert(counts.length == 10 && counts.forall(_ == 5L))
+    assert(n > 1000) // the corpus is big enough for the fraction to matter
+  }
+
+  test("k-means training is deterministic and centroids are unit-norm") {
+    val sample = Array.tabulate(200)(i =>
+      Array.tabulate(8)(j => math.sin(i * 31 + j * 7).toFloat))
+    val a = Similarity.trainCentroids(sample, 8, 5)
+    val b = Similarity.trainCentroids(sample, 8, 5)
+    assert(a.length == 8)
+    a.zip(b).foreach { case (x, y) => assert(x.sameElements(y)) }
+    a.foreach { c =>
+      val norm = math.sqrt(c.map(x => x.toDouble * x).sum)
+      assert(math.abs(norm - 1.0) < 1e-4, s"centroid norm $norm")
+    }
+  }
+}
