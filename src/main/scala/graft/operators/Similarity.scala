@@ -149,20 +149,33 @@ object Similarity {
     centroids
   }
 
-  /** IVF approximate top-k: same output shape as [[bruteForceTopK]], scanning
-    * only each query's `nprobe` nearest of `nlist` k-means cells.
-    *
-    * Index build is one narrow pass over the corpus (typed map with the
-    * broadcast centroid matrix — JIT'd argmax, no row blowup); the probe
-    * join is a broadcast hash join on the cell id, so the exact cosine
-    * re-rank touches ~nprobe/nlist of the corpus per query. At 100 TB the
-    * cells DataFrame is the persisted index: build once, probe per query
-    * batch.
+  /** A built IVF index: the centroid matrix + the cell-assigned (and
+    * persisted) corpus. Build once, probe per query batch — at 100 TB the
+    * cells DataFrame is the stored index; rebuilding it per query would pay
+    * the full corpus pass that IVF exists to avoid.
     */
-  def ivfTopK(
-      corpus: DataFrame, queries: DataFrame,
-      idCol: String, vecCol: String, k: Int,
-      nlist: Int = 64, nprobe: Int = 8, maxIter: Int = 5): DataFrame = {
+  final case class IvfModel(
+      centroids: Array[Array[Float]], cells: DataFrame, idCol: String, vecCol: String) {
+    def unpersist(): Unit = { cells.unpersist(); () }
+  }
+
+  /** Memo for the convenience ivfTopK(corpus, ...) overload, keyed on the
+    * corpus' canonicalized analyzed plan + parameters — the second probe of
+    * the same logical corpus reuses the built index instead of re-scanning.
+    * Explicit [[ivfIndex]]/[[IvfModel]] management is the production API.
+    */
+  private val ivfCache =
+    new java.util.concurrent.ConcurrentHashMap[String, IvfModel]()
+
+  /** Build an IVF index: train spherical k-means centroids on a driver-side
+    * sample (deterministic, no RNG — kilobytes on the driver, never the
+    * corpus), then assign every corpus row to its cell in ONE narrow typed
+    * pass (broadcast centroid matrix, JIT'd argmax, no row blowup). The
+    * result is persisted: the index survives across query batches.
+    */
+  def ivfIndex(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      nlist: Int = 64, maxIter: Int = 5): IvfModel = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val typed = corpus.select(col(idCol).cast("long"), col(vecCol))
@@ -175,18 +188,47 @@ object Similarity {
     val cells = typed
       .map { case (id, v) => (nearestCells(v, bc.value, 1)(0), id, v) }
       .toDF("cell", idCol, vecCol)
-    val probes = queries.select(col(idCol).cast("long"), col(vecCol))
+      .persist()
+    IvfModel(centroids, cells, idCol, vecCol)
+  }
+
+  /** Probe a built IVF index: each query exact-scores only its `nprobe`
+    * nearest cells — a broadcast hash join on the cell id touching
+    * ~nprobe/nlist of the corpus, then an exact cosine re-rank.
+    */
+  def ivfProbe(model: IvfModel, queries: DataFrame, k: Int, nprobe: Int = 8): DataFrame = {
+    val spark = model.cells.sparkSession
+    import spark.implicits._
+    val idCol = model.idCol
+    val bc = spark.sparkContext.broadcast(model.centroids)
+    val probes = queries.select(col(idCol).cast("long"), col(model.vecCol))
       .as[(Long, Array[Float])]
       .flatMap { case (qid, qv) => nearestCells(qv, bc.value, nprobe).map(c => (c, qid, qv)) }
       .toDF("cell", "query_id", "_qv")
     val w = Window.partitionBy("query_id")
       .orderBy(col("score").desc, col(idCol).asc)
-    cells.join(broadcast(probes), "cell")
+    model.cells.join(broadcast(probes), "cell")
       .where(col(idCol) =!= col("query_id"))
       .select(col("query_id"), col(idCol),
-        cosine(col(vecCol), col("_qv")).as("score"))
+        cosine(col(model.vecCol), col("_qv")).as("score"))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
+  }
+
+  /** IVF approximate top-k: same output shape as [[bruteForceTopK]]. The
+    * index for this corpus is built on first use and memoized (canonical
+    * plan + params key), so repeated probes pay only the probe join — the
+    * build-once/probe-many contract of an inverted-file index.
+    */
+  def ivfTopK(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      nlist: Int = 64, nprobe: Int = 8, maxIter: Int = 5): DataFrame = {
+    val key = corpus.queryExecution.analyzed.canonicalized.semanticHash().toString +
+      s":$idCol:$vecCol:$nlist:$maxIter"
+    val model = ivfCache.computeIfAbsent(key,
+      _ => ivfIndex(corpus, idCol, vecCol, nlist, maxIter))
+    ivfProbe(model, queries, k, nprobe)
   }
 
   /** b-bit random-hyperplane signature of a vector column — the native
