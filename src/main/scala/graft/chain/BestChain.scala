@@ -112,12 +112,14 @@ object BestChain {
           .distinct())
       if (sRdd != null) sRdd.unpersist(blocking = false)
       s = s2; sRdd = s2Rdd
-      val (anc2, anc2Rdd) = ChainOps.rebase(
-        anc.as("a")
-          .join(anc.as("b"), col("a.dst") === col("b.src"))
-          .select(col("a.src").as("src"), col("b.dst").as("dst")))
-      ancRdd.unpersist(blocking = false)
-      anc = anc2; ancRdd = anc2Rdd
+      if (span * 2 <= tipHeight) { // the last round's jump table is never read
+        val (anc2, anc2Rdd) = ChainOps.rebase(
+          anc.as("a")
+            .join(anc.as("b"), col("a.dst") === col("b.src"))
+            .select(col("a.src").as("src"), col("b.dst").as("dst")))
+        ancRdd.unpersist(blocking = false)
+        anc = anc2; ancRdd = anc2Rdd
+      }
       span *= 2
     }
     withH.join(s.withColumn("is_on_best_chain", lit(true)), Seq("hash"), "left")

@@ -100,10 +100,17 @@ object Dedup {
       banded: DataFrame, idCol: String, keyCols: Seq[String],
       extraCol: Option[String], maxBucketSize: Int): DataFrame = {
     val keys = keyCols.map(col)
-    val statsAggs = Seq(count(lit(1)).as("_n"), min(col(idCol)).as("_minid")) ++
-      extraCol.map(e => min_by(col(e), col(idCol)).as("_mine"))
-    val stats = banded.groupBy(keys: _*).agg(statsAggs.head, statsAggs.tail: _*)
-    val tagged = banded.join(stats, keyCols)
+    // Bucket stats ride a window over the SAME partitioning the self-join
+    // shuffles by — one exchange total, instead of a groupBy + rejoin that
+    // would shuffle the banded table twice.
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(keys: _*)
+    val hub = min(struct(col(idCol) +: extraCol.map(col).toSeq: _*)).over(w)
+    val tagged = banded
+      .withColumn("_n", count(lit(1)).over(w))
+      .withColumn("_hub", hub)
+      .withColumn("_minid", col(s"_hub.$idCol"))
+      .withColumn("_mine", extraCol.map(e => col(s"_hub.$e")).getOrElse(lit(null)))
+      .drop("_hub")
     val normal = tagged.where(col("_n") <= maxBucketSize)
     def side(n: Int) = normal.select(
       (keys :+ col(idCol).as(s"id$n")) ++

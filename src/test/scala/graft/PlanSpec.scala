@@ -50,6 +50,14 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int,l_quantity:double>"), p)
   }
 
+  test("corpus gold-stats plans: no quadratic joins, map-side partial aggregation") {
+    Seq("bk2_tx_stats", "bk4_address_stats").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), s"$q: $p")
+      assert(p.contains("partial_"), s"$q lacks partial aggregation")
+    }
+  }
+
   test("near-dup default path is the band equi-join, never a quadratic join") {
     import org.apache.spark.sql.functions.col
     val emb = graft.tables.Tables.embeddings(spark, sf).where(col("vec_id") < 100)
