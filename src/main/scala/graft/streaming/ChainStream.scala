@@ -114,6 +114,33 @@ object ChainStream {
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(dir)
 
+  /** Streaming form of S1: raw blk files arriving in a directory are parsed
+    * incrementally — the reference's tail-the-datadir loop
+    * (BlockchainToGraph.java:116–167) as an unbounded source. The file-source
+    * checkpoint is the cursor; each discovered file is parsed by the same
+    * wire-format flatMap as the batch scan, fully parallel within a batch.
+    */
+  def blkFileStream(
+      spark: SparkSession, dir: String,
+      networkMagic: Int = graft.sources.BlockFileSource.Magic,
+      maxFilesPerTrigger: Int = 2): org.apache.spark.sql.Dataset[graft.sources.BlockFileSource.RawBlock] = {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val binaryFileSchema = StructType(Seq(
+      StructField("path", StringType),
+      StructField("modificationTime", TimestampType),
+      StructField("length", LongType),
+      StructField("content", BinaryType)))
+    spark.readStream
+      .format("binaryFile")
+      .schema(binaryFileSchema)
+      .option("pathGlobFilter", "blk*.dat")
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .load(dir)
+      .select("content").as[Array[Byte]]
+      .flatMap(graft.sources.BlockFileSource.parseFile(_, networkMagic))
+  }
+
   /** Tumbling / session event-time aggregation over a stream (T7):
     * watermark + window — the declared streaming-agg surface.
     */

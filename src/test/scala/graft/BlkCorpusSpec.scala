@@ -49,6 +49,19 @@ class BlkCorpusSpec extends SparkSpec {
     assert(chainDoubled.count() == 0, "main chain double-spends itself")
   }
 
+  test("corpus: streams through the incremental blk-file scan identically to batch") {
+    BlkCorpus.ensureMaterialized(spark)
+    val q = graft.streaming.ChainStream.blkFileStream(spark, BlkCorpus.rawDir)
+      .select("hash")
+      .writeStream.format("memory").queryName("blkstream")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val streamed = spark.sql("SELECT count(DISTINCT hash) FROM blkstream").head.getLong(0)
+    val batch = BlockFileSource.read(spark, BlkCorpus.rawDir).count()
+    assert(streamed == batch, s"streamed $streamed != batch $batch")
+  }
+
   test("corpus: real addresses decode and segwit txids verify") {
     BlkCorpus.ensureMaterialized(spark)
     val outs = spark.read.parquet(BlkCorpus.bronzeDir("tx_outputs")).cache()
