@@ -39,26 +39,37 @@ object Bench {
     // Steady-state protocol: warm each query immediately before timing it
     // (cold-vs-warm codegen/JIT is 6x on the heaviest query, and a single
     // up-front warm pass gets evicted from the codegen cache by the other
-    // queries' plans before the timed run).
+    // queries' plans before the timed run), then time `runs` executions and
+    // report the per-query MEDIAN plus spread (max−min): one sample cannot
+    // distinguish a real regression from JIT/GC variance.
     // A failed query must be LOUD: a swallowed exception reads as a
     // suspiciously fast time and poisons the round's numbers.
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
     var failures = List.empty[String]
-    val results = names.map { name =>
-      try all(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
-      val t0 = System.nanoTime()
-      try all(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        failures ::= name
-        System.err.println(s"[bench] $name FAILED: ${e.getMessage.linesIterator.next()}")
+    val results = names.filter(n => only.forall(_.contains(n))).map { name =>
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        try all(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case e: Throwable =>
+          if (!failures.contains(name)) {
+            failures ::= name
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage.linesIterator.next()}")
+          }
+        }
+        (System.nanoTime() - t0) / 1e9
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      once() // warm
+      val samples = Seq.fill(runs)(once()).sorted
+      name -> (samples(samples.length / 2), samples.last - samples.head)
     }
     failures.foreach(n => System.err.println(s"[bench] WARNING: $n time is a failure, not a run"))
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, (m, _)) => "\"" + k + "\":" + m }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val spread = results.map { case (k, (_, s)) => "\"" + k + "\":" + s }
+      .mkString("{", ",", "}")
+    val total = results.map(_._2._1).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"runs":$runs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -81,47 +81,60 @@ object BestChain {
     blocks.join(ann, "hash")
   }
 
-  /** The distributed doubling path — O(log depth) self-join rounds. */
+  /** The distributed doubling path — O(log4 depth) self-join rounds.
+    *
+    * One pointer-jumping pass (ChainOps.resolve, tables retained) yields
+    * heights AND the 4^r jump tables; membership then enumerates the tip's
+    * ancestors by binary-lifting descent over those SAME tables — table r
+    * applied 0–3 times per round covers every base-4 digit — so no second
+    * table-squaring loop exists at all. Per round: one join-union-distinct
+    * job. The tip's ROOT seeds S directly (it is an ancestor by definition),
+    * which keeps the loop off the saturated final table.
+    */
   def annotateDistributed(blocks: DataFrame): DataFrame = {
-    val h = heights(blocks)
+    val resolved = ChainOps.resolve(
+      blocks.select("hash", "parent_hash"), "hash", "parent_hash", keepTables = true)
+    val h = resolved.result
+      .select(col("id").as("hash"), col("dist").cast("int").as("height"))
     val withH = blocks.join(h, "hash")
 
-    val tipRows = withH.orderBy(col("height").desc, col("hash").asc).select("hash", "height").take(1)
-    if (tipRows.isEmpty) // empty chain: empty annotation, not a driver crash
+    val tipRows = resolved.result
+      .orderBy(col("dist").desc, col("id").asc).select("id", "dist", "ptr").take(1)
+    if (tipRows.isEmpty) { // empty chain: empty annotation, not a driver crash
+      resolved.tables.foreach(_._2.unpersist(blocking = false))
       return withH.withColumn("is_on_best_chain", lit(false))
-    val tipHash = tipRows(0).getString(0)
-    val tipHeight = tipRows(0).getInt(1)
-
-    // anc: current 2^k-jump table (src -> ancestor 2^k above, absent past
-    // root). Rounds are rebased to cached RDDs (ChainOps.rebase) — same flat
-    // re-planning as the heights loop.
-    var (anc, ancRdd) = ChainOps.rebase(
-      withH.select(col("hash").as("src"), col("parent_hash").as("dst"))
-        .where(col("dst").isNotNull))
-    // S: ancestors of the tip found so far (including the tip itself)
-    var s = withH.sparkSession.createDataFrame(
-      withH.sparkSession.sparkContext.parallelize(Seq(org.apache.spark.sql.Row(tipHash))),
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("hash", org.apache.spark.sql.types.StringType))))
-    var sRdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = null
-    var span = 1L // S currently covers ancestors within distance span-1
-    while (span <= tipHeight) {
-      val (s2, s2Rdd) = ChainOps.rebase(
-        s.unionByName(
-          s.join(anc, s("hash") === anc("src")).select(col("dst").as("hash")))
-          .distinct())
-      if (sRdd != null) sRdd.unpersist(blocking = false)
-      s = s2; sRdd = s2Rdd
-      if (span * 2 <= tipHeight) { // the last round's jump table is never read
-        val (anc2, anc2Rdd) = ChainOps.rebase(
-          anc.as("a")
-            .join(anc.as("b"), col("a.dst") === col("b.src"))
-            .select(col("a.src").as("src"), col("b.dst").as("dst")))
-        ancRdd.unpersist(blocking = false)
-        anc = anc2; ancRdd = anc2Rdd
-      }
-      span *= 2
     }
+    val tipHash = tipRows(0).getString(0)
+    val tipHeight = tipRows(0).getLong(1)
+    val tipRoot = tipRows(0).getString(2)
+
+    val spark = blocks.sparkSession
+    import spark.implicits._
+    // S: known ancestors of the tip. Starts at {tip, genesis}; after
+    // consuming table r it covers every distance in [0, 4^(r+1)-1] ∪ {height}.
+    var s = Seq(tipHash, tipRoot).distinct.toDF("hash")
+    var sRdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = null
+    var span = 1L // = 4^r, the jump distance of the table being consumed
+    resolved.tables.foreach { case (tbl, tblRdd) =>
+      if (span <= tipHeight) {
+        // jump: follow tbl's 4^r pointer once; saturated rows land on their
+        // root, which for members of S is the (already-seeded) tip root.
+        def jump(cur: DataFrame, t: Int): DataFrame = {
+          val j = tbl.select(col("id").as(s"jid$t"), col("ptr").as(s"jptr$t"))
+          cur.join(j, cur("hash") === j(s"jid$t")).select(col(s"jptr$t").as("hash"))
+        }
+        val s1 = jump(s, 1); val s2 = jump(s1, 2); val s3 = jump(s2, 3)
+        val (ns, nsRdd) = ChainOps.rebase(
+          s.unionByName(s1).unionByName(s2).unionByName(s3).distinct())
+        if (sRdd != null) sRdd.unpersist(blocking = false)
+        s = ns; sRdd = nsRdd
+        span *= 4
+      }
+      ()
+    }
+    // S is materialized; the jump tables (all but the final state backing
+    // `h`) are no longer load-bearing.
+    resolved.tables.dropRight(1).foreach(_._2.unpersist(blocking = false))
     withH.join(s.withColumn("is_on_best_chain", lit(true)), Seq("hash"), "left")
       .na.fill(false, Seq("is_on_best_chain"))
   }

@@ -9,13 +9,27 @@ import org.apache.spark.storage.StorageLevel
   * and its 1,126-block reorder buffer (BlockchainToGraph.java:389–412).
   *
   * A per-hop traversal is O(depth) storage round-trips in the reference; here
-  * `rootsAndDepths` uses pointer doubling — each iteration one self equi-join
-  * that doubles every node's resolved prefix, so a chain of depth d converges
-  * in ceil(log2 d) shuffle rounds (~20 joins for a ~1M-block chain at 100 TB).
-  * Intermediate state is persisted and re-planned from a flat scan each round
-  * so the logical plan never grows.
+  * `rootsAndDepths` uses pointer jumping — each round chains TWO self
+  * equi-joins before materializing, so every node's resolved prefix grows
+  * 4× per round and a chain of depth d converges in ceil(log4 d) rounds
+  * (~10 for a ~1M-block chain at 100 TB). Each round costs exactly ONE Spark
+  * job: the convergence check rides on the materialization pass instead of
+  * being a second action. Intermediate state is persisted and re-planned from
+  * a flat scan each round so the logical plan never grows.
   */
 object ChainOps {
+
+  /** Outcome of the pointer-jumping loop. `result` maps every node to its
+    * root and depth; `tables` (only when requested) are the per-round jump
+    * tables — tables(r) sends a node to its min(4^r, depth)-ancestor
+    * (saturating at the root) — which [[graft.chain.BestChain]] reuses for
+    * ancestor enumeration instead of re-deriving them by squaring. Each
+    * table is backed by the paired persisted RDD; the caller owns unpersist.
+    */
+  private[graft] final case class Resolved(
+      result: DataFrame,
+      resultRdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.Row],
+      tables: Seq[(DataFrame, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row])])
 
   /** Truncate a DataFrame's lineage at the RDD level: compile + materialize
     * the rows into a cached RDD and re-wrap with a fresh LogicalRDD.
@@ -37,6 +51,77 @@ object ChainOps {
     (df.sparkSession.createDataFrame(rdd, df.schema), rdd)
   }
 
+  /** [[rebase]] fused with the loop's convergence check: counting the rows
+    * where `boolIdx` is false happens on the SAME pass that fills the cache,
+    * so a doubling round costs one job, not a materialize job plus a count
+    * job. (A persisted RDD caches each partition as the filter drains it.)
+    */
+  private def rebaseCountFalse(df: DataFrame, boolIdx: Int)
+      : (DataFrame, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row], Long) = {
+    val rdd = df.rdd
+    rdd.persist(StorageLevel.MEMORY_AND_DISK)
+    val pending = rdd.filter(r => !r.getBoolean(boolIdx)).count()
+    (df.sparkSession.createDataFrame(rdd, df.schema), rdd, pending)
+  }
+
+  /** One saturating pointer hop: advance every unresolved row of `cur` by
+    * `state`'s current jump distance. `tag` keeps the hop columns unique so
+    * two hops can chain inside a single plan (the 4-ary round).
+    */
+  private def hopOnce(cur: DataFrame, state: DataFrame, tag: String): DataFrame = {
+    val hop = state.select(
+      col("id").as(s"hid$tag"), col("ptr").as(s"hptr$tag"),
+      col("dist").as(s"hdist$tag"), col("done").as(s"hdone$tag"))
+    // Left join: a dangling pointer (orphan whose parent was never seen —
+    // the case the reference dies on, BlockchainToGraph.java:431) resolves
+    // as its own root instead of silently dropping the row.
+    cur.join(hop, cur("ptr") === hop(s"hid$tag"), "left")
+      .select(
+        cur("id"),
+        when(cur("done") || col(s"hid$tag").isNull, cur("ptr"))
+          .otherwise(col(s"hptr$tag")).as("ptr"),
+        when(cur("done") || col(s"hid$tag").isNull, cur("dist"))
+          .otherwise(cur("dist") + col(s"hdist$tag")).as("dist"),
+        (cur("done") || col(s"hid$tag").isNull || col(s"hdone$tag")).as("done"))
+  }
+
+  /** The pointer-jumping loop shared by [[rootsAndDepths]] and
+    * [[graft.chain.BestChain.annotateDistributed]]. State rows are
+    * (id, ptr, dist, done): ptr = the min(4^round, depth)-ancestor (roots
+    * self-loop at dist 0, making the join total), done = ptr reached a root.
+    * Each round chains THREE hops against the round's own table (jump
+    * distance j advances to j+j+j+j = 4j — 4-ary growth) and materializes
+    * once, with the remaining-unresolved count fused into that pass.
+    *
+    * @param keepTables retain every round's persisted jump table for ancestor
+    *                   enumeration (memory: rounds × |nodes| rows, i.e.
+    *                   ~log4(depth) copies of the id/ptr pairs — bounded and
+    *                   spill-safe at MEMORY_AND_DISK; callers unpersist).
+    */
+  private[graft] def resolve(
+      nodes: DataFrame, idCol: String, parentCol: String,
+      keepTables: Boolean): Resolved = {
+    val tables = scala.collection.mutable.ArrayBuffer
+      .empty[(DataFrame, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row])]
+    var (state, stateRdd, unresolved) = rebaseCountFalse(
+      nodes.select(
+        col(idCol).as("id"),
+        coalesce(col(parentCol), col(idCol)).as("ptr"),
+        when(col(parentCol).isNull, lit(0L)).otherwise(lit(1L)).as("dist"),
+        col(parentCol).isNull.as("done")),
+      boolIdx = 3)
+    if (keepTables) tables += ((state, stateRdd))
+    while (unresolved > 0) {
+      val (next, nextRdd, remaining) = rebaseCountFalse(
+        hopOnce(hopOnce(hopOnce(state, state, "a"), state, "b"), state, "c"),
+        boolIdx = 3)
+      if (!keepTables) stateRdd.unpersist(blocking = false)
+      else tables += ((next, nextRdd))
+      state = next; stateRdd = nextRdd; unresolved = remaining
+    }
+    Resolved(state, stateRdd, tables.toSeq)
+  }
+
   /** Resolve each node's root and depth in a parent-pointer forest.
     *
     * @param nodes  rows with (idCol, parentCol); parentCol NULL marks a root.
@@ -44,44 +129,9 @@ object ChainOps {
     * @return DataFrame(idCol, root, height) — height 0 at roots, root = the
     *         id of the chain's origin (≙ genesis block).
     */
-  def rootsAndDepths(nodes: DataFrame, idCol: String, parentCol: String): DataFrame = {
-    val spark = nodes.sparkSession
-    import spark.implicits._
-
-    // Root nodes point at themselves with dist 0 — the self-loop makes the
-    // doubling join total (every ptr resolves) and gives a clean fixpoint.
-    // Each round is rebased to a cached RDD ([[rebase]]): the logical plan
-    // stays a flat scan instead of doubling per self-join round.
-    var (state, stateRdd) = rebase(nodes
-      .select(
-        col(idCol).as("id"),
-        coalesce(col(parentCol), col(idCol)).as("ptr"),
-        when(col(parentCol).isNull, lit(0L)).otherwise(lit(1L)).as("dist"),
-        col(parentCol).isNull.as("done")))
-
-    var unresolved = state.where(!$"done").limit(1).count()
-    while (unresolved > 0) {
-      val hop = state.select(
-        $"id".as("h_id"), $"ptr".as("h_ptr"), $"dist".as("h_dist"), $"done".as("h_done"))
-      // Left join: a dangling pointer (orphan whose parent was never seen —
-      // the case the reference dies on, BlockchainToGraph.java:431) resolves
-      // as its own root instead of silently dropping the row.
-      val (next, nextRdd) = rebase(state
-        .join(hop, state("ptr") === hop("h_id"), "left")
-        .select(
-          $"id",
-          when($"done" || $"h_id".isNull, $"ptr").otherwise($"h_ptr").as("ptr"),
-          when($"done" || $"h_id".isNull, $"dist").otherwise($"dist" + $"h_dist").as("dist"),
-          ($"done" || $"h_id".isNull || $"h_done").as("done")))
-      stateRdd.unpersist(blocking = false)
-      val remaining = next.where(!$"done").limit(1).count()
-      state = next
-      stateRdd = nextRdd
-      unresolved = remaining
-    }
-    val out = state.select($"id".as(idCol), $"ptr".as("root"), $"dist".as("height"))
-    out
-  }
+  def rootsAndDepths(nodes: DataFrame, idCol: String, parentCol: String): DataFrame =
+    resolve(nodes, idCol, parentCol, keepTables = false).result
+      .select(col("id").as(idCol), col("ptr").as("root"), col("dist").as("height"))
 
   /** Depth only — the `BlockHeight` assignment of the reference
     * (BlockchainToGraph.java:364, 458, 516) computed set-wise.
