@@ -32,6 +32,10 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // Spark 4.1's union partitioning propagation plans SMJ over a 2N-partition
+      // union as exchange-free against an N-partition side -> runtime zip
+      // failure (observed on the fused addressStats). Disable everywhere.
+      .config("spark.sql.unionOutputPartitioning", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val all = SparkEntry.queries

@@ -98,49 +98,66 @@ object GoldStats {
   /** Per-address stats (≙ the 12 Address* properties,
     * TransactionGraph.java:126–137; running `+=` maintenance at
     * BlockchainToGraph.java:837–947 becomes plain aggregation).
+    *
+    * Shape: receive and spend events union into ONE direction-tagged stream,
+    * aggregated per (address, tx) and then per address — recv/spent/touch/
+    * between all fall out of that single two-level grouped pass (each level
+    * partial-aggregated map-side, and level 1 makes every per-tx flag exact
+    * so level 2 needs NO countDistinct expands). Only the counterparty
+    * distincts genuinely need per-tx participant lists: they reuse the
+    * level-1 pairs in one tagged join + one grouped pass. 3 shuffles on
+    * address + 1 on tx_hash, vs 6 aggregates and a 6-way join chain done
+    * naively — at 100 TB that halves the exchanges on the widest table.
     */
   def addressStats(cTxs: DataFrame, rin: DataFrame, outs: DataFrame): DataFrame = {
     val txMeta = cTxs.select("tx_hash", "ts")
-    val recv = outs.join(txMeta, "tx_hash")
-      .select(col("address"), col("tx_hash"), col("value"), col("ts"))
-    val spent = rin.join(txMeta, "tx_hash")
-      .select(col("src_address").as("address"), col("tx_hash"), col("value"), col("ts"))
+    val events = outs.select(col("address"), col("tx_hash"), col("value"), lit("r").as("dir"))
+      .unionByName(rin.select(col("src_address").as("address"), col("tx_hash"),
+        col("value"), lit("s").as("dir")))
+      .join(txMeta, "tx_hash")
 
-    val recvAgg = recv.groupBy("address").agg(
-      sum("value").as("input_tx_balance"),
-      countDistinct("tx_hash").as("input_tx_count"),
-      min("ts").as("first_recv"), max("ts").as("last_recv"))
-    val spentAgg = spent.groupBy("address").agg(
-      sum("value").as("output_tx_balance"),
-      countDistinct("tx_hash").as("output_tx_count"),
-      min("ts").as("first_spend"), max("ts").as("last_spend"))
-    val touch = recv.select("address", "tx_hash")
-      .union(spent.select("address", "tx_hash"))
-      .groupBy("address").agg(countDistinct("tx_hash").as("tx_count"))
+    // Level 1: per (address, tx) — collapses duplicates so every downstream
+    // count is distinct-by-construction.
+    val perTx = events.groupBy("address", "tx_hash").agg(
+      sum(when(col("dir") === "r", col("value"))).as("recv_value"),
+      sum(when(col("dir") === "s", col("value"))).as("spent_value"),
+      (count(when(col("dir") === "r", lit(1))) > 0).as("has_r"),
+      (count(when(col("dir") === "s", lit(1))) > 0).as("has_s"),
+      min("ts").as("ts"))
+
+    // Level 2: per address — balances, tx counts, first/last seen and the
+    // self-churn count (AddressBetweenAddressTransactionCount,
+    // BlockchainToGraph.java:870–882) in one grouped pass.
+    val perAddr = perTx.groupBy("address").agg(
+      sum("recv_value").as("input_tx_balance"),
+      sum("spent_value").as("output_tx_balance"),
+      count(when(col("has_r"), lit(1))).as("input_tx_count"),
+      count(when(col("has_s"), lit(1))).as("output_tx_count"),
+      count(lit(1)).as("tx_count"),
+      min(when(col("has_r"), col("ts"))).as("first_recv"),
+      max(when(col("has_r"), col("ts"))).as("last_recv"),
+      min(when(col("has_s"), col("ts"))).as("first_spend"),
+      max(when(col("has_s"), col("ts"))).as("last_spend"),
+      count(when(col("has_r") && col("has_s"), lit(1))).as("between_addr_tx_count"))
 
     // Distinct counterparties (BlockchainToGraph.java:950–983): funders of
-    // the txs that paid me / recipients of the txs I funded.
-    val txFunders = rin.select(col("tx_hash"), col("src_address")).distinct()
-    val txRecipients = outs.select(col("tx_hash"), col("address").as("recipient")).distinct()
-    val inCp = recv.select("address", "tx_hash").distinct()
-      .join(txFunders, "tx_hash")
-      .groupBy("address").agg(countDistinct("src_address").as("input_addr_count"))
-    val outCp = spent.select("address", "tx_hash").distinct()
-      .join(txRecipients, "tx_hash")
-      .groupBy("address").agg(countDistinct("recipient").as("output_addr_count"))
+    // the txs that paid me / recipients of the txs I funded. Per-tx
+    // participant lists tagged by role, joined once against the level-1
+    // pairs, then both distinct counts in one grouped pass.
+    val participants = rin.select(col("tx_hash"), col("src_address").as("cp"), lit("f").as("role"))
+      .distinct()
+      .unionByName(outs.select(col("tx_hash"), col("address").as("cp"), lit("t").as("role"))
+        .distinct())
+    val cpAgg = perTx.select("address", "tx_hash", "has_r", "has_s")
+      .join(participants, "tx_hash")
+      .groupBy("address").agg(
+        countDistinct(when(col("has_r") && col("role") === "f", col("cp")))
+          .as("input_addr_count"),
+        countDistinct(when(col("has_s") && col("role") === "t", col("cp")))
+          .as("output_addr_count"))
 
-    // Self-churn per address: txs where the address both funds and receives
-    // (AddressBetweenAddressTransactionCount, BlockchainToGraph.java:870–882).
-    val between = recv.select("address", "tx_hash").distinct()
-      .join(spent.select("address", "tx_hash").distinct(), Seq("address", "tx_hash"))
-      .groupBy("address").agg(count(lit(1)).as("between_addr_tx_count"))
-
-    recvAgg
-      .join(spentAgg, Seq("address"), "full")
-      .join(touch, Seq("address"), "left")
-      .join(inCp, Seq("address"), "left")
-      .join(outCp, Seq("address"), "left")
-      .join(between, Seq("address"), "left")
+    perAddr
+      .join(cpAgg, Seq("address"), "left")
       .select(
         col("address"),
         (coalesce(col("input_tx_balance"), lit(0L)) - coalesce(col("output_tx_balance"), lit(0L)))
