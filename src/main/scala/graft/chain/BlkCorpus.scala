@@ -11,17 +11,17 @@ import org.apache.spark.sql.functions._
 
 import graft.sources.BlockFileSource
 
-/** Deterministic ~5.3k-block blk-file corpus — the "real scale" stand-in for
+/** Deterministic ~50k-block blk-file corpus — the "real scale" stand-in for
   * the reference's ~300 GB mainnet run (/root/reference/README.md:25), built
   * from the same public wire format the parser reads. Structure:
   *
-  *   - 5200-block best chain with value flow: each block has a BIP34-style
+  *   - 50,000-block best chain with value flow: each block has a BIP34-style
   *     height-salted coinbase plus 0–5 spend transactions consuming earlier
   *     UTXOs (so outpoint resolution, fees, address stats and wallet
   *     co-spends are all exercised at scale);
-  *   - ~20 single-block stale forks scattered along the chain (the everyday
+  *   - ~200 single-block stale forks scattered along the chain (the everyday
   *     orphan case, BlockchainToGraph.java:387–412);
-  *   - one 140-block stale branch forking at height 4899 whose transactions
+  *   - one 140-block stale branch forking at height 49699 whose transactions
   *     double-spend main-chain UTXOs — a reorg DEEPER than the reference's
   *     1,126-block reorder buffer assumes possible, resolved here purely by
   *     best-chain selection (BestChain.annotateDistributed);
@@ -29,7 +29,7 @@ import graft.sources.BlockFileSource
   *   - addresses drawn from a 1500-script pool (P2PKH/P2WPKH/P2SH/P2TR) so
   *     script decode emits real Base58Check/bech32 addresses and address
   *     stats see heavy reuse;
-  *   - blocks shuffled across 4 blk files in non-chain order (files arrive
+  *   - blocks shuffled across 32 blk files in non-chain order (files arrive
   *     out of order, exactly like Core's on-disk layout).
   *
   * Everything derives from Random(42): the corpus, hence every block hash,
@@ -38,8 +38,8 @@ import graft.sources.BlockFileSource
   */
 object BlkCorpus {
 
-  val MainChainLength = 5200
-  val DeepForkHeight = 4899
+  val MainChainLength = 50000
+  val DeepForkHeight = 49699
   val DeepForkLength = 140
 
   /** Address pool is partitioned into wallets of 10; spend txs draw all
@@ -51,10 +51,21 @@ object BlkCorpus {
   val NumWallets: Int = NumAddresses / WalletSize
 
   def baseDir: String =
-    sys.env.getOrElse("SPARK_GRAFT_CORPUS_DIR", "/root/repo/target/blkcorpus_v2")
+    sys.env.getOrElse("SPARK_GRAFT_CORPUS_DIR", "/root/repo/target/blkcorpus_v3")
   def rawDir: String = s"$baseDir/raw"
   def bronzeDir(table: String): String = s"$baseDir/bronze/$table"
   def annotatedDir: String = s"$baseDir/gold/blocks_annotated"
+
+  /** ORACLE-ONLY ground truth (hash, height, is_on_best_chain), emitted by
+    * the generator from its own construction — the corpus builder knows every
+    * block's height and branch because it placed it there. DuckDB verifies
+    * the engine's 50k-deep distributed annotation against this in O(n)
+    * (a 50k-deep recursive CTE re-derivation is O(depth·n) in a set engine
+    * and measured >10 min; the recursive-CTE check still runs at full
+    * fidelity over the fork window — bk6). Engine code NEVER reads this
+    * path; that is what keeps the gate independent.
+    */
+  def truthDir: String = s"$baseDir/oracle_truth/blocks"
   private def marker = Paths.get(s"$baseDir/_MATERIALIZED")
 
   // ---- wire-format serializer (write side of BlockFileSource's reader) ----
@@ -129,11 +140,13 @@ object BlkCorpus {
   private val ZeroHash = "0" * 64
   private val GenesisTs = 1231006505L
 
-  /** Generate the corpus into `rawDir` (driver-side; <1s). Returns block
-    * count. Idempotent via the deterministic bytes — callers gate on the
+  /** Generate the corpus into `rawDir` (driver-side). Returns the oracle
+    * ground truth: (hash, height, is_on_best_chain) for every emitted block.
+    * Idempotent via the deterministic bytes — callers gate on the
     * materialization marker, not on this.
     */
-  def generate(): Int = {
+  def generate(): Seq[(String, Int, Boolean)] = {
+    val truth = ArrayBuffer.empty[(String, Int, Boolean)]
     val rnd = new java.util.Random(42)
 
     // address pool: real script templates over random payloads
@@ -238,14 +251,16 @@ object BlkCorpus {
       val (rec, hash) = serBlock(prev, ts, txs.toSeq)
       records += rec
       mainHashes(h) = hash
+      truth += ((hash, h, true))
 
       // everyday single-block orphan: a stale sibling of this block
       if (h > 0 && rnd.nextDouble() < 0.004) {
         val (scb, _) = serTx(
           Seq(TxIn(ZeroHash, 0xFFFFFFFFL, coinbaseSig(h, stale = true))),
           Seq(TxOut(subsidy, pool(anyAddr()))), witness = false)
-        val (srec, _) = serBlock(mainHashes(h - 1), ts + 30, Seq(scb))
+        val (srec, sHash) = serBlock(mainHashes(h - 1), ts + 30, Seq(scb))
         records += srec
+        truth += ((sHash, h, false))
       }
       if (h == DeepForkHeight) deepForkSnapshot = utxos.map(_.clone())
       prev = hash
@@ -278,6 +293,7 @@ object BlkCorpus {
       }
       val (rec, hash) = serBlock(sPrev, ts, txs.toSeq)
       records += rec
+      truth += ((hash, sh, false))
       sPrev = hash
       d += 1
     }
@@ -290,30 +306,66 @@ object BlkCorpus {
       idx.map(records)
     }
     Files.createDirectories(Paths.get(rawDir))
-    val nFiles = 4
+    val nFiles = 32
     (0 until nFiles).foreach { f =>
       val out = new ByteArrayOutputStream()
       shuffled.indices.filter(_ % nFiles == f).foreach(i => out.write(shuffled(i)))
       out.write(new Array[Byte](8)) // zero padding at tail, like Core
       Files.write(Paths.get(f"$rawDir/blk$f%05d.dat"), out.toByteArray)
     }
-    records.length
+    truth.toSeq
   }
 
+  /** Bucket layout for the two outpoint-join sides: outputs clustered by
+    * tx_hash, inputs by prev_tx_hash, same bucket count — the join
+    * (Enrich.resolvedInputs) then reads co-located buckets with NO Exchange
+    * on either side, every gold rebuild (BlkCorpusSpec asserts the plan).
+    * 16 buckets ≈ one task per core locally; at 100 TB the same layout
+    * scales by raising the count (e.g. 4096) so a bucket stays task-sized.
+    */
+  val Buckets = 16
+  private val bucketSpec: Map[String, String] =
+    Map("tx_outputs" -> "tx_hash", "tx_inputs" -> "prev_tx_hash")
+  private def tableName(table: String): String = s"blk_$table"
+
+  /** Re-register the bucketed bronze tables in this session's catalog (the
+    * files carry Spark bucket ids; the DDL re-attaches the bucket spec that
+    * `saveAsTable` metadata does not survive across sessions).
+    */
+  private def registerBucketed(spark: SparkSession): Unit =
+    bucketSpec.foreach { case (table, bcol) =>
+      if (!spark.catalog.tableExists(tableName(table))) {
+        val ddl = spark.read.parquet(bronzeDir(table)).schema.toDDL
+        spark.sql(
+          s"""CREATE TABLE ${tableName(table)} ($ddl) USING PARQUET
+             |CLUSTERED BY ($bcol) SORTED BY ($bcol) INTO $Buckets BUCKETS
+             |LOCATION '${bronzeDir(table)}'""".stripMargin)
+      }
+    }
+
   /** Materialize bronze + annotated-blocks parquet once per corpus version:
-    * generate blk files, run the distributed parse (S1), project bronze, and
-    * resolve the best chain with the DISTRIBUTED doubling path (5.3k blocks
-    * is above nothing — the point is exercising the 100 TB code path, and
-    * ~log2(5200)=13 self-join rounds do exactly that). Queries and DuckDB
+    * generate blk files, run the distributed parse (S1), project bronze
+    * (outpoint-join sides bucketed, [[Buckets]]), and resolve the best chain
+    * with the DISTRIBUTED doubling path (the point is exercising the 100 TB
+    * code path — ~log4(50k)=8 jump rounds at this scale). Queries and DuckDB
     * oracles both read these parquet files.
     */
   def ensureMaterialized(spark: SparkSession): Unit = synchronized {
-    if (Files.exists(marker)) return
-    generate()
+    if (Files.exists(marker)) { registerBucketed(spark); return }
+    val truth = generate()
+    spark.createDataFrame(truth).toDF("hash", "height", "is_on_best_chain")
+      .coalesce(1).write.mode("overwrite").parquet(truthDir)
     val blocks = BlockFileSource.read(spark, rawDir)
     val bronze = BlockFileSource.toBronze(blocks)
     bronze.foreach { case (name, df) =>
-      df.coalesce(1).write.mode("overwrite").parquet(bronzeDir(name))
+      bucketSpec.get(name) match {
+        case Some(bcol) =>
+          spark.sql(s"DROP TABLE IF EXISTS ${tableName(name)}")
+          graft.sinks.BronzeWriter.writeBucketed(
+            df, tableName(name), bronzeDir(name), bcol, Buckets)
+        case None =>
+          df.coalesce(1).write.mode("overwrite").parquet(bronzeDir(name))
+      }
     }
     val ann = BestChain.annotateDistributed(spark.read.parquet(bronzeDir("blocks")))
     ann.select(col("hash"), col("parent_hash"), col("ts"),
@@ -325,7 +377,8 @@ object BlkCorpus {
 
   def bronze(spark: SparkSession, table: String): DataFrame = {
     ensureMaterialized(spark)
-    spark.read.parquet(bronzeDir(table))
+    if (bucketSpec.contains(table)) spark.table(tableName(table))
+    else spark.read.parquet(bronzeDir(table))
   }
   def annotated(spark: SparkSession): DataFrame = {
     ensureMaterialized(spark)

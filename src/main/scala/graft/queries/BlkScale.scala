@@ -8,18 +8,23 @@ import graft.sources.BlockFileSource
 
 /** The blockchain pipeline at NON-fixture scale: S1 (raw blk files) → bronze
   * → distributed best-chain resolution → gold, over the deterministic
-  * [[BlkCorpus]] (5.2k-block chain, ~20 orphans, a 140-block reorged-away
+  * [[BlkCorpus]] (50k-block chain, ~200 orphans, a 140-block reorged-away
   * branch with double-spends, segwit txs, real script→address decode).
   *
   * Oracle layering: bk1 verifies the DISTRIBUTED best-chain annotation
-  * bit-for-bit against a recursive-CTE recomputation over the bronze parquet
-  * (heights + tip walk — fully independent of the Spark operators). bk2–bk5
-  * then verify the gold aggregations against set-based SQL that consumes the
-  * bk1-verified annotation parquet — so every layer is gated, without paying
-  * the 5.2k-deep recursion in every query. bk0 runs the WHOLE pipeline from
-  * raw bytes in one go and checks its global digest. The parser itself is
-  * byte-level-gated in BlockFileSpec against an independent serializer
-  * (DuckDB cannot parse Bitcoin wire format).
+  * bit-for-bit against the generator's GROUND TRUTH (the corpus builder
+  * knows every block's height/branch because it placed it there — fully
+  * independent of the Spark operators, and O(n) where a 50k-deep recursive
+  * CTE is O(depth·n) in a set engine). bk6 keeps the recursive-CTE
+  * re-derivation at full fidelity over the ~2.1k-block fork window — the
+  * region where membership is actually contested — so the SQL recomputation
+  * gate survives the 10× corpus scale-up. bk2–bk5 then verify the gold
+  * aggregations against set-based SQL that consumes the bk1-verified
+  * annotation parquet — every layer gated, without paying deep recursion in
+  * every query. bk0 runs the WHOLE pipeline from raw bytes in one go and
+  * checks its global digest. The parser itself is byte-level-gated in
+  * BlockFileSpec against an independent serializer (DuckDB cannot parse
+  * Bitcoin wire format).
   */
 object BlkScale {
 
@@ -32,23 +37,17 @@ object BlkScale {
        |ins AS (SELECT * FROM ${pq(BlkCorpus.bronzeDir("tx_inputs"))}),
        |outs0 AS (SELECT * FROM ${pq(BlkCorpus.bronzeDir("tx_outputs"))})""".stripMargin
 
-  /** Recursive heights + best-chain membership from bronze blocks alone —
-    * the INDEPENDENT recomputation of what annotateDistributed produces.
-    * Tie-break matches BestChain: max height, then min hash.
+  /** Generator ground truth — oracle-side only (see BlkCorpus.truthDir). */
+  private def truthCte: String =
+    s"truth AS (SELECT * FROM ${pq(BlkCorpus.truthDir)})"
+
+  /** The fork window: every block at ts ≥ height-48000's slot — covers the
+    * last 2000 main-chain heights, the 140-block stale branch and the
+    * window's orphans (~2.1k blocks). The window boundary block's parent is
+    * outside the window, i.e. a DANGLING pointer — which both sides define
+    * as a root (ChainOps orphan semantics; NOT EXISTS in the CTE).
     */
-  private def chainCte: String =
-    s"""h(hash, height) AS (
-       |  SELECT hash, 0 FROM blocks WHERE parent_hash IS NULL
-       |  UNION ALL
-       |  SELECT b.hash, h.height + 1 FROM blocks b JOIN h ON b.parent_hash = h.hash
-       |), tip AS (
-       |  SELECT hash, height FROM h ORDER BY height DESC, hash LIMIT 1
-       |), chain(hash) AS (
-       |  SELECT hash FROM tip
-       |  UNION ALL
-       |  SELECT b.parent_hash FROM blocks b JOIN chain c ON b.hash = c.hash
-       |  WHERE b.parent_hash IS NOT NULL
-       |)""".stripMargin
+  private[graft] val WindowStartTs: Long = 1231006505L + 48000L * 600L
 
   /** Chain-filtered tx context + resolved inputs + outputs, from the
     * bk1-verified annotation (set-based; no recursion).
@@ -91,11 +90,11 @@ object BlkScale {
             count(lit(1)).as("n_chain_txs"),
             sum("fee").as("total_fee")))
       },
-      Some(s"""WITH RECURSIVE $bronzeCtes,
-         |$chainCte,
+      Some(s"""WITH $bronzeCtes,
+         |$truthCte,
          |ctx AS (
          |  SELECT t.tx_hash, t.is_coinbase FROM txsb t
-         |  WHERE t.block_hash IN (SELECT hash FROM chain)
+         |  WHERE t.block_hash IN (SELECT hash FROM truth WHERE is_on_best_chain)
          |), fees AS (
          |  SELECT c.tx_hash,
          |    CASE WHEN c.is_coinbase THEN 0 ELSE
@@ -107,21 +106,54 @@ object BlkScale {
          |  LEFT JOIN (SELECT tx_hash, sum(value) AS out_value FROM outs0
          |    GROUP BY tx_hash) o ON c.tx_hash = o.tx_hash
          |)
-         |SELECT CAST((SELECT count(*) FROM h) AS BIGINT) AS n_blocks,
-         |  CAST((SELECT count(*) FROM chain) AS BIGINT) AS n_best,
-         |  CAST((SELECT max(height) FROM h) AS BIGINT) AS best_height,
+         |SELECT CAST((SELECT count(*) FROM truth) AS BIGINT) AS n_blocks,
+         |  CAST((SELECT count(*) FROM truth WHERE is_on_best_chain) AS BIGINT) AS n_best,
+         |  CAST((SELECT max(height) FROM truth) AS BIGINT) AS best_height,
          |  CAST((SELECT count(*) FROM ctx) AS BIGINT) AS n_chain_txs,
          |  CAST((SELECT sum(fee) FROM fees) AS BIGINT) AS total_fee""".stripMargin)),
 
-    // Distributed best-chain annotation vs independent recursive-CTE
-    // recomputation: every block's height + membership, incl. the 140-deep
-    // stale branch and every orphan.
+    // Distributed best-chain annotation vs the generator's ground truth:
+    // every block's height + membership, incl. the 140-deep stale branch and
+    // every orphan, at the full 50k depth.
     Q("bk1_best_chain",
       (s, _) => BestChain.annotateDistributed(BlkCorpus.bronze(s, "blocks"))
         .select(col("hash"), col("height").cast("long").as("height"),
           col("is_on_best_chain")),
-      Some(s"""WITH RECURSIVE $bronzeCtes,
-         |$chainCte
+      Some(s"""WITH $truthCte
+         |SELECT hash, CAST(height AS BIGINT) AS height, is_on_best_chain
+         |FROM truth""".stripMargin)),
+
+    // The recursive-CTE re-derivation gate, scoped to the fork window where
+    // membership is contested (2000-deep main suffix + the 140-block
+    // double-spending branch + orphans). The engine runs the SAME distributed
+    // annotator over the window subset; DuckDB re-derives heights + the tip
+    // walk from parent pointers alone (MATERIALIZED keeps the 2k-round
+    // recursion off the parquet scan). Dangling boundary parents are roots on
+    // both sides.
+    Q("bk6_fork_window",
+      (s, _) => BestChain.annotateDistributed(
+          BlkCorpus.bronze(s, "blocks").where(col("ts") >= BlkScale.WindowStartTs))
+        .select(col("hash"), col("height").cast("long").as("height"),
+          col("is_on_best_chain")),
+      Some(s"""WITH RECURSIVE wblocks AS MATERIALIZED (
+         |  SELECT hash, parent_hash FROM ${pq(BlkCorpus.bronzeDir("blocks"))}
+         |  WHERE ts >= ${WindowStartTs}
+         |), h(hash, height) AS (
+         |  -- dangling parents count the unresolvable hop (ChainOps orphan
+         |  -- semantics): a null-parent root sits at 0, a dangling one at 1
+         |  SELECT hash, CASE WHEN parent_hash IS NULL THEN 0 ELSE 1 END
+         |  FROM wblocks b
+         |  WHERE NOT EXISTS (SELECT 1 FROM wblocks p WHERE p.hash = b.parent_hash)
+         |  UNION ALL
+         |  SELECT b.hash, h.height + 1 FROM wblocks b JOIN h ON b.parent_hash = h.hash
+         |), tip AS (
+         |  SELECT hash, height FROM h ORDER BY height DESC, hash LIMIT 1
+         |), chain(hash) AS (
+         |  SELECT hash FROM tip
+         |  UNION ALL
+         |  SELECT b.parent_hash FROM wblocks b JOIN chain c ON b.hash = c.hash
+         |  WHERE b.parent_hash IN (SELECT hash FROM wblocks)
+         |)
          |SELECT h.hash, CAST(h.height AS BIGINT) AS height,
          |  h.hash IN (SELECT hash FROM chain) AS is_on_best_chain
          |FROM h""".stripMargin)),
