@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scratch profiling main for round-6 perf work (not part of the API). */
+object Profile {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.unionOutputPartitioning", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import graft.chain._
+
+    def t[A](name: String)(f: => A): A = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[profile] $name: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
+    }
+    def force(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+
+    BlkCorpus.ensureMaterialized(spark)
+    (1 to 2).foreach { round =>
+      println(s"== pass $round ==")
+      val ann = BlkCorpus.annotated(spark)
+      val txs = BlkCorpus.bronze(spark, "transactions")
+      val ins = BlkCorpus.bronze(spark, "tx_inputs")
+      val outsB = BlkCorpus.bronze(spark, "tx_outputs")
+      t("scan counts")((ann.count(), txs.count(), ins.count(), outsB.count()))
+      val cTxs = GoldStats.chainTxs(txs, ann)
+      t("cTxs force")(force(cTxs))
+      val rin0 = Enrich.resolvedInputs(ins, outsB)
+      t("resolvedInputs force")(force(rin0))
+      val rin = rin0.join(cTxs.select("tx_hash"), Seq("tx_hash"), "left_semi")
+      val outs = outsB.join(cTxs.select("tx_hash"), Seq("tx_hash"), "left_semi")
+      t("rin semi force")(force(rin))
+      t("outs semi force")(force(outs))
+      // addressStats pieces
+      val txMeta = cTxs.select("tx_hash", "ts")
+      val events = outs.select(col("address"), col("tx_hash"), col("value"), lit("r").as("dir"))
+        .unionByName(rin.select(col("src_address").as("address"), col("tx_hash"),
+          col("value"), lit("s").as("dir")))
+        .join(txMeta, "tx_hash")
+      t("events force")(force(events))
+      val perTx = events.groupBy("address", "tx_hash").agg(
+        sum(when(col("dir") === "r", col("value"))).as("recv_value"),
+        sum(when(col("dir") === "s", col("value"))).as("spent_value"),
+        (count(when(col("dir") === "r", lit(1))) > 0).as("has_r"),
+        (count(when(col("dir") === "s", lit(1))) > 0).as("has_s"),
+        min("ts").as("ts"))
+      t("perTx force")(force(perTx))
+      t("full addressStats")(force(GoldStats.addressStats(cTxs, rin, outs)))
+      t("full txStats")(force(GoldStats.txStats(cTxs, rin, outs)))
+    }
+    spark.stop()
+  }
+}

@@ -81,15 +81,31 @@ object BestChain {
     blocks.join(ann, "hash")
   }
 
-  /** The distributed doubling path — O(log4 depth) self-join rounds.
+  /** The previous invocation's materialized annotation: each call swaps its
+    * result RDD in and unpersists the predecessor, so repeated annotations
+    * (bench reruns, bk0→bk1→bk6 in one session) hold at most ONE extra copy
+    * of the block set instead of leaking every run's doubling state.
+    */
+  private val lastAnn =
+    new java.util.concurrent.atomic.AtomicReference[org.apache.spark.rdd.RDD[_]](null)
+
+  /** The distributed doubling path — O(log_Arity depth) self-join rounds.
     *
     * One pointer-jumping pass (ChainOps.resolve, tables retained) yields
-    * heights AND the 4^r jump tables; membership then enumerates the tip's
-    * ancestors by binary-lifting descent over those SAME tables — table r
-    * applied 0–3 times per round covers every base-4 digit — so no second
-    * table-squaring loop exists at all. Per round: one join-union-distinct
-    * job. The tip's ROOT seeds S directly (it is an ancestor by definition),
-    * which keeps the loop off the saturated final table.
+    * heights AND the Arity^r jump tables; membership then enumerates the
+    * tip's ancestors by lifting descent over those SAME tables — table r
+    * applied 0..Arity−1 times per round covers every base-Arity digit — so
+    * no second table-squaring loop exists at all. The tip's ROOT seeds S
+    * directly (it is an ancestor by definition), which keeps the loop off
+    * the saturated final table.
+    *
+    * Each membership round is one job: Arity−1 chained jump joins (broadcast
+    * when the block set fits — the round is then a single narrow stage up to
+    * the dedup shuffle), a distinct, and a lineage-truncating rebase. The
+    * rebase is load-bearing: each jump EMBEDS the previous S plan, so an
+    * unmaterialized chain of rounds duplicates the S subtree Arity× per
+    * round and plan canonicalization goes combinatorial (observed as a
+    * driver OOM at 50k blocks).
     */
   def annotateDistributed(blocks: DataFrame): DataFrame = {
     val resolved = ChainOps.resolve(
@@ -107,35 +123,46 @@ object BestChain {
     val tipHash = tipRows(0).getString(0)
     val tipHeight = tipRows(0).getLong(1)
     val tipRoot = tipRows(0).getString(2)
+    val bcast = resolved.n <= ChainOps.BroadcastMaxRows
 
     val spark = blocks.sparkSession
     import spark.implicits._
     // S: known ancestors of the tip. Starts at {tip, genesis}; after
-    // consuming table r it covers every distance in [0, 4^(r+1)-1] ∪ {height}.
+    // consuming table r it covers every distance in [0, Arity^(r+1)-1]
+    // ∪ {height}.
     var s = Seq(tipHash, tipRoot).distinct.toDF("hash")
     var sRdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = null
-    var span = 1L // = 4^r, the jump distance of the table being consumed
-    resolved.tables.foreach { case (tbl, tblRdd) =>
+    var span = 1L // = Arity^r, the jump distance of the table being consumed
+    resolved.tables.foreach { case (tbl, _) =>
       if (span <= tipHeight) {
-        // jump: follow tbl's 4^r pointer once; saturated rows land on their
-        // root, which for members of S is the (already-seeded) tip root.
+        // jump: follow tbl's Arity^r pointer once; saturated rows land on
+        // their root, which for members of S is the (already-seeded) tip
+        // root.
         def jump(cur: DataFrame, t: Int): DataFrame = {
-          val j = tbl.select(col("id").as(s"jid$t"), col("ptr").as(s"jptr$t"))
+          val j0 = tbl.select(col("id").as(s"jid$t"), col("ptr").as(s"jptr$t"))
+          val j = if (bcast) broadcast(j0) else j0
           cur.join(j, cur("hash") === j(s"jid$t")).select(col(s"jptr$t").as("hash"))
         }
-        val s1 = jump(s, 1); val s2 = jump(s1, 2); val s3 = jump(s2, 3)
+        val hops = Iterator.iterate(s -> 0) { case (cur, t) => jump(cur, t + 1) -> (t + 1) }
+          .drop(1).take(ChainOps.Arity - 1).map(_._1).toSeq
         val (ns, nsRdd) = ChainOps.rebase(
-          s.unionByName(s1).unionByName(s2).unionByName(s3).distinct())
+          hops.foldLeft(s)(_ unionByName _).distinct())
         if (sRdd != null) sRdd.unpersist(blocking = false)
         s = ns; sRdd = nsRdd
-        span *= 4
+        span *= ChainOps.Arity
       }
       ()
     }
-    // S is materialized; the jump tables (all but the final state backing
-    // `h`) are no longer load-bearing.
-    resolved.tables.dropRight(1).foreach(_._2.unpersist(blocking = false))
-    withH.join(s.withColumn("is_on_best_chain", lit(true)), Seq("hash"), "left")
+    val ann = withH
+      .join(s.withColumn("is_on_best_chain", lit(true)), Seq("hash"), "left")
       .na.fill(false, Seq("is_on_best_chain"))
+    // Materialize the final annotation, then drop every piece of loop state
+    // — jump tables, the membership frontier, and the PREVIOUS invocation's
+    // annotation — so repeated annotations hold one copy, not one per run.
+    val (annDf, annRdd) = ChainOps.rebase(ann)
+    resolved.tables.foreach(_._2.unpersist(blocking = false))
+    if (sRdd != null) sRdd.unpersist(blocking = false)
+    Option(lastAnn.getAndSet(annRdd)).foreach(_.unpersist(blocking = false))
+    annDf
   }
 }

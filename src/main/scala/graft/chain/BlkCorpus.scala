@@ -51,9 +51,10 @@ object BlkCorpus {
   val NumWallets: Int = NumAddresses / WalletSize
 
   def baseDir: String =
-    sys.env.getOrElse("SPARK_GRAFT_CORPUS_DIR", "/root/repo/target/blkcorpus_v3")
+    sys.env.getOrElse("SPARK_GRAFT_CORPUS_DIR", "/root/repo/target/blkcorpus_v4")
   def rawDir: String = s"$baseDir/raw"
   def bronzeDir(table: String): String = s"$baseDir/bronze/$table"
+  def silverDir(table: String): String = s"$baseDir/silver/$table"
   def annotatedDir: String = s"$baseDir/gold/blocks_annotated"
 
   /** ORACLE-ONLY ground truth (hash, height, is_on_best_chain), emitted by
@@ -316,39 +317,57 @@ object BlkCorpus {
     truth.toSeq
   }
 
-  /** Bucket layout for the two outpoint-join sides: outputs clustered by
-    * tx_hash, inputs by prev_tx_hash, same bucket count — the join
-    * (Enrich.resolvedInputs) then reads co-located buckets with NO Exchange
-    * on either side, every gold rebuild (BlkCorpusSpec asserts the plan).
-    * 16 buckets ≈ one task per core locally; at 100 TB the same layout
+  /** Bucket layout. Bronze: the two outpoint-join sides — outputs clustered
+    * by tx_hash, inputs by prev_tx_hash, same bucket count — so the join
+    * (Enrich.resolvedInputs) reads co-located buckets with NO Exchange on
+    * either side, every gold rebuild (asserted in PlanSpec). Silver: the
+    * chain-filtered tx context + resolved inputs + outputs all clustered by
+    * tx_hash, so every tx-grain aggregate/join in GoldStats is exchange-free
+    * too. 16 buckets ≈ one task per core locally; at 100 TB the same layout
     * scales by raising the count (e.g. 4096) so a bucket stays task-sized.
     */
   val Buckets = 16
-  private val bucketSpec: Map[String, String] =
-    Map("tx_outputs" -> "tx_hash", "tx_inputs" -> "prev_tx_hash")
+  private val bucketed: Map[String, (String, String)] = Map(
+    // table key -> (location, bucket column)
+    "tx_outputs" -> (bronzeDir("tx_outputs"), "tx_hash"),
+    "tx_inputs" -> (bronzeDir("tx_inputs"), "prev_tx_hash"),
+    "silver_ctx" -> (silverDir("ctx"), "tx_hash"),
+    "silver_rin" -> (silverDir("rin"), "tx_hash"),
+    "silver_outs" -> (silverDir("outs"), "tx_hash"))
   private def tableName(table: String): String = s"blk_$table"
 
-  /** Re-register the bucketed bronze tables in this session's catalog (the
-    * files carry Spark bucket ids; the DDL re-attaches the bucket spec that
+  /** Re-register the bucketed tables in this session's catalog (the files
+    * carry Spark bucket ids; the DDL re-attaches the bucket spec that
     * `saveAsTable` metadata does not survive across sessions).
     */
   private def registerBucketed(spark: SparkSession): Unit =
-    bucketSpec.foreach { case (table, bcol) =>
+    bucketed.foreach { case (table, (dir, bcol)) =>
       if (!spark.catalog.tableExists(tableName(table))) {
-        val ddl = spark.read.parquet(bronzeDir(table)).schema.toDDL
+        val ddl = spark.read.parquet(dir).schema.toDDL
         spark.sql(
           s"""CREATE TABLE ${tableName(table)} ($ddl) USING PARQUET
              |CLUSTERED BY ($bcol) SORTED BY ($bcol) INTO $Buckets BUCKETS
-             |LOCATION '${bronzeDir(table)}'""".stripMargin)
+             |LOCATION '$dir'""".stripMargin)
       }
     }
 
-  /** Materialize bronze + annotated-blocks parquet once per corpus version:
-    * generate blk files, run the distributed parse (S1), project bronze
-    * (outpoint-join sides bucketed, [[Buckets]]), and resolve the best chain
-    * with the DISTRIBUTED doubling path (the point is exercising the 100 TB
-    * code path — ~log4(50k)=8 jump rounds at this scale). Queries and DuckDB
-    * oracles both read these parquet files.
+  private def writeBucketed(spark: SparkSession, table: String, df: DataFrame): Unit = {
+    val (dir, bcol) = bucketed(table)
+    spark.sql(s"DROP TABLE IF EXISTS ${tableName(table)}")
+    graft.sinks.BronzeWriter.writeBucketed(df, tableName(table), dir, bcol, Buckets)
+  }
+
+  /** Materialize bronze + annotated-blocks + silver parquet once per corpus
+    * version: generate blk files, run the distributed parse (S1), project
+    * bronze (outpoint-join sides bucketed, [[Buckets]]), resolve the best
+    * chain with the DISTRIBUTED doubling path (the point is exercising the
+    * 100 TB code path — ~log4(50k)=8 jump rounds at this scale), then build
+    * the SILVER layer (best-chain tx context, resolved inputs, outputs) once
+    * and bucket it by tx_hash — the medallion shape a 100 TB deployment
+    * would use: gold queries re-aggregate from silver instead of re-deriving
+    * the same joins per query. Oracle layering is unchanged: DuckDB oracles
+    * recompute everything from BRONZE (+ the bk1-gated annotation), so a bug
+    * in the silver build still fails bk2–bk5.
     */
   def ensureMaterialized(spark: SparkSession): Unit = synchronized {
     if (Files.exists(marker)) { registerBucketed(spark); return }
@@ -358,28 +377,41 @@ object BlkCorpus {
     val blocks = BlockFileSource.read(spark, rawDir)
     val bronze = BlockFileSource.toBronze(blocks)
     bronze.foreach { case (name, df) =>
-      bucketSpec.get(name) match {
-        case Some(bcol) =>
-          spark.sql(s"DROP TABLE IF EXISTS ${tableName(name)}")
-          graft.sinks.BronzeWriter.writeBucketed(
-            df, tableName(name), bronzeDir(name), bcol, Buckets)
-        case None =>
-          df.coalesce(1).write.mode("overwrite").parquet(bronzeDir(name))
-      }
+      if (bucketed.contains(name)) writeBucketed(spark, name, df)
+      else df.coalesce(1).write.mode("overwrite").parquet(bronzeDir(name))
     }
     val ann = BestChain.annotateDistributed(spark.read.parquet(bronzeDir("blocks")))
     ann.select(col("hash"), col("parent_hash"), col("ts"),
         col("height").cast("int").as("height"), col("is_on_best_chain"))
       .coalesce(1).write.mode("overwrite").parquet(annotatedDir)
+    val annDf = spark.read.parquet(annotatedDir)
+    val ctx = GoldStats.chainTxs(spark.read.parquet(bronzeDir("transactions")), annDf)
+    writeBucketed(spark, "silver_ctx", ctx)
+    val ctxKeys = spark.table(tableName("silver_ctx")).select("tx_hash")
+    writeBucketed(spark, "silver_rin",
+      Enrich.resolvedInputs(
+          spark.table(tableName("tx_inputs")), spark.table(tableName("tx_outputs")))
+        .join(ctxKeys, Seq("tx_hash"), "left_semi"))
+    writeBucketed(spark, "silver_outs",
+      spark.table(tableName("tx_outputs")).join(ctxKeys, Seq("tx_hash"), "left_semi"))
     Files.createDirectories(Paths.get(baseDir))
     Files.write(marker, Array.emptyByteArray)
   }
 
   def bronze(spark: SparkSession, table: String): DataFrame = {
     ensureMaterialized(spark)
-    if (bucketSpec.contains(table)) spark.table(tableName(table))
+    if (bucketed.contains(table)) spark.table(tableName(table))
     else spark.read.parquet(bronzeDir(table))
   }
+
+  /** Bucketed silver tables: `ctx` (best-chain tx context), `rin` (resolved
+    * inputs of best-chain txs), `outs` (outputs of best-chain txs).
+    */
+  def silver(spark: SparkSession, table: String): DataFrame = {
+    ensureMaterialized(spark)
+    spark.table(tableName(s"silver_$table"))
+  }
+
   def annotated(spark: SparkSession): DataFrame = {
     ensureMaterialized(spark)
     spark.read.parquet(annotatedDir)

@@ -9,27 +9,42 @@ import org.apache.spark.storage.StorageLevel
   * and its 1,126-block reorder buffer (BlockchainToGraph.java:389–412).
   *
   * A per-hop traversal is O(depth) storage round-trips in the reference; here
-  * `rootsAndDepths` uses pointer jumping — each round chains TWO self
-  * equi-joins before materializing, so every node's resolved prefix grows
-  * 4× per round and a chain of depth d converges in ceil(log4 d) rounds
-  * (~10 for a ~1M-block chain at 100 TB). Each round costs exactly ONE Spark
-  * job: the convergence check rides on the materialization pass instead of
-  * being a second action. Intermediate state is persisted and re-planned from
-  * a flat scan each round so the logical plan never grows.
+  * `rootsAndDepths` uses pointer jumping — each round chains [[ChainOps.Arity]]−1
+  * self equi-joins before materializing, so every node's resolved prefix
+  * grows Arity× per round and a chain of depth d converges in
+  * ceil(log_Arity d) rounds (5 for a ~1M-block chain at 100 TB). Each round
+  * costs exactly ONE Spark job: the convergence check rides on the
+  * materialization pass instead of being a second action, and the in-round
+  * hops are broadcast joins when the table fits. Intermediate state is
+  * persisted and re-planned from a flat scan each round so the logical plan
+  * never grows.
   */
 object ChainOps {
 
+  /** Jump-table growth per materialized round: each round chains Arity−1
+    * hops before materializing, so every node's resolved prefix grows
+    * Arity× per round and depth d converges in ceil(log_Arity d) rounds
+    * (4 rounds for 50k blocks, 5 for a 1M-block chain). The hops inside a
+    * round are broadcast hash joins when the table fits ([[BroadcastMaxRows]])
+    * — one narrow stage — so raising the arity trades (cheap) in-stage work
+    * for (expensive) blocking materializations.
+    */
+  val Arity: Int = 16
+
   /** Outcome of the pointer-jumping loop. `result` maps every node to its
     * root and depth; `tables` (only when requested) are the per-round jump
-    * tables — tables(r) sends a node to its min(4^r, depth)-ancestor
+    * tables — tables(r) sends a node to its min(Arity^r, depth)-ancestor
     * (saturating at the root) — which [[graft.chain.BestChain]] reuses for
     * ancestor enumeration instead of re-deriving them by squaring. Each
     * table is backed by the paired persisted RDD; the caller owns unpersist.
+    * `n` is the node count (known exactly from the first materialization —
+    * callers reuse it for their own broadcast decisions).
     */
   private[graft] final case class Resolved(
       result: DataFrame,
       resultRdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.Row],
-      tables: Seq[(DataFrame, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row])])
+      tables: Seq[(DataFrame, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row])],
+      n: Long)
 
   /** Truncate a DataFrame's lineage at the RDD level: compile + materialize
     * the rows into a cached RDD and re-wrap with a fresh LogicalRDD.
@@ -64,14 +79,25 @@ object ChainOps {
     (df.sparkSession.createDataFrame(rdd, df.schema), rdd, pending)
   }
 
+  /** Below this many rows the jump table broadcasts (~150 B/row → ≤150 MB):
+    * every hop in a round is then a map-side BroadcastHashJoin against the
+    * already-materialized state RDD — the whole round is ONE narrow stage
+    * with zero exchanges. Above it, hops fall back to shuffle joins (the
+    * general path: at 100 TB a 100M-block table can't broadcast, and the
+    * shuffle join is the plan you want there anyway).
+    */
+  val BroadcastMaxRows: Long = 1L << 20
+
   /** One saturating pointer hop: advance every unresolved row of `cur` by
     * `state`'s current jump distance. `tag` keeps the hop columns unique so
     * two hops can chain inside a single plan (the 4-ary round).
     */
-  private def hopOnce(cur: DataFrame, state: DataFrame, tag: String): DataFrame = {
-    val hop = state.select(
+  private def hopOnce(
+      cur: DataFrame, state: DataFrame, tag: String, bcast: Boolean): DataFrame = {
+    val hop0 = state.select(
       col("id").as(s"hid$tag"), col("ptr").as(s"hptr$tag"),
       col("dist").as(s"hdist$tag"), col("done").as(s"hdone$tag"))
+    val hop = if (bcast) broadcast(hop0) else hop0
     // Left join: a dangling pointer (orphan whose parent was never seen —
     // the case the reference dies on, BlockchainToGraph.java:431) resolves
     // as its own root instead of silently dropping the row.
@@ -87,16 +113,19 @@ object ChainOps {
 
   /** The pointer-jumping loop shared by [[rootsAndDepths]] and
     * [[graft.chain.BestChain.annotateDistributed]]. State rows are
-    * (id, ptr, dist, done): ptr = the min(4^round, depth)-ancestor (roots
-    * self-loop at dist 0, making the join total), done = ptr reached a root.
-    * Each round chains THREE hops against the round's own table (jump
-    * distance j advances to j+j+j+j = 4j — 4-ary growth) and materializes
-    * once, with the remaining-unresolved count fused into that pass.
+    * (id, ptr, dist, done): ptr = the min(Arity^round, depth)-ancestor
+    * (roots self-loop at dist 0, making the join total), done = ptr reached
+    * a root. Each round chains Arity−1 hops against the round's own table
+    * (jump distance j advances to Arity·j) and materializes ONCE, with the
+    * remaining-unresolved count fused into that pass. The hops broadcast the
+    * table when it fits, so a round under the threshold is one narrow stage;
+    * chaining inside a round is safe because each hop joins against the FLAT
+    * materialized table — only the cur-side plan deepens, linearly.
     *
     * @param keepTables retain every round's persisted jump table for ancestor
     *                   enumeration (memory: rounds × |nodes| rows, i.e.
-    *                   ~log4(depth) copies of the id/ptr pairs — bounded and
-    *                   spill-safe at MEMORY_AND_DISK; callers unpersist).
+    *                   ~log_Arity(depth) copies of the id/ptr pairs — bounded
+    *                   and spill-safe at MEMORY_AND_DISK; callers unpersist).
     */
   private[graft] def resolve(
       nodes: DataFrame, idCol: String, parentCol: String,
@@ -111,15 +140,20 @@ object ChainOps {
         col(parentCol).isNull.as("done")),
       boolIdx = 3)
     if (keepTables) tables += ((state, stateRdd))
+    // The table size is fixed across rounds, so the broadcast decision is
+    // made once; counting the already-persisted RDD is a cache scan.
+    val n = stateRdd.count()
+    val bcast = n <= BroadcastMaxRows
     while (unresolved > 0) {
-      val (next, nextRdd, remaining) = rebaseCountFalse(
-        hopOnce(hopOnce(hopOnce(state, state, "a"), state, "b"), state, "c"),
-        boolIdx = 3)
+      val round = (1 until Arity).foldLeft(state) { (cur, i) =>
+        hopOnce(cur, state, s"h$i", bcast)
+      }
+      val (next, nextRdd, remaining) = rebaseCountFalse(round, boolIdx = 3)
       if (!keepTables) stateRdd.unpersist(blocking = false)
       else tables += ((next, nextRdd))
       state = next; stateRdd = nextRdd; unresolved = remaining
     }
-    Resolved(state, stateRdd, tables.toSeq)
+    Resolved(state, stateRdd, tables.toSeq, n)
   }
 
   /** Resolve each node's root and depth in a parent-pointer forest.

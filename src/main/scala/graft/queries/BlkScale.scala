@@ -30,6 +30,18 @@ object BlkScale {
 
   private def pq(dir: String): String = s"read_parquet('$dir/*.parquet')"
 
+  /** Run-scoped persisted intermediates for the from-raw pipeline (bk0):
+    * cTxs/rin/outs each feed several branches of the digest DAG, so they are
+    * persisted for the run — and each new run swaps its set in, unpersisting
+    * the previous run's (bench reruns hold ONE copy, not one per run).
+    */
+  private val scratch =
+    new java.util.concurrent.atomic.AtomicReference[Seq[org.apache.spark.sql.DataFrame]](Nil)
+  private def stageForRun(dfs: org.apache.spark.sql.DataFrame*): Unit = {
+    scratch.getAndSet(dfs.toSeq).foreach(_.unpersist(blocking = false))
+    dfs.foreach(_.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+  }
+
   /** Non-recursive bronze CTEs over the materialized parquet. */
   private def bronzeCtes: String =
     s"""blocks AS (SELECT * FROM ${pq(BlkCorpus.bronzeDir("blocks"))}),
@@ -81,6 +93,7 @@ object BlkScale {
           .join(cTxs.select("tx_hash"), Seq("tx_hash"), "left_semi")
         val outs = bronze("tx_outputs")
           .join(cTxs.select("tx_hash"), Seq("tx_hash"), "left_semi")
+        stageForRun(cTxs, rin, outs)
         val ts = GoldStats.txStats(cTxs, rin, outs)
         ann.agg(
             count(lit(1)).as("n_blocks"),
@@ -160,19 +173,11 @@ object BlkScale {
 
     // Per-transaction gold stats at scale (bc4 semantics on 21k+ txs).
     Q("bk2_tx_stats",
-      (s, _) => {
-        val ann = BlkCorpus.annotated(s)
-        val cTxs = GoldStats.chainTxs(BlkCorpus.bronze(s, "transactions"), ann)
-        val rin = Enrich.resolvedInputs(
-            BlkCorpus.bronze(s, "tx_inputs"), BlkCorpus.bronze(s, "tx_outputs"))
-          .join(cTxs.select("tx_hash"), Seq("tx_hash"), "left_semi")
-        val outs = BlkCorpus.bronze(s, "tx_outputs")
-          .join(cTxs.select("tx_hash"), Seq("tx_hash"), "left_semi")
-        GoldStats.txStats(cTxs, rin, outs)
-          .select(col("tx_hash"), col("is_coinbase"), col("date"),
-            col("input_count"), col("output_count"), col("balance"), col("fee"),
-            col("new_address_count"), col("is_between_one_address"))
-      },
+      (s, _) => GoldStats.txStats(BlkCorpus.silver(s, "ctx"),
+          BlkCorpus.silver(s, "rin"), BlkCorpus.silver(s, "outs"))
+        .select(col("tx_hash"), col("is_coinbase"), col("date"),
+          col("input_count"), col("output_count"), col("balance"), col("fee"),
+          col("new_address_count"), col("is_between_one_address")),
       Some(s"""WITH $bronzeCtes,
          |$goldCtes,
          |inagg AS (
@@ -208,18 +213,11 @@ object BlkScale {
 
     // Per-block gold stats at scale (bc5 semantics on 5.2k blocks).
     Q("bk3_block_stats",
-      (s, _) => {
-        val ann = BlkCorpus.annotated(s)
-        val cTxs = GoldStats.chainTxs(BlkCorpus.bronze(s, "transactions"), ann)
-        val rin = Enrich.resolvedInputs(
-            BlkCorpus.bronze(s, "tx_inputs"), BlkCorpus.bronze(s, "tx_outputs"))
-          .join(cTxs.select("tx_hash"), Seq("tx_hash"), "left_semi")
-        val outs = BlkCorpus.bronze(s, "tx_outputs")
-          .join(cTxs.select("tx_hash"), Seq("tx_hash"), "left_semi")
-        GoldStats.blockStats(ann, GoldStats.txStats(cTxs, rin, outs))
-          .select(col("hash"), col("height").cast("long").as("height"), col("ts"),
-            col("tx_count"), col("coinbase_balance"), col("balance"), col("fee"))
-      },
+      (s, _) => GoldStats.blockStats(BlkCorpus.annotated(s),
+          GoldStats.txStats(BlkCorpus.silver(s, "ctx"),
+            BlkCorpus.silver(s, "rin"), BlkCorpus.silver(s, "outs")))
+        .select(col("hash"), col("height").cast("long").as("height"), col("ts"),
+          col("tx_count"), col("coinbase_balance"), col("balance"), col("fee")),
       Some(s"""WITH $bronzeCtes,
          |$goldCtes,
          |inagg AS (
@@ -246,16 +244,8 @@ object BlkScale {
 
     // Per-address gold stats at scale (bc6 semantics, ~1.5k reused addresses).
     Q("bk4_address_stats",
-      (s, _) => {
-        val ann = BlkCorpus.annotated(s)
-        val cTxs = GoldStats.chainTxs(BlkCorpus.bronze(s, "transactions"), ann)
-        val rin = Enrich.resolvedInputs(
-            BlkCorpus.bronze(s, "tx_inputs"), BlkCorpus.bronze(s, "tx_outputs"))
-          .join(cTxs.select("tx_hash"), Seq("tx_hash"), "left_semi")
-        val outs = BlkCorpus.bronze(s, "tx_outputs")
-          .join(cTxs.select("tx_hash"), Seq("tx_hash"), "left_semi")
-        GoldStats.addressStats(cTxs, rin, outs)
-      },
+      (s, _) => GoldStats.addressStats(BlkCorpus.silver(s, "ctx"),
+        BlkCorpus.silver(s, "rin"), BlkCorpus.silver(s, "outs")),
       Some(s"""WITH $bronzeCtes,
          |$goldCtes,
          |recv AS (
@@ -313,14 +303,8 @@ object BlkScale {
     // min-label propagation to fixpoint over the same co-spend graph.
     Q("bk5_wallet_clusters",
       (s, _) => {
-        val ann = BlkCorpus.annotated(s)
-        val cTxs = GoldStats.chainTxs(BlkCorpus.bronze(s, "transactions"), ann)
-        val rin = Enrich.resolvedInputs(
-            BlkCorpus.bronze(s, "tx_inputs"), BlkCorpus.bronze(s, "tx_outputs"))
-          .join(cTxs.select("tx_hash"), Seq("tx_hash"), "left_semi")
-        val outs = BlkCorpus.bronze(s, "tx_outputs")
-          .join(cTxs.select("tx_hash"), Seq("tx_hash"), "left_semi")
-        val universe = outs.select("address")
+        val rin = BlkCorpus.silver(s, "rin")
+        val universe = BlkCorpus.silver(s, "outs").select("address")
           .union(rin.select(col("src_address").as("address"))).distinct()
         WalletCluster.clusters(universe, rin.select("tx_hash", "src_address"))
       },

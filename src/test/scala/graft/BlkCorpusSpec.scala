@@ -20,11 +20,19 @@ class BlkCorpusSpec extends SparkSpec {
     // best chain is exactly the main chain
     assert(ann.where(col("is_on_best_chain")).count() == BlkCorpus.MainChainLength)
     assert(ann.agg(max("height")).head.getInt(0) == BlkCorpus.MainChainLength - 1)
-    // the reorged-away branch: >=100 consecutive stale heights
-    val staleDepth = ann.where(!col("is_on_best_chain") &&
-        col("height") > BlkCorpus.DeepForkHeight).count()
-    assert(staleDepth == BlkCorpus.DeepForkLength,
-      s"deep stale branch has $staleDepth blocks")
+    // the reorged-away branch: a CHAIN of stale blocks above the fork point.
+    // Everyday orphans can land above DeepForkHeight too (stale siblings of a
+    // main block), but their parents are ON the best chain — branch members
+    // past the head are exactly the stale blocks with a stale parent.
+    val stale = ann.where(!col("is_on_best_chain") &&
+      col("height") > BlkCorpus.DeepForkHeight)
+    val chained = stale.alias("c")
+      .join(ann.where(!col("is_on_best_chain")).alias("p"),
+        col("c.parent_hash") === col("p.hash"), "left_semi")
+      .count()
+    assert(chained == BlkCorpus.DeepForkLength - 1,
+      s"deep stale branch has ${chained + 1} chained blocks")
+    assert(stale.count() >= BlkCorpus.DeepForkLength)
     // everyday orphans scattered below the fork point
     assert(ann.where(!col("is_on_best_chain") &&
       col("height") <= BlkCorpus.DeepForkHeight).count() >= 5)
