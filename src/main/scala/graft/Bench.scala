@@ -17,7 +17,8 @@ object Bench {
     "j1_fk_join", "j5_big_join_agg", "j6_multihop_agg", "j8_range_join",
     "w1_rank", "w3_running_sum", "w4_sessionize",
     "o1_topk", "e1_tumbling_counts", "e3_session_window",
-    "d1_exact_dedup", "d2_fingerprint_dedup", "d4_minhash_pairs",
+    "d1_exact_dedup", "d2_fingerprint_dedup", "d3b_ngram_jaccard_capped",
+    "d4_minhash_pairs",
     "t1_token_stats", "t5_tfidf",
     "sim1_cosine_topk", "sim2_lsh_topk", "sim5_ivf_topk",
     "bc5_block_stats", "bc7_wallet_clusters",

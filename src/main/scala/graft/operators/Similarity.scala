@@ -163,9 +163,25 @@ object Similarity {
     * corpus' canonicalized analyzed plan + parameters — the second probe of
     * the same logical corpus reuses the built index instead of re-scanning.
     * Explicit [[ivfIndex]]/[[IvfModel]] management is the production API.
+    *
+    * Bounded LRU: at most [[IvfCacheSize]] indexes stay persisted; evicting
+    * one unpersists its cells, so a long-lived session probing many distinct
+    * corpora holds a constant number of cached cell sets, not one per corpus
+    * ever probed. All access goes through the map's own lock (builds are
+    * rare and heavy; serializing them is fine).
     */
+  val IvfCacheSize = 4
   private val ivfCache =
-    new java.util.concurrent.ConcurrentHashMap[String, IvfModel]()
+    new java.util.LinkedHashMap[String, IvfModel](16, 0.75f, /*accessOrder=*/ true) {
+      override def removeEldestEntry(e: java.util.Map.Entry[String, IvfModel]): Boolean = {
+        val evict = size() > IvfCacheSize
+        if (evict) e.getValue.unpersist()
+        evict
+      }
+    }
+
+  /** Number of memoized (persisted) IVF indexes — observable bound for tests. */
+  def ivfCacheEntries: Int = ivfCache.synchronized(ivfCache.size())
 
   /** Build an IVF index: train spherical k-means centroids on a driver-side
     * sample (deterministic, no RNG — kilobytes on the driver, never the
@@ -226,8 +242,11 @@ object Similarity {
       nlist: Int = 64, nprobe: Int = 8, maxIter: Int = 5): DataFrame = {
     val key = corpus.queryExecution.analyzed.canonicalized.semanticHash().toString +
       s":$idCol:$vecCol:$nlist:$maxIter"
-    val model = ivfCache.computeIfAbsent(key,
-      _ => ivfIndex(corpus, idCol, vecCol, nlist, maxIter))
+    val model = ivfCache.synchronized {
+      var m = ivfCache.get(key)
+      if (m == null) { m = ivfIndex(corpus, idCol, vecCol, nlist, maxIter); ivfCache.put(key, m) }
+      m
+    }
     ivfProbe(model, queries, k, nprobe)
   }
 

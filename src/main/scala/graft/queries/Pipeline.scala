@@ -52,6 +52,39 @@ object Pipeline {
           |FROM inter JOIN sizes s1 ON id1 = s1.doc_id JOIN sizes s2 ON id2 = s2.doc_id
           |WHERE CAST(i AS DOUBLE) / (s1.n + s2.n - i) >= 0.8""".stripMargin)),
 
+    // The capped variant — the 100 TB-safe default: shingles with document
+    // frequency > cap are dropped from candidate GENERATION (a stopword-run
+    // shingle shared by m docs otherwise yields m² join rows), while set
+    // sizes keep them. Deterministic semantics, so it oracles exactly.
+    Q("d3b_ngram_jaccard_capped",
+      (s, d) => Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text",
+        shingleK = 3, threshold = 0.8, maxShingleDf = Some(10L)),
+      Some(
+        """WITH toks AS (
+          |  SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
+          |  FROM documents
+          |), idx AS (
+          |  SELECT doc_id, t, unnest(generate_series(1, greatest(len(t) - 2, 1))) AS i FROM toks
+          |), sh0 AS (
+          |  SELECT doc_id, CASE WHEN len(t) < 3 THEN array_to_string(t, ' ')
+          |    ELSE t[i] || ' ' || t[i+1] || ' ' || t[i+2] END AS sh FROM idx
+          |), sh AS (
+          |  SELECT DISTINCT doc_id, sh FROM sh0
+          |), hot AS (
+          |  SELECT sh FROM sh GROUP BY sh HAVING count(*) > 10
+          |), shc AS (
+          |  SELECT s.* FROM sh s WHERE NOT EXISTS (SELECT 1 FROM hot h WHERE h.sh = s.sh)
+          |), sizes AS (
+          |  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+          |), inter AS (
+          |  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS i
+          |  FROM shc a JOIN shc b ON a.sh = b.sh AND a.doc_id < b.doc_id
+          |  GROUP BY 1, 2
+          |)
+          |SELECT id1, id2, CAST(i AS DOUBLE) / (s1.n + s2.n - i) AS jaccard
+          |FROM inter JOIN sizes s1 ON id1 = s1.doc_id JOIN sizes s2 ON id2 = s2.doc_id
+          |WHERE CAST(i AS DOUBLE) / (s1.n + s2.n - i) >= 0.8""".stripMargin)),
+
     // MinHash / SimHash signatures are engine-defined — rows-only gate.
     Q("d4_minhash_pairs",
       (s, d) => {

@@ -50,6 +50,25 @@ class SimilaritySpec extends SparkSpec {
     assert(n > 1000) // the corpus is big enough for the fraction to matter
   }
 
+  test("IVF memo is bounded: probing many distinct corpora evicts + unpersists") {
+    val emb = Tables.embeddings(spark, sf)
+    val queries = emb.filter(col("vec_id") < 3)
+    val baseline = spark.sparkContext.getPersistentRDDs.size
+    // 2 more distinct corpora than the cache holds — each filter is a
+    // distinct canonical plan, so each builds (and persists) its own index
+    (0 until Similarity.IvfCacheSize + 2).foreach { i =>
+      val corpus = emb.filter(col("vec_id") % 7 =!= i)
+      Similarity.ivfTopK(corpus, queries, "vec_id", "embedding", k = 3,
+        nlist = 8, nprobe = 4).write.format("noop").mode("overwrite").save()
+    }
+    assert(Similarity.ivfCacheEntries <= Similarity.IvfCacheSize)
+    // evicted cell sets are actually UNPERSISTED, not leaked: each live
+    // model persists exactly one cells DataFrame
+    val persistedNow = spark.sparkContext.getPersistentRDDs.size
+    assert(persistedNow - baseline <= Similarity.IvfCacheSize,
+      s"leaked persisted RDDs: $baseline -> $persistedNow")
+  }
+
   test("k-means training is deterministic and centroids are unit-norm") {
     val sample = Array.tabulate(200)(i =>
       Array.tabulate(8)(j => math.sin(i * 31 + j * 7).toFloat))

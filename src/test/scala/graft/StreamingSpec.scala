@@ -57,6 +57,52 @@ class StreamingSpec extends SparkSpec {
     assert(all2.contains("b"))
   }
 
+  test("graceful shutdown: stop lands on a batch boundary; resume has no duplicates") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = Files.createTempDirectory("graft-stream-g").toString
+    val input = MemoryStream[(String, String, Long)]
+    val blocks = input.toDF().toDF("hash", "parent_hash", "ts")
+      .select(col("hash"),
+        when(col("parent_hash") === "", lit(null)).otherwise(col("parent_hash")).as("parent_hash"),
+        col("ts"))
+    val writer = ChainStream.incrementalGold(
+      blocks, s"$tmp/bronze",
+      (_, bronze) => BestChain.annotate(bronze),
+      s"$tmp/gold", s"$tmp/ckpt")
+
+    val g = new graft.streaming.Graceful(spark, awaitMs = 20000L)
+    try {
+      // Long-running leg: continuous trigger, stop must land on a boundary.
+      val q = g.manage(writer
+        .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("50 milliseconds"))
+        .start())
+      input.addData(("g", "", 1000L), ("a", "g", 1100L), ("b", "a", 1200L))
+      val deadline = System.nanoTime() + 20e9.toLong
+      def goldBest(): Set[String] =
+        try spark.read.parquet(s"$tmp/gold").where(col("is_on_best_chain"))
+          .select("hash").as[String].collect().toSet
+        catch { case _: Exception => Set.empty }
+      while (goldBest() != Set("g", "a", "b") && System.nanoTime() < deadline)
+        Thread.sleep(50)
+      assert(goldBest() == Set("g", "a", "b"))
+      g.requestStop()
+      assert(g.awaitStopped(), "managed query did not stop at a batch boundary")
+      assert(!q.isActive)
+      // The committed batch survived the stop intact.
+      assert(goldBest() == Set("g", "a", "b"))
+
+      // Resume from the SAME checkpoint: only the new batch is processed,
+      // and the recomputed gold stays duplicate-free.
+      input.addData(("b2", "a", 1201L), ("c2", "b2", 1300L))
+      writer.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start().awaitTermination()
+      assert(goldBest() == Set("g", "a", "b2", "c2"))
+      val gold = spark.read.parquet(s"$tmp/gold").select("hash").as[String].collect()
+      assert(gold.length == gold.distinct.length, "duplicate gold rows after resume")
+    } finally g.close()
+  }
+
   test("runningBalances: stateful per-address balance with retraction deltas") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
