@@ -19,6 +19,13 @@ import org.apache.spark.storage.StorageLevel
   */
 object WalletCluster {
 
+  /** The previous invocation's materialized clustering — swapped per call so
+    * repeated runs (bench reruns) hold ONE copy, not one per run (same
+    * discipline as BestChain.lastAnn).
+    */
+  private val lastResult =
+    new java.util.concurrent.atomic.AtomicReference[org.apache.spark.rdd.RDD[_]](null)
+
   /** @param addresses  one-column DF of the full address universe
     * @param txFunders  (tx_hash, src_address) distinct funding pairs
     * @return (address, wallet_id) where wallet_id = min address in the
@@ -43,11 +50,20 @@ object WalletCluster {
 
     val edges = edgeRows.rdd.map(r => Edge(r.getLong(0), r.getLong(1), ()))
     val graph = Graph(vertices.map { case (_, vid) => (vid, ()) }, edges)
-    val cc = graph.connectedComponents().vertices.toDF("vid", "cc")
+    val ccGraph = graph.connectedComponents()
+    val cc = ccGraph.vertices.toDF("vid", "cc")
 
     val labeled = vdf.join(cc, "vid")
     val walletLabel = labeled.groupBy("cc").agg(min("address").as("wallet_id"))
     val out = labeled.join(walletLabel, "cc").select("address", "wallet_id")
-    out
+    // Materialize, then drop every piece of GraphX state (Pregel leaves its
+    // final graph cached) plus the previous invocation's result — a bench
+    // rerun or a long session must hold one clustering, not one per call.
+    val (outDf, outRdd) = graft.operators.ChainOps.rebase(out)
+    ccGraph.unpersist(blocking = false)
+    graph.unpersist(blocking = false)
+    vdf.unpersist(blocking = false)
+    Option(lastResult.getAndSet(outRdd)).foreach(_.unpersist(blocking = false))
+    outDf
   }
 }

@@ -60,7 +60,20 @@ object GraphAnalytics {
       .select("src_vid", "dst_vid")
       .rdd.map(r => Edge(r.getLong(0), r.getLong(1), 1.0))
     val graph = Graph(verts.map { case (_, vid) => (vid, ()) }, e)
-    val ranks = graph.staticPageRank(iterations, resetProb).vertices.toDF("vid", "rank")
-    vdf.join(ranks, "vid").select("address", "rank")
+    val rankGraph = graph.staticPageRank(iterations, resetProb)
+    val ranks = rankGraph.vertices.toDF("vid", "rank")
+    val out = vdf.join(ranks, "vid").select("address", "rank")
+    // Materialize, then drop GraphX state + the previous call's result —
+    // repeated invocations hold one ranking, not one per call.
+    val (outDf, outRdd) = graft.operators.ChainOps.rebase(out)
+    rankGraph.unpersist(blocking = false)
+    graph.unpersist(blocking = false)
+    vdf.unpersist(blocking = false)
+    Option(lastRank.getAndSet(outRdd)).foreach(_.unpersist(blocking = false))
+    outDf
   }
+
+  /** Previous pageRank materialization (swap-unpersist per call). */
+  private val lastRank =
+    new java.util.concurrent.atomic.AtomicReference[org.apache.spark.rdd.RDD[_]](null)
 }

@@ -212,8 +212,20 @@ object ChainOps {
           Iterator((t.dstId, t.srcAttr._2 + 1))
         else Iterator.empty,
       mergeMsg = math.max)
-    resolved.vertices.map { case (_, (id, d)) => (id, d) }.toDF(idCol, "height")
+    val out = resolved.vertices.map { case (_, (id, d)) => (id, d) }.toDF(idCol, "height")
+    // Materialize, then drop Pregel's cached result graph and the id-assign
+    // scaffolding — repeated calls must not accumulate persisted state.
+    val (outDf, outRdd) = rebase(out)
+    resolved.unpersist(blocking = false)
+    withIds.unpersist(blocking = false)
+    vdf.unpersist(blocking = false)
+    Option(lastPregel.getAndSet(outRdd)).foreach(_.unpersist(blocking = false))
+    outDf
   }
+
+  /** Previous depthsPregel materialization (swap-unpersist per call). */
+  private val lastPregel =
+    new java.util.concurrent.atomic.AtomicReference[org.apache.spark.rdd.RDD[_]](null)
 
   /** Chain tip = maximal height — the reference's getBestAndHeight
     * (BlockchainToGraph.java:38–49) without any traversal: with height

@@ -160,13 +160,25 @@ object BlockFileSource {
       .flatMap(parseFile(_, networkMagic))
   }
 
+  /** The previous [[toBronze]] call's cached parse: each call swaps its
+    * dataset in and unpersists the predecessor, so repeated end-to-end runs
+    * (bench reruns of bk0) hold at most ONE cached copy of the parsed corpus
+    * instead of accumulating one per run — at 50k blocks each leaked copy is
+    * hundreds of MB of storage memory and the later runs thrash on eviction.
+    */
+  private val lastParsed =
+    new java.util.concurrent.atomic.AtomicReference[Dataset[RawBlock]](null)
+
   /** Bronze projection: the four relational tables of the chain layer
     * (SURVEY.md §1.3) from parsed blocks, with script→address decode (C7).
+    * The parse is cached (four tables consume it); the cache is run-scoped —
+    * the next toBronze call drops it.
     */
   def toBronze(blocks: Dataset[RawBlock]): Map[String, DataFrame] = {
     val spark = blocks.sparkSession
     import spark.implicits._
     val b = blocks.cache()
+    Option(lastParsed.getAndSet(b)).foreach(_.unpersist(blocking = false))
     // The genesis header's prev-hash is all zeros on the wire; the chain
     // layer marks roots with NULL.
     val blocksDf = b.select(
