@@ -59,26 +59,43 @@ object Dedup {
     df.groupBy(keyCols.map(col): _*)
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
 
+  /** Base (h1, h2) string hashes for the XOR-rotate family. Default: two
+    * xxhash64 passes — the fast path. `portable = true` derives two 60-bit
+    * values from the md5 hex instead: md5 is bit-identical in ANY engine, so
+    * signatures (hence LSH candidate pairs) can be recomputed exactly by a
+    * SQL oracle — at ~3× the hashing cost, same LSH quality.
+    */
+  private def baseHashes(c: Column, portable: Boolean): (Column, Column) =
+    if (portable) {
+      val hex = md5(c)
+      (conv(substring(hex, 1, 15), 16, 10).cast("long"),
+        conv(substring(hex, 17, 15), 16, 10).cast("long"))
+    } else (xxhash64(c), xxhash64(lit(7), c))
+
   /** MinHash signature: for each row, `numHashes` min-hashes over its
     * word-k-shingle set. One explode + one hash-aggregate; the signature is
     * assembled map-side (partial agg) so the shuffle carries numHashes longs
     * per id, not per shingle. The hash family derives all numHashes values
-    * from TWO string hashes per shingle — h_i = h1 XOR rot(h2, i) — instead
-    * of hashing the string numHashes times (XOR-rotate rather than
-    * Kirsch–Mitzenmacher h1+i·h2 because ANSI mode forbids wrapping long
-    * arithmetic; runtime is dominated by the min buffers either way). Default
-    * is 32 hashes / 8 bands of 4 — the common near-dup setting; 64+ buffers
-    * push the aggregate past whole-stage-codegen field limits.
+    * from TWO string hashes per shingle — h_i = (h1 XOR rot(h2, i)) with the
+    * sign bit cleared — instead of hashing the string numHashes times
+    * (XOR-rotate rather than Kirsch–Mitzenmacher h1+i·h2 because ANSI mode
+    * forbids wrapping long arithmetic; runtime is dominated by the min
+    * buffers either way). Clearing bit 63 makes min() order-agree between
+    * signed and unsigned engines, which the portable oracle relies on.
+    * Default is 32 hashes / 8 bands of 4 — the common near-dup setting; 64+
+    * buffers push the aggregate past whole-stage-codegen field limits.
     */
   def minhashSignatures(
       df: DataFrame, idCol: String, textCol: String,
-      numHashes: Int = 32, shingleK: Int = 3): DataFrame = {
+      numHashes: Int = 32, shingleK: Int = 3,
+      portable: Boolean = false): DataFrame = {
+    val (h1, h2) = baseHashes(col("_sh"), portable)
     val exploded = shingleRows(df, idCol, textCol, shingleK)
-      .withColumn("_h1", xxhash64(col("_sh")))
-      .withColumn("_h2", xxhash64(lit(7), col("_sh")))
+      .withColumn("_h1", h1)
+      .withColumn("_h2", h2)
     val mins = (0 until numHashes).map { i =>
       val rot = shiftleft(col("_h2"), i).bitwiseOR(shiftrightunsigned(col("_h2"), 64 - i))
-      min(col("_h1").bitwiseXOR(rot)).as(s"_h$i")
+      min(col("_h1").bitwiseXOR(rot).bitwiseAND(lit(Long.MaxValue))).as(s"_h$i")
     }
     exploded
       .groupBy(col(idCol))
@@ -192,11 +209,16 @@ object Dedup {
   }
 
   /** 64-bit SimHash: sign-aggregated token hashes. One explode + one agg;
-    * the per-bit +/-1 sums are partial-aggregated map-side.
+    * the per-bit +/-1 sums are partial-aggregated map-side. With
+    * `portable = true` the token hash is the md5-derived 60-bit value
+    * ([[baseHashes]]): bits 60–63 of the signature are then always 0 (a
+    * 60-bit SimHash — recall guarantees of the 16-bit-chunk banding are
+    * unchanged) and the whole computation is reproducible in any engine.
     */
-  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def simhash(df: DataFrame, idCol: String, textCol: String,
+      portable: Boolean = false): DataFrame = {
     val toks = df.select(col(idCol), explode(tokensCol(col(textCol))).as("_t"))
-      .withColumn("_h", xxhash64(col("_t")))
+      .withColumn("_h", baseHashes(col("_t"), portable)._1)
     val bitSums = (0 until 64).map(j =>
       sum(when(shiftright(col("_h"), j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"_b$j"))
     val agged = toks.groupBy(col(idCol)).agg(bitSums.head, bitSums.tail: _*)

@@ -12,6 +12,95 @@ import graft.operators.{Dedup, Similarity, TextOps}
   */
 object Pipeline {
 
+  /** Word-3-shingle CTEs shared by the n-gram/minhash oracles — the SQL twin
+    * of Dedup.shingleRows (same tokenization as every text oracle here).
+    */
+  private val shingleCtes: String =
+    """toks AS (
+      |  SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
+      |  FROM documents
+      |), idx AS (
+      |  SELECT doc_id, t, unnest(generate_series(1, greatest(len(t) - 2, 1))) AS i FROM toks
+      |), sh0 AS (
+      |  SELECT doc_id, CASE WHEN len(t) < 3 THEN array_to_string(t, ' ')
+      |    ELSE t[i] || ' ' || t[i+1] || ' ' || t[i+2] END AS sh FROM idx
+      |), sh AS (
+      |  SELECT DISTINCT doc_id, sh FROM sh0
+      |)""".stripMargin
+
+  /** DuckDB twin of Dedup's portable XOR-rotate hash slot i. The JVM's
+    * 64-bit rotation wraps; DuckDB raises on any left shift past 2^63 (even
+    * on UBIGINT), so the rotation runs in HUGEINT — shift, take mod 2^64,
+    * ADD the rotated-out low part (disjoint bit ranges, so + ≡ |) — then the
+    * sign bit is cleared and the value reinterpreted signed: bit-identical
+    * to the Spark column.
+    */
+  private def minhashSlotSql(i: Int): String = {
+    val rot =
+      if (i == 0) "h2"
+      else s"CAST((CAST(h2 AS HUGEINT) << $i) % 18446744073709551616 " +
+        s"+ CAST(h2 >> ${64 - i} AS HUGEINT) AS UBIGINT)"
+    s"min(CAST(xor(h1, $rot) & 9223372036854775807::UBIGINT AS BIGINT)) AS h$i"
+  }
+
+  /** Oracle for d4: recompute the 32-slot portable MinHash signatures, then
+    * candidate pairs = collision on any 4-slot band (the engine buckets by a
+    * hash OF the band slots, so collision ≡ slot equality).
+    */
+  private def minhashOracle: String = {
+    val slots = (0 until 32).map(minhashSlotSql).mkString(",\n    ")
+    val bands = (0 until 8).map { b =>
+      (0 until 4).map(r => s"a.h${b * 4 + r} = b.h${b * 4 + r}")
+        .mkString("(", " AND ", ")")
+    }.mkString("\n   OR ")
+    s"""WITH $shingleCtes, hs AS (
+       |  SELECT doc_id,
+       |    CAST(('0x' || substring(md5(sh), 1, 15)) AS UBIGINT) AS h1,
+       |    CAST(('0x' || substring(md5(sh), 17, 15)) AS UBIGINT) AS h2
+       |  FROM sh
+       |), sig AS (
+       |  SELECT doc_id,
+       |    $slots
+       |  FROM hs GROUP BY doc_id
+       |)
+       |SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+       |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+       |WHERE $bands""".stripMargin
+  }
+
+  /** Oracle for d5: portable 60-bit SimHash (bit-sign aggregation of
+    * md5-derived token hashes), 16-bit-chunk candidate join, Hamming verify.
+    */
+  private def simhashOracle: String = {
+    val bits = (0 until 60).map(j =>
+      s"sum(CASE WHEN ((h >> $j) & 1) = 1 THEN 1 ELSE -1 END) AS b$j").mkString(",\n    ")
+    val sig = (0 until 60).map(j =>
+      s"(CASE WHEN b$j > 0 THEN ${1L << j} ELSE 0 END)").mkString(" +\n    ")
+    val chunks = (0 until 4).map(c =>
+      s"((a.simhash >> ${c * 16}) & 65535) = ((b.simhash >> ${c * 16}) & 65535)")
+      .mkString("\n     OR ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS t
+       |  FROM documents
+       |), hs AS (
+       |  SELECT doc_id, CAST(('0x' || substring(md5(t), 1, 15)) AS BIGINT) AS h FROM toks
+       |), bits AS (
+       |  SELECT doc_id,
+       |    $bits
+       |  FROM hs GROUP BY doc_id
+       |), sig AS (
+       |  SELECT doc_id,
+       |    $sig AS simhash
+       |  FROM bits
+       |)
+       |SELECT id1, id2, hamming FROM (
+       |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2,
+       |    CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+       |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+       |  WHERE $chunks
+       |) WHERE hamming <= 3""".stripMargin
+  }
+
   val queries: Seq[Q] = Seq(
 
     // ------------------------------------------------------------------- dedup
@@ -86,19 +175,25 @@ object Pipeline {
           |WHERE CAST(i AS DOUBLE) / (s1.n + s2.n - i) >= 0.8""".stripMargin)),
 
     // MinHash / SimHash signatures are engine-defined — rows-only gate.
+    // Registered with the portable (md5-derived) hash family so the full
+    // signatures → banding → candidate-pairs path is recomputed exactly by
+    // the DuckDB oracle; production callers keep the faster xxhash64 default.
     Q("d4_minhash_pairs",
       (s, d) => {
-        val sigs = Dedup.minhashSignatures(Tables.documents(s, d), "doc_id", "text")
+        val sigs = Dedup.minhashSignatures(Tables.documents(s, d), "doc_id", "text",
+          portable = true)
         Dedup.minhashCandidatePairs(sigs, "doc_id")
       },
-      None),
+      Some(minhashOracle)),
 
     Q("d5_simhash_pairs",
       (s, d) => {
-        val sigs = Dedup.simhash(Tables.documents(s, d), "doc_id", "text")
+        val sigs = Dedup.simhash(Tables.documents(s, d), "doc_id", "text",
+          portable = true)
         Dedup.simhashCandidatePairs(sigs, "doc_id", maxHamming = 3)
+          .select(col("id1"), col("id2"), col("hamming").cast("long").as("hamming"))
       },
-      None),
+      Some(simhashOracle)),
 
     // ----------------------------------------------------------- text analysis
     Q("t1_token_stats",
@@ -127,9 +222,34 @@ object Pipeline {
         "/ length(text) AS punct_ratio FROM t")),
 
     // Heuristic language-ID — engine-defined prediction, rows-only gate.
+    // Oracle mirrors TextOps.languageId exactly: same marker profiles, same
+    // tokenization, same argmax tie-break (max score, then max lang — Spark's
+    // array_max over (score, lang) structs ≡ ORDER BY score DESC, lang DESC).
     Q("t3_language_id",
       (s, d) => TextOps.languageId(Tables.documents(s, d), "doc_id", "text"),
-      None),
+      Some {
+        val profiles = Seq(
+          "en" -> Seq("the", "and", "of", "is", "a"),
+          "es" -> Seq("el", "la", "de", "que", "y"),
+          "de" -> Seq("der", "die", "und", "das", "ist"),
+          "fr" -> Seq("le", "la", "les", "et", "est"),
+          "zh" -> Seq("的", "是", "了", "在", "我"))
+        val scores = profiles.map { case (lang, markers) =>
+          val arr = markers.map(m => s"'$m'").mkString("[", ", ", "]")
+          s"SELECT doc_id, '$lang' AS lang, len(list_filter(t, w -> list_contains($arr, w))) AS score FROM toks"
+        }.mkString("\n  UNION ALL ")
+        s"""WITH toks AS (
+           |  SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS t
+           |  FROM documents
+           |), scores AS (
+           |  $scores
+           |), best AS (
+           |  SELECT doc_id, lang,
+           |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang DESC) AS rn
+           |  FROM scores
+           |)
+           |SELECT doc_id, lang AS predicted_lang FROM best WHERE rn = 1""".stripMargin
+      }),
 
     Q("t4_lang_distribution",
       (s, d) => Tables.documents(s, d)
@@ -142,14 +262,32 @@ object Pipeline {
     // Exact brute-force cosine top-k (baseline) and LSH-bucketed approximate
     // variant (scale path) — scores are float-reduction-order sensitive, so
     // rows-only gate.
+    // Oracle-backed: cosine is the same left-to-right double accumulation on
+    // both sides (see d6), so the (score DESC, vec_id) ranking is bit-stable
+    // across engines and the rank column compares exactly.
     Q("sim1_cosine_topk",
       (s, d) => {
         val emb = Tables.embeddings(s, d)
         val queries = emb.filter(col("vec_id") < 10)
         Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 5)
-          .select("query_id", "vec_id", "rank")
+          .select(col("query_id"), col("vec_id"), col("rank").cast("long").as("rank"))
       },
-      None),
+      Some("""WITH q AS (
+        |  SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10
+        |), scored AS (
+        |  SELECT q.query_id, e.vec_id,
+        |    list_sum(list_transform(list_zip(e.embedding, q.qv),
+        |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) /
+        |    (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+        |     sqrt(list_sum(list_transform(q.qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+        |    AS score
+        |  FROM embeddings e JOIN q ON e.vec_id <> q.query_id
+        |), ranked AS (
+        |  SELECT query_id, vec_id,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rank
+        |  FROM scored
+        |)
+        |SELECT query_id, vec_id, rank FROM ranked WHERE rank <= 5""".stripMargin)),
 
     Q("sim2_lsh_topk",
       (s, d) => {
