@@ -13,6 +13,10 @@ object Profile {
       .config("spark.sql.unionOutputPartitioning", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Ad-hoc conf sweeps: SPARK_GRAFT_CONF="k=v;k=v" (runtime-settable SQL confs).
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(";").foreach { kv =>
+      val Array(k, v) = kv.split("=", 2); spark.conf.set(k, v)
+    })
     import graft.chain._
 
     def t[A](name: String)(f: => A): A = {

@@ -108,14 +108,15 @@ object BestChain {
     * driver OOM at 50k blocks).
     */
   def annotateDistributed(blocks: DataFrame): DataFrame = {
-    val resolved = ChainOps.resolve(
-      blocks.select("hash", "parent_hash"), "hash", "parent_hash", keepTables = true)
+    import ChainOps.traced
+    val resolved = traced("annotate: resolve")(ChainOps.resolve(
+      blocks.select("hash", "parent_hash"), "hash", "parent_hash", keepTables = true))
     val h = resolved.result
       .select(col("id").as("hash"), col("dist").cast("int").as("height"))
     val withH = blocks.join(h, "hash")
 
-    val tipRows = resolved.result
-      .orderBy(col("dist").desc, col("id").asc).select("id", "dist", "ptr").take(1)
+    val tipRows = traced("annotate: tip take")(resolved.result
+      .orderBy(col("dist").desc, col("id").asc).select("id", "dist", "ptr").take(1))
     if (tipRows.isEmpty) { // empty chain: empty annotation, not a driver crash
       resolved.tables.foreach(_._2.unpersist(blocking = false))
       return withH.withColumn("is_on_best_chain", lit(false))
@@ -145,8 +146,8 @@ object BestChain {
         }
         val hops = Iterator.iterate(s -> 0) { case (cur, t) => jump(cur, t + 1) -> (t + 1) }
           .drop(1).take(ChainOps.Arity - 1).map(_._1).toSeq
-        val (ns, nsRdd) = ChainOps.rebase(
-          hops.foldLeft(s)(_ unionByName _).distinct())
+        val (ns, nsRdd) = ChainOps.traced(s"annotate: membership span=$span")(
+          ChainOps.rebase(hops.foldLeft(s)(_ unionByName _).distinct()))
         if (sRdd != null) sRdd.unpersist(blocking = false)
         s = ns; sRdd = nsRdd
         span *= ChainOps.Arity
@@ -159,7 +160,7 @@ object BestChain {
     // Materialize the final annotation, then drop every piece of loop state
     // — jump tables, the membership frontier, and the PREVIOUS invocation's
     // annotation — so repeated annotations hold one copy, not one per run.
-    val (annDf, annRdd) = ChainOps.rebase(ann)
+    val (annDf, annRdd) = ChainOps.traced("annotate: final rebase")(ChainOps.rebase(ann))
     resolved.tables.foreach(_._2.unpersist(blocking = false))
     if (sRdd != null) sRdd.unpersist(blocking = false)
     Option(lastAnn.getAndSet(annRdd)).foreach(_.unpersist(blocking = false))

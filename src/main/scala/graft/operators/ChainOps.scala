@@ -127,28 +127,41 @@ object ChainOps {
     *                   ~log_Arity(depth) copies of the id/ptr pairs — bounded
     *                   and spill-safe at MEMORY_AND_DISK; callers unpersist).
     */
+  /** Perf tracing for the doubling loops (SPARK_GRAFT_TRACE=1). */
+  private[graft] def traced[A](name: String)(f: => A): A =
+    if (!sys.env.get("SPARK_GRAFT_TRACE").contains("1")) f
+    else {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[trace] $name: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
+    }
+
   private[graft] def resolve(
       nodes: DataFrame, idCol: String, parentCol: String,
       keepTables: Boolean): Resolved = {
     val tables = scala.collection.mutable.ArrayBuffer
       .empty[(DataFrame, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row])]
-    var (state, stateRdd, unresolved) = rebaseCountFalse(
-      nodes.select(
-        col(idCol).as("id"),
-        coalesce(col(parentCol), col(idCol)).as("ptr"),
-        when(col(parentCol).isNull, lit(0L)).otherwise(lit(1L)).as("dist"),
-        col(parentCol).isNull.as("done")),
-      boolIdx = 3)
+    var (state, stateRdd, unresolved) = traced("resolve round 0 (init rebase)")(
+      rebaseCountFalse(
+        nodes.select(
+          col(idCol).as("id"),
+          coalesce(col(parentCol), col(idCol)).as("ptr"),
+          when(col(parentCol).isNull, lit(0L)).otherwise(lit(1L)).as("dist"),
+          col(parentCol).isNull.as("done")),
+        boolIdx = 3))
     if (keepTables) tables += ((state, stateRdd))
     // The table size is fixed across rounds, so the broadcast decision is
     // made once; counting the already-persisted RDD is a cache scan.
     val n = stateRdd.count()
     val bcast = n <= BroadcastMaxRows
+    var r = 0
     while (unresolved > 0) {
+      r += 1
       val round = (1 until Arity).foldLeft(state) { (cur, i) =>
         hopOnce(cur, state, s"h$i", bcast)
       }
-      val (next, nextRdd, remaining) = rebaseCountFalse(round, boolIdx = 3)
+      val (next, nextRdd, remaining) = traced(s"resolve round $r")(
+        rebaseCountFalse(round, boolIdx = 3))
       if (!keepTables) stateRdd.unpersist(blocking = false)
       else tables += ((next, nextRdd))
       state = next; stateRdd = nextRdd; unresolved = remaining
