@@ -50,6 +50,8 @@ object GraphAnalytics {
   def pageRank(edges: DataFrame, iterations: Int = 10, resetProb: Double = 0.15): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
     val verts = edges.select(col("src").as("address"))
       .union(edges.select(col("dst").as("address"))).distinct()
       .rdd.map(_.getString(0)).zipWithUniqueId()
@@ -64,11 +66,16 @@ object GraphAnalytics {
     val ranks = rankGraph.vertices.toDF("vid", "rank")
     val out = vdf.join(ranks, "vid").select("address", "rank")
     // Materialize, then drop GraphX state + the previous call's result —
-    // repeated invocations hold one ranking, not one per call.
+    // repeated invocations hold one ranking, not one per call. staticPageRank
+    // returns an UNcached mapVertices wrapper over its internally-cached
+    // final iteration graph, so Graph.unpersist on the result misses it;
+    // the persistent-RDD snapshot delta catches every internal cache.
+    // (Assumes no concurrent materialization in this session — true for the
+    // Verify/Bench drivers, which run queries sequentially.)
     val (outDf, outRdd) = graft.operators.ChainOps.rebase(out)
-    rankGraph.unpersist(blocking = false)
-    graph.unpersist(blocking = false)
-    vdf.unpersist(blocking = false)
+    sc.getPersistentRDDs.foreach { case (id, rdd) =>
+      if (!before.contains(id) && id != outRdd.id) rdd.unpersist(blocking = false)
+    }
     Option(lastRank.getAndSet(outRdd)).foreach(_.unpersist(blocking = false))
     outDf
   }

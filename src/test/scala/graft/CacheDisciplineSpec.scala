@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.chain.WalletCluster
+import graft.graph.GraphAnalytics
+
+/** Repeated invocations of operators that cache internally must hold a
+  * CONSTANT number of persisted RDDs (swap-unpersist of the previous call),
+  * not one per call — a long-lived session (bench reruns, a streaming driver
+  * re-annotating per batch) otherwise accumulates cached state until the
+  * executors thrash on storage eviction.
+  */
+class CacheDisciplineSpec extends SparkSpec {
+
+  private def cachedCount: Int =
+    spark.sparkContext.getRDDStorageInfo.count(_.isCached)
+
+  test("WalletCluster.clusters: repeated calls hold constant cached state") {
+    import spark.implicits._
+    val addrs = (1 to 60).map(i => s"a$i").toDF("address")
+    val funders = (1 to 20).flatMap(t =>
+      Seq((s"t$t", s"a${t * 3 - 2}"), (s"t$t", s"a${t * 3 - 1}"), (s"t$t", s"a${t * 3}")))
+      .toDF("tx_hash", "src_address")
+
+    WalletCluster.clusters(addrs, funders).collect()
+    val after1 = cachedCount
+    WalletCluster.clusters(addrs, funders).collect()
+    WalletCluster.clusters(addrs, funders).collect()
+    val after3 = cachedCount
+    assert(after3 <= after1,
+      s"cached RDDs grew across calls: $after1 after 1 call, $after3 after 3")
+  }
+
+  test("pageRank: repeated calls hold constant cached state") {
+    import spark.implicits._
+    val edges = (1 to 30).map(i => (s"a$i", s"a${i % 10 + 1}", 100L))
+      .toDF("src", "dst", "value")
+    GraphAnalytics.pageRank(edges, iterations = 3).collect()
+    val after1 = cachedCount
+    GraphAnalytics.pageRank(edges, iterations = 3).collect()
+    GraphAnalytics.pageRank(edges, iterations = 3).collect()
+    val after3 = cachedCount
+    assert(after3 <= after1,
+      s"cached RDDs grew across calls: $after1 after 1 call, $after3 after 3")
+  }
+
+  test("annotateDistributed: repeated calls hold constant cached state") {
+    import spark.implicits._
+    val blocks = (("g", null: String, 0L) +: (1 to 50).map(i =>
+      (s"b$i", if (i == 1) "g" else s"b${i - 1}", i.toLong))).toDF("hash", "parent_hash", "ts")
+    chain.BestChain.annotateDistributed(blocks).collect()
+    val after1 = cachedCount
+    chain.BestChain.annotateDistributed(blocks).collect()
+    chain.BestChain.annotateDistributed(blocks).collect()
+    val after3 = cachedCount
+    assert(after3 <= after1,
+      s"cached RDDs grew across calls: $after1 after 1 call, $after3 after 3")
+  }
+}

@@ -83,6 +83,29 @@ class OperatorsSpec extends SparkSpec {
     assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))
   }
 
+  test("portable hash family: same LSH guarantees as the xxhash64 default") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (3L, "one two three four five six seven eight")).toDF("doc_id", "text")
+    val pairs = Dedup.minhashCandidatePairs(
+      Dedup.minhashSignatures(df, "doc_id", "text", portable = true), "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))
+    // signatures are non-degenerate (bit-63 masking keeps 63 bits of range)
+    val sig = Dedup.minhashSignatures(df, "doc_id", "text", portable = true)
+      .select("signature").head.getSeq[Long](0)
+    assert(sig.forall(_ >= 0L) && sig.distinct.size > 16)
+
+    val sPairs = Dedup.simhashCandidatePairs(
+      Dedup.simhash(df, "doc_id", "text", portable = true), "doc_id", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(sPairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 0))
+    assert(!sPairs.exists(p => p._2 == 3L || p._1 == 3L))
+  }
+
   test("simhash: identical docs at hamming 0; near-identical within 3") {
     import spark.implicits._
     val df = Seq(
