@@ -30,6 +30,13 @@ object HyperplaneSig {
         if ((z & 1L) == 0L) 1.0f else -1.0f
       })
 
+  /** Oracle support: the plane matrix is deterministic in (seed, bits, dim),
+    * so a SQL twin can embed it as literals and recompute signatures exactly
+    * (the ±1 products are exact in IEEE — no float-rounding divergence).
+    */
+  private[graft] def planeMatrix(seed: Int, bits: Int, dim: Int): Array[Array[Float]] =
+    planes(seed, bits, dim)
+
   /** Static entry point shared by eval and generated code. */
   def signature(vec: ArrayData, bits: Int, seed: Int): Long = {
     val dim = vec.numElements()

@@ -101,6 +101,47 @@ object Pipeline {
        |) WHERE hamming <= 3""".stripMargin
   }
 
+  /** Oracle for sim2: recompute the 16-bit hyperplane signatures from the
+    * embedded ±1 plane matrix (deterministic in (seed=42, bits=16, dim=64) —
+    * [[graft.functions.HyperplaneSig.planeMatrix]]), then 4-bit band
+    * collisions → exact cosine re-rank, exactly [[Similarity.lshTopK]].
+    */
+  private def lshTopKOracle: String = {
+    val planes = graft.functions.HyperplaneSig.planeMatrix(seed = 42, bits = 16, dim = 64)
+    val sigExpr = planes.zipWithIndex.map { case (plane, p) =>
+      val lits = plane.map(w => if (w > 0) "1.0" else "-1.0").mkString("[", ",", "]")
+      s"(CASE WHEN list_sum(list_transform(list_zip(embedding, $lits), " +
+        s"x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) > 0 THEN ${1L << p} ELSE 0 END)"
+    }.mkString(" +\n      ")
+    val bandsPred = (0 until 4).map(b =>
+      s"((s.sig >> ${b * 4}) & 15) = ((q.qsig >> ${b * 4}) & 15)")
+      .mkString("\n       OR ")
+    s"""WITH sigs AS (
+       |  SELECT vec_id, embedding,
+       |      $sigExpr AS sig
+       |  FROM embeddings
+       |), q AS (
+       |  SELECT vec_id AS query_id, embedding AS qv, sig AS qsig FROM sigs WHERE vec_id < 10
+       |), cands AS (
+       |  SELECT DISTINCT s.vec_id AS id, q.query_id
+       |  FROM sigs s JOIN q ON s.vec_id <> q.query_id
+       |  WHERE $bandsPred
+       |), scored AS (
+       |  SELECT c.query_id, c.id,
+       |    list_sum(list_transform(list_zip(s.embedding, q.qv),
+       |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) /
+       |    (sqrt(list_sum(list_transform(s.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+       |     sqrt(list_sum(list_transform(q.qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+       |    AS score
+       |  FROM cands c JOIN sigs s ON c.id = s.vec_id JOIN q ON c.query_id = q.query_id
+       |), ranked AS (
+       |  SELECT query_id, id AS vec_id,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, id) AS rank
+       |  FROM scored
+       |)
+       |SELECT query_id, vec_id, rank FROM ranked WHERE rank <= 5""".stripMargin
+  }
+
   val queries: Seq[Q] = Seq(
 
     // ------------------------------------------------------------------- dedup
@@ -289,14 +330,19 @@ object Pipeline {
         |)
         |SELECT query_id, vec_id, rank FROM ranked WHERE rank <= 5""".stripMargin)),
 
+    // Oracle-backed: the hyperplane matrix is deterministic in (seed, bits,
+    // dim) and embedded in the SQL as literals; ±1 products are IEEE-exact,
+    // the fold is the same left-to-right double accumulation, so signatures,
+    // band collisions, and the (score DESC, id) re-rank all reproduce.
     Q("sim2_lsh_topk",
       (s, d) => {
         val emb = Tables.embeddings(s, d)
         val queries = emb.filter(col("vec_id") < 10)
         Similarity.lshTopK(emb, queries, "vec_id", "embedding", k = 5)
-          .select(col("query_id"), col("id").as("vec_id"), col("rank"))
+          .select(col("query_id"), col("id").as("vec_id"),
+            col("rank").cast("long").as("rank"))
       },
-      None),
+      Some(lshTopKOracle)),
 
     // IVF (k-means inverted-file) approximate top-k — the recall-at-scale
     // ANN path; scores are engine-defined floats, rows-only gate. Recall vs
