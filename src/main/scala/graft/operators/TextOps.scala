@@ -73,6 +73,38 @@ object TextOps {
   def fingerprint(textCol: Column): Column =
     md5(regexp_replace(lower(trim(textCol)), "\\s+", " "))
 
+  /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD '03): hash
+    * every word-k-shingle in position order, slide a w-row window over the
+    * hash sequence, keep each window's minimum; the DISTINCT kept hashes are
+    * the document's fingerprint set. Any shared token run of length
+    * >= w + k − 1 between two documents is then guaranteed to share at least
+    * one fingerprint, at ~2/(w+1) selection density — the partial-copy
+    * detector that whole-text fingerprints ([[fingerprint]]) can't be.
+    *
+    * Shingle hash is the portable md5-derived 60-bit value, so the whole
+    * operator reproduces in any engine (DuckDB oracle). Scale: one explode,
+    * one window over the doc partition, one distinct — no self-joins.
+    */
+  def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
+      shingleK: Int = 3, window: Int = 4): DataFrame = {
+    val toks = tokens(col(textCol))
+    // ordered shingles, duplicates preserved (ordering is what winnowing is
+    // about — Dedup.shingles dedups and would break windows)
+    val shingleArr = when(size(toks) < shingleK, array(concat_ws(" ", toks)))
+      .otherwise(transform(
+        sequence(lit(0), size(toks) - shingleK),
+        i => concat_ws(" ", slice(toks, i + 1, lit(shingleK)))))
+    val hashed = df
+      .select(col(idCol), posexplode(shingleArr).as(Seq("pos", "_sh")))
+      .select(col(idCol), col("pos"),
+        conv(substring(md5(col("_sh")), 1, 15), 16, 10).cast("long").as("_h"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(idCol).orderBy("pos").rowsBetween(0, window - 1)
+    hashed
+      .select(col(idCol), min(col("_h")).over(w).as("fingerprint"))
+      .distinct()
+  }
+
   /** TF-IDF per (document, term): tf * ln(N / df). Two hash aggregates and
     * one broadcast-able join on term — the classic formulation, no ML-lib
     * state. docCount is passed in (a cheap count) so the plan stays a pure

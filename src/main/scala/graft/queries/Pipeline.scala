@@ -299,6 +299,28 @@ object Pipeline {
       Some("SELECT lang, source, count(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS total_chars " +
         "FROM documents GROUP BY lang, source")),
 
+    // Winnowing fingerprints: the SQL twin replays the same shingle stream
+    // (positions from the shared shingle CTEs), the same portable hash, and
+    // the same w=4 trailing window.
+    Q("t6_winnow_fingerprint",
+      (s, d) => TextOps.winnowFingerprints(Tables.documents(s, d), "doc_id", "text"),
+      Some("""WITH toks AS (
+        |  SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
+        |  FROM documents
+        |), idx AS (
+        |  SELECT doc_id, t, unnest(generate_series(1, greatest(len(t) - 2, 1))) AS i FROM toks
+        |), sh0 AS (
+        |  SELECT doc_id, i, CASE WHEN len(t) < 3 THEN array_to_string(t, ' ')
+        |    ELSE t[i] || ' ' || t[i+1] || ' ' || t[i+2] END AS sh FROM idx
+        |), h AS (
+        |  SELECT doc_id, i, CAST(('0x' || substring(md5(sh), 1, 15)) AS BIGINT) AS h FROM sh0
+        |), wmin AS (
+        |  SELECT doc_id, min(h) OVER (
+        |    PARTITION BY doc_id ORDER BY i ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING
+        |  ) AS fingerprint FROM h
+        |)
+        |SELECT DISTINCT doc_id, fingerprint FROM wmin""".stripMargin)),
+
     // ------------------------------------------------------- similarity search
     // Exact brute-force cosine top-k (baseline) and LSH-bucketed approximate
     // variant (scale path) — scores are float-reduction-order sensitive, so

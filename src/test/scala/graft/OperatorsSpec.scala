@@ -83,6 +83,25 @@ class OperatorsSpec extends SparkSpec {
     assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))
   }
 
+  test("winnowing: shared runs >= w+k-1 tokens share a fingerprint; selection is sparse") {
+    import spark.implicits._
+    val sharedRun = "quick brown fox jumps over the lazy dog tonight"  // 9 tokens
+    val df = Seq(
+      (1L, s"alpha beta gamma $sharedRun delta epsilon"),
+      (2L, s"one two three four five $sharedRun six seven"),
+      (3L, "completely different words without any overlap at all here")).toDF("doc_id", "text")
+    val fps = TextOps.winnowFingerprints(df, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val byDoc = fps.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    // guarantee: 9 shared tokens >= w + k - 1 = 6 → at least one common fingerprint
+    assert((byDoc(1L) & byDoc(2L)).nonEmpty)
+    assert((byDoc(1L) & byDoc(3L)).isEmpty)
+    // density: far fewer fingerprints than shingles (~2/(w+1) of positions)
+    val nShingles1 = df.where($"doc_id" === 1L).select(
+      size(split(lower(trim($"text")), "\\s+"))).head.getInt(0) - 2
+    assert(byDoc(1L).size < nShingles1)
+  }
+
   test("portable hash family: same LSH guarantees as the xxhash64 default") {
     import spark.implicits._
     val df = Seq(
