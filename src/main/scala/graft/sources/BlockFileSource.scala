@@ -122,32 +122,77 @@ object BlockFileSource {
       if (isCoinbase) Seq.empty else inputs, outputs)
   }
 
-  /** Parse one blk-file's bytes into blocks (magic-framed records). */
-  def parseFile(raw: Array[Byte], networkMagic: Int = Magic): Seq[RawBlock] = {
+  /** Parse one blk-file's bytes into blocks (magic-framed records).
+    * Strict: any framing or body corruption throws (kills the task — the
+    * right default for trusted node output, and what the reference does:
+    * BlockchainToGraph.java:431 asserts-and-dies).
+    */
+  def parseFile(raw: Array[Byte], networkMagic: Int = Magic): Seq[RawBlock] =
+    parseCore(raw, networkMagic, lenient = false)._1
+
+  /** Lenient parse: on corruption, RESYNC at the next magic marker and keep
+    * going, returning (blocks, bytes skipped). At 100 TB one flipped byte in
+    * one of ~66k files must quarantine a region, not kill the scan.
+    */
+  def parseFileLenient(raw: Array[Byte], networkMagic: Int = Magic): (Seq[RawBlock], Long) =
+    parseCore(raw, networkMagic, lenient = true)
+
+  /** The 4 magic bytes as they appear on disk (big-endian constant). */
+  private def magicBytes(networkMagic: Int): Array[Byte] = Array(
+    (networkMagic >>> 24).toByte, (networkMagic >>> 16).toByte,
+    (networkMagic >>> 8).toByte, networkMagic.toByte)
+
+  private def findMagic(raw: Array[Byte], from: Int, m: Array[Byte]): Int = {
+    var i = math.max(from, 0)
+    while (i + 4 <= raw.length) {
+      if (raw(i) == m(0) && raw(i + 1) == m(1) && raw(i + 2) == m(2) && raw(i + 3) == m(3))
+        return i
+      i += 1
+    }
+    -1
+  }
+
+  private def parseCore(
+      raw: Array[Byte], networkMagic: Int, lenient: Boolean): (Seq[RawBlock], Long) = {
     val r = new Reader(ByteBuffer.wrap(raw).order(ByteOrder.LITTLE_ENDIAN))
+    val m = magicBytes(networkMagic)
     val out = Seq.newBuilder[RawBlock]
+    var skipped = 0L
     while (r.buf.remaining() >= 8) {
-      val magic = ((r.u8()) | (r.u8() << 8) | (r.u8() << 16) | (r.u8() << 24))
-      if (magic == 0) { /* zero padding at file tail */ }
-      else if (Integer.reverseBytes(magic) != networkMagic)
-        throw new IllegalArgumentException(f"bad magic 0x$magic%08x")
-      else {
-        val size = r.u32().toInt
-        val blockStart = r.buf.position()
-        val headerHash = hashHex(sha256d(raw, blockStart, 80))
-        r.i32() // version
-        val prev = r.bytes(32)
-        r.skip(32) // merkle root
-        val time = r.u32()
-        r.skip(8) // bits, nonce
-        val nTx = r.varInt().toInt
-        val txs = (0 until nTx).map(_ => parseTx(r, raw))
-        require(r.buf.position() == blockStart + size,
-          s"block size mismatch: read ${r.buf.position() - blockStart}, framed $size")
-        out += RawBlock(headerHash, hashHex(prev), time, txs)
+      val recordStart = r.buf.position()
+      try {
+        val magic = ((r.u8()) | (r.u8() << 8) | (r.u8() << 16) | (r.u8() << 24))
+        if (magic == 0) { /* zero padding at file tail */ }
+        else if (Integer.reverseBytes(magic) != networkMagic)
+          throw new IllegalArgumentException(f"bad magic 0x$magic%08x")
+        else {
+          val size = r.u32().toInt
+          val blockStart = r.buf.position()
+          val headerHash = hashHex(sha256d(raw, blockStart, 80))
+          r.i32() // version
+          val prev = r.bytes(32)
+          r.skip(32) // merkle root
+          val time = r.u32()
+          r.skip(8) // bits, nonce
+          val nTx = r.varInt().toInt
+          val txs = (0 until nTx).map(_ => parseTx(r, raw))
+          require(r.buf.position() == blockStart + size,
+            s"block size mismatch: read ${r.buf.position() - blockStart}, framed $size")
+          out += RawBlock(headerHash, hashHex(prev), time, txs)
+        }
+      } catch {
+        case e: Throwable if lenient =>
+          // quarantine [recordStart, next magic) and carry on
+          val next = findMagic(raw, recordStart + 1, m)
+          if (next < 0) {
+            skipped += raw.length - recordStart
+            return (out.result(), skipped)
+          }
+          skipped += next - recordStart
+          r.buf.position(next)
       }
     }
-    out.result()
+    (out.result(), skipped)
   }
 
   /** Distributed scan: every blk file → parsed blocks. */
@@ -158,6 +203,27 @@ object BlockFileSource {
       .load(path)
       .select("content").as[Array[Byte]]
       .flatMap(parseFile(_, networkMagic))
+  }
+
+  /** [[read]] with per-record corruption quarantine: damaged regions are
+    * skipped via magic-resync instead of killing the task, and the total
+    * skipped byte count surfaces in the returned accumulator (valid after an
+    * action) — monitor it, alert on nonzero, but finish the 100 TB scan.
+    */
+  def readLenient(spark: SparkSession, path: String, networkMagic: Int = Magic)
+      : (Dataset[RawBlock], org.apache.spark.util.LongAccumulator) = {
+    import spark.implicits._
+    val acc = spark.sparkContext.longAccumulator("graft.corruptBytesSkipped")
+    val ds = spark.read.format("binaryFile")
+      .option("pathGlobFilter", "blk*.dat")
+      .load(path)
+      .select("content").as[Array[Byte]]
+      .flatMap { bytes =>
+        val (blocks, skipped) = parseFileLenient(bytes, networkMagic)
+        if (skipped > 0) acc.add(skipped)
+        blocks
+      }
+    (ds, acc)
   }
 
   /** The previous [[toBronze]] call's cached parse: each call swaps its

@@ -115,6 +115,34 @@ class BlockFileSpec extends SparkSpec {
     assert(txs1(tx1id).outputs.map(o => (o.idx, o.value)) == Seq((0, 3000000000L), (1, 1900000000L)))
   }
 
+  test("lenient parse: corruption quarantines a region via magic-resync, strict throws") {
+    val (cbA, cbAid) = tx(Seq((coinbasePrev, -1)), Seq((5000000000L, p2pkh(1))))
+    val (bA, hA) = block("0" * 64, 1000, Seq(cbA))
+    val (cbB, _) = tx(Seq((coinbasePrev, -1)), Seq((5000000000L, p2pkh(2))))
+    val (bB, hB) = block(hA, 1600, Seq(cbB))
+    val (cbC, _) = tx(Seq((coinbasePrev, -1)), Seq((5000000000L, p2pkh(3))))
+    val (bC, hC) = block(hB, 2200, Seq(cbC))
+
+    // corrupt block B's tx-count varint (offset: 8 frame + 80 header) to the
+    // 8-byte form — the parser reads a garbage count and runs off the body
+    val corruptB = bB.clone()
+    corruptB(8 + 80) = 0xFF.toByte
+    val raw = bA ++ corruptB ++ bC
+
+    intercept[Exception](BlockFileSource.parseFile(raw))
+    val (blocks, skipped) = BlockFileSource.parseFileLenient(raw)
+    // A parses; B is quarantined (resync lands on C's magic); C parses
+    assert(blocks.map(_.hash) == Seq(hA, hC))
+    assert(skipped == corruptB.length)
+
+    // distributed form: accumulator surfaces the skipped bytes
+    val dir = Files.createTempDirectory("graft-blk-corrupt")
+    Files.write(Paths.get(dir.toString, "blk00000.dat"), raw)
+    val (ds, acc) = BlockFileSource.readLenient(spark, dir.toString)
+    assert(ds.collect().map(_.hash).toSet == Set(hA, hC))
+    assert(acc.value == corruptB.length)
+  }
+
   test("blk files -> bronze -> gold pipeline end-to-end") {
     val (cb0bytes, cb0id) = tx(Seq((coinbasePrev, -1)), Seq((5000000000L, p2pkh(1))))
     val (b0bytes, b0hash) = block("0" * 64, 1000, Seq(cb0bytes))
