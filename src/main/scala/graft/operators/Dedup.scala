@@ -208,6 +208,45 @@ object Dedup {
       .where(col("jaccard") >= threshold)
   }
 
+  /** Transitive near-duplicate clusters from a candidate-pair table: each
+    * document maps to the MIN doc id of its connected component (keep that
+    * one, drop the rest — the group-assignment step every dedup pipeline
+    * ends with). GraphX connectedComponents — O(diameter) supersteps — with
+    * the same join-based dense-id assignment and swap-unpersist cache
+    * discipline as [[graft.chain.WalletCluster]]. Pairs from ANY generator
+    * compose: minhash/simhash candidates, verified Jaccard/cosine pairs.
+    *
+    * @param docs  one-column DF of all doc ids (singletons cluster alone)
+    * @param pairs (id1, id2) near-dup pairs
+    * @return (doc_id, cluster_id)
+    */
+  def nearDupClusters(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    import org.apache.spark.graphx.{Edge, Graph}
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val idCol = docs.columns.head
+    val universe = docs.select(col(idCol).cast("long").as("doc_id")).distinct()
+    val vertices = universe.rdd.map(_.getLong(0))
+    val edges = pairs
+      .select(col(pairs.columns.head).cast("long"), col(pairs.columns(1)).cast("long"))
+      .rdd.map(r => Edge(r.getLong(0), r.getLong(1), ()))
+    // doc ids are already longs — no zipWithUniqueId indirection needed; the
+    // component label GraphX picks is the min VERTEX id = min doc id.
+    val graph = Graph(vertices.map(_ -> ()), edges)
+    val ccGraph = graph.connectedComponents()
+    val out = ccGraph.vertices.toDF("doc_id", "cluster_id")
+      .join(universe, "doc_id") // drop ids that only appear in pairs, not docs
+    val (outDf, outRdd) = ChainOps.rebase(out)
+    ccGraph.unpersist(blocking = false)
+    graph.unpersist(blocking = false)
+    Option(lastClusters.getAndSet(outRdd)).foreach(_.unpersist(blocking = false))
+    outDf
+  }
+
+  /** Previous nearDupClusters materialization (swap-unpersist per call). */
+  private val lastClusters =
+    new java.util.concurrent.atomic.AtomicReference[org.apache.spark.rdd.RDD[_]](null)
+
   /** 64-bit SimHash: sign-aggregated token hashes. One explode + one agg;
     * the per-bit +/-1 sums are partial-aggregated map-side. With
     * `portable = true` the token hash is the md5-derived 60-bit value

@@ -216,6 +216,37 @@ object Pipeline {
           |WHERE CAST(i AS DOUBLE) / (s1.n + s2.n - i) >= 0.8""".stripMargin)),
 
     // MinHash / SimHash signatures are engine-defined — rows-only gate.
+    // Transitive dedup-group assignment: exact-Jaccard pairs (the d3 gate)
+    // → GraphX connected components → keep-one-per-cluster labels. Oracle
+    // re-derives the pairs in SQL and closes them by recursive min-label
+    // propagation to fixpoint (the bk5 pattern).
+    Q("d7_neardup_clusters",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+          shingleK = 3, threshold = 0.8)
+        Dedup.nearDupClusters(docs.select("doc_id"), pairs.select("id1", "id2"))
+      },
+      Some(s"""WITH RECURSIVE $shingleCtes, sizes AS (
+        |  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+        |), inter AS (
+        |  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS i
+        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |), pairs AS (
+        |  SELECT id1, id2 FROM inter
+        |  JOIN sizes s1 ON id1 = s1.doc_id JOIN sizes s2 ON id2 = s2.doc_id
+        |  WHERE CAST(i AS DOUBLE) / (s1.n + s2.n - i) >= 0.8
+        |), undirected AS (
+        |  SELECT id1 AS a, id2 AS b FROM pairs
+        |  UNION ALL SELECT id2, id1 FROM pairs
+        |), lbl(doc_id, cluster) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT u.a, l.cluster FROM undirected u JOIN lbl l ON u.b = l.doc_id
+        |)
+        |SELECT doc_id, min(cluster) AS cluster_id FROM lbl GROUP BY doc_id""".stripMargin)),
+
     // Registered with the portable (md5-derived) hash family so the full
     // signatures → banding → candidate-pairs path is recomputed exactly by
     // the DuckDB oracle; production callers keep the faster xxhash64 default.

@@ -83,6 +83,16 @@ class OperatorsSpec extends SparkSpec {
     assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))
   }
 
+  test("nearDupClusters: transitive closure over pairs, min-id labels, singletons alone") {
+    import spark.implicits._
+    val docs = (1L to 6L).toDF("doc_id")
+    // chain 1-2, 2-3 (transitive); island 4-5; singleton 6
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("id1", "id2")
+    val got = Dedup.nearDupClusters(docs, pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L, 6L -> 6L))
+  }
+
   test("winnowing: shared runs >= w+k-1 tokens share a fingerprint; selection is sparse") {
     import spark.implicits._
     val sharedRun = "quick brown fox jumps over the lazy dog tonight"  // 9 tokens
