@@ -211,24 +211,63 @@ object Similarity {
   /** Probe a built IVF index: each query exact-scores only its `nprobe`
     * nearest cells — a broadcast hash join on the cell id touching
     * ~nprobe/nlist of the corpus, then an exact cosine re-rank.
+    *
+    * Queries are collected driver-side (they are the BROADCAST side by
+    * contract — a query batch is small) so the probed cell SET is known
+    * before the plan runs: the `cell IN (...)` filter prunes statically —
+    * against a [[saveIvfIndex]] cell-partitioned on-disk index, whole cell
+    * directories are never even listed, the file-level form of IVF's
+    * nprobe/nlist scan reduction.
     */
   def ivfProbe(model: IvfModel, queries: DataFrame, k: Int, nprobe: Int = 8): DataFrame = {
     val spark = model.cells.sparkSession
     import spark.implicits._
     val idCol = model.idCol
-    val bc = spark.sparkContext.broadcast(model.centroids)
-    val probes = queries.select(col(idCol).cast("long"), col(model.vecCol))
-      .as[(Long, Array[Float])]
-      .flatMap { case (qid, qv) => nearestCells(qv, bc.value, nprobe).map(c => (c, qid, qv)) }
-      .toDF("cell", "query_id", "_qv")
+    val qRows = queries.select(col(idCol).cast("long"), col(model.vecCol))
+      .as[(Long, Array[Float])].collect()
+    val probeRows = qRows.flatMap { case (qid, qv) =>
+      nearestCells(qv, model.centroids, nprobe).map(c => (c, qid, qv))
+    }
+    val probes = spark.createDataset(probeRows.toSeq).toDF("cell", "query_id", "_qv")
+    val probedCells = probeRows.map(_._1).distinct.map(Integer.valueOf).toSeq
     val w = Window.partitionBy("query_id")
       .orderBy(col("score").desc, col(idCol).asc)
-    model.cells.join(broadcast(probes), "cell")
+    model.cells.where(col("cell").isin(probedCells: _*))
+      .join(broadcast(probes), "cell")
       .where(col(idCol) =!= col("query_id"))
       .select(col("query_id"), col(idCol),
         cosine(col(model.vecCol), col("_qv")).as("score"))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
+  }
+
+  /** Persist a built index: the cell assignment as parquet PARTITIONED BY
+    * cell plus the kilobyte centroid matrix. Build once on the cluster that
+    * can afford the corpus pass; every later session [[loadIvfIndex]]s and
+    * probes with static cell-partition pruning — no rebuild, no full scan.
+    */
+  def saveIvfIndex(model: IvfModel, dir: String): Unit = {
+    val spark = model.cells.sparkSession
+    import spark.implicits._
+    model.centroids.zipWithIndex.map { case (c, i) => (i, c) }.toSeq
+      .toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
+    model.cells.write.mode("overwrite").partitionBy("cell").parquet(s"$dir/cells")
+  }
+
+  /** Load a [[saveIvfIndex]]-written index. The cells stay DISK-BACKED (no
+    * persist): probes read only the pruned cell partitions, which is the
+    * point of the on-disk layout — callers probing the same cells repeatedly
+    * can `.cells.persist()` themselves.
+    */
+  def loadIvfIndex(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      idCol: String, vecCol: String): IvfModel = {
+    import spark.implicits._
+    val centroids = spark.read.parquet(s"$dir/centroids")
+      .select(col("cell"), col("centroid"))
+      .as[(Int, Array[Float])].collect().sortBy(_._1).map(_._2)
+    IvfModel(centroids, spark.read.parquet(s"$dir/cells"), idCol, vecCol)
   }
 
   /** IVF approximate top-k: same output shape as [[bruteForceTopK]]. The

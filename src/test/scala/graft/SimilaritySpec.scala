@@ -69,6 +69,27 @@ class SimilaritySpec extends SparkSpec {
       s"leaked persisted RDDs: $baseline -> $persistedNow")
   }
 
+  test("IVF save/load: identical probe results, partition-pruned scan") {
+    val emb = Tables.embeddings(spark, sf)
+    val queries = emb.filter(col("vec_id") < 5)
+    val built = Similarity.ivfIndex(emb, "vec_id", "embedding", nlist = 16)
+    val inMem = topkSet(Similarity.ivfProbe(built, queries, k = 5, nprobe = 4), "vec_id")
+
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+    Similarity.saveIvfIndex(built, dir)
+    val loaded = Similarity.loadIvfIndex(spark, dir, "vec_id", "embedding")
+    assert(loaded.centroids.map(_.toSeq).toSeq == built.centroids.map(_.toSeq).toSeq)
+
+    val probe = Similarity.ivfProbe(loaded, queries, k = 5, nprobe = 4)
+    assert(topkSet(probe, "vec_id") == inMem)
+    // the cell IN (...) filter reaches the partitioned scan: pruned partition
+    // count < nlist (the probed-cell union of 5 queries × 4 probes)
+    val scan = probe.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") || scan.contains("cell IN"),
+      s"expected partition pruning in plan:\n${scan.take(2000)}")
+    built.unpersist()
+  }
+
   test("k-means training is deterministic and centroids are unit-norm") {
     val sample = Array.tabulate(200)(i =>
       Array.tabulate(8)(j => math.sin(i * 31 + j * 7).toFloat))
