@@ -18,8 +18,8 @@ object Bench {
     "w1_rank", "w3_running_sum", "w4_sessionize",
     "o1_topk", "e1_tumbling_counts", "e3_session_window",
     "d1_exact_dedup", "d2_fingerprint_dedup", "d3b_ngram_jaccard_capped",
-    "d4_minhash_pairs",
-    "t1_token_stats", "t5_tfidf",
+    "d4_minhash_pairs", "d7_neardup_clusters",
+    "t1_token_stats", "t5_tfidf", "t6_winnow_fingerprint",
     "sim1_cosine_topk", "sim2_lsh_topk", "sim5_ivf_topk",
     "bc5_block_stats", "bc7_wallet_clusters",
     "bk0_e2e_pipeline", "bk2_tx_stats", "bk4_address_stats")

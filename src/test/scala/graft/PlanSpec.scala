@@ -58,6 +58,13 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("winnowing plans as explode + window + distinct — no joins at all") {
+    val p = plan("t6_winnow_fingerprint")
+    assert(!p.contains("Join"), p)
+    assert(p.contains("Window"), p)
+    assert(p.contains("Generate"), p) // the posexplode
+  }
+
   test("near-dup default path is the band equi-join, never a quadratic join") {
     import org.apache.spark.sql.functions.col
     val emb = graft.tables.Tables.embeddings(spark, sf).where(col("vec_id") < 100)
