@@ -87,15 +87,24 @@ object TextOps {
     */
   def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
       shingleK: Int = 3, window: Int = 4): DataFrame = {
-    val toks = tokens(col(textCol))
-    // ordered shingles, duplicates preserved (ordering is what winnowing is
-    // about — Dedup.shingles dedups and would break windows)
-    val shingleArr = when(size(toks) < shingleK, array(concat_ws(" ", toks)))
-      .otherwise(transform(
-        sequence(lit(0), size(toks) - shingleK),
-        i => concat_ws(" ", slice(toks, i + 1, lit(shingleK)))))
+    val spark = df.sparkSession
+    import spark.implicits._
+    // Ordered shingles, duplicates preserved (ordering is what winnowing is
+    // about — Dedup.shingles dedups and would break windows), emitted by a
+    // typed flatMap: the higher-order transform/slice form is interpreted
+    // per element and measured ~3× slower here (same trade as
+    // Dedup.shingleRows). Locale.ROOT lowercase matches Spark's `lower`.
     val hashed = df
-      .select(col(idCol), posexplode(shingleArr).as(Seq("pos", "_sh")))
+      .select(col(idCol).cast("long"), col(textCol).cast("string"))
+      .as[(Long, String)]
+      .flatMap { t =>
+        val toks = t._2.trim.toLowerCase(java.util.Locale.ROOT).split("\\s+")
+        val sh: Iterator[String] =
+          if (toks.length < shingleK) Iterator.single(toks.mkString(" "))
+          else toks.sliding(shingleK).map(_.mkString(" "))
+        sh.zipWithIndex.map { case (s, i) => (t._1, i, s) }
+      }
+      .toDF(idCol, "pos", "_sh")
       .select(col(idCol), col("pos"),
         conv(substring(md5(col("_sh")), 1, 15), 16, 10).cast("long").as("_h"))
     val w = org.apache.spark.sql.expressions.Window

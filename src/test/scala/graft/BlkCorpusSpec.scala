@@ -12,7 +12,7 @@ import graft.sources.BlockFileSource
   */
 class BlkCorpusSpec extends SparkSpec {
 
-  test("corpus: 5.2k-block chain with orphans and a >=100-block stale branch") {
+  test("corpus: 50k-block chain with orphans and a >=100-block stale branch") {
     BlkCorpus.ensureMaterialized(spark)
     val ann = spark.read.parquet(BlkCorpus.annotatedDir).cache()
     val n = ann.count()

@@ -58,11 +58,11 @@ class PlanSpec extends SparkSpec {
     }
   }
 
-  test("winnowing plans as explode + window + distinct — no joins at all") {
+  test("winnowing plans as shingle-stream + window + distinct — no joins at all") {
     val p = plan("t6_winnow_fingerprint")
     assert(!p.contains("Join"), p)
     assert(p.contains("Window"), p)
-    assert(p.contains("Generate"), p) // the posexplode
+    assert(p.contains("MapPartitions"), p) // the JIT'd shingle flatMap
   }
 
   test("near-dup default path is the band equi-join, never a quadratic join") {
