@@ -89,28 +89,33 @@ object BestChain {
   private val lastAnn =
     new java.util.concurrent.atomic.AtomicReference[org.apache.spark.rdd.RDD[_]](null)
 
-  /** The distributed doubling path — O(log_Arity depth) self-join rounds.
+  /** The distributed doubling path — O(log_Arity depth) self-join rounds for
+    * heights, then membership = the tip's ancestor set, by one of two
+    * routes picked on the block count (the same size cut as Spark's own
+    * broadcast-vs-shuffle join decision):
     *
-    * One pointer-jumping pass (ChainOps.resolve, tables retained) yields
-    * heights AND the Arity^r jump tables; membership then enumerates the
-    * tip's ancestors by lifting descent over those SAME tables — table r
-    * applied 0..Arity−1 times per round covers every base-Arity digit — so
-    * no second table-squaring loop exists at all. The tip's ROOT seeds S
-    * directly (it is an ancestor by definition), which keeps the loop off
-    * the saturated final table.
-    *
-    * Each membership round is one job: Arity−1 chained jump joins (broadcast
-    * when the block set fits — the round is then a single narrow stage up to
-    * the dedup shuffle), a distinct, and a lineage-truncating rebase. The
-    * rebase is load-bearing: each jump EMBEDS the previous S plan, so an
-    * unmaterialized chain of rounds duplicates the S subtree Arity× per
-    * round and plan canonicalization goes combinatorial (observed as a
-    * driver OOM at 50k blocks).
+    *  - **≤ [[graft.operators.ChainOps.BroadcastMaxRows]]**: the parent map
+    *    fits the broadcast envelope (the exact build-side collect a
+    *    BroadcastExchange performs), so ONE executor task walks tip→root over
+    *    the broadcast map — O(height) hash lookups, one job, no loop. An
+    *    ancestor walk is inherently sequential (each hop needs the previous
+    *    hash), so a single in-memory walk is the optimal plan whenever the
+    *    map ships.
+    *  - **above it**: the walk's state no longer ships, so membership runs
+    *    the ancestor-doubling loop over the jump tables retained from the
+    *    height pass (tables are only persisted in this regime): the frontier
+    *    S starts at {tip, root} and one round per table — Arity−1 chained
+    *    jump joins, a distinct, and a lineage-truncating rebase — grows it
+    *    Arity× per round. The rebase is load-bearing: each jump EMBEDS the
+    *    previous S plan, so an unmaterialized chain of rounds duplicates the
+    *    S subtree Arity× per round and plan canonicalization goes
+    *    combinatorial (observed as a driver OOM at 50k blocks).
     */
   def annotateDistributed(blocks: DataFrame): DataFrame = {
     import ChainOps.traced
     val resolved = traced("annotate: resolve")(ChainOps.resolve(
-      blocks.select("hash", "parent_hash"), "hash", "parent_hash", keepTables = true))
+      blocks.select("hash", "parent_hash"), "hash", "parent_hash",
+      keepTablesIf = _ > ChainOps.BroadcastMaxRows))
     val h = resolved.result
       .select(col("id").as("hash"), col("dist").cast("int").as("height"))
     val withH = blocks.join(h, "hash")
@@ -119,6 +124,7 @@ object BestChain {
       .orderBy(col("dist").desc, col("id").asc).select("id", "dist", "ptr").take(1))
     if (tipRows.isEmpty) { // empty chain: empty annotation, not a driver crash
       resolved.tables.foreach(_._2.unpersist(blocking = false))
+      resolved.resultRdd.unpersist(blocking = false)
       return withH.withColumn("is_on_best_chain", lit(false))
     }
     val tipHash = tipRows(0).getString(0)
@@ -128,32 +134,66 @@ object BestChain {
 
     val spark = blocks.sparkSession
     import spark.implicits._
-    // S: known ancestors of the tip. Starts at {tip, genesis}; after
-    // consuming table r it covers every distance in [0, Arity^(r+1)-1]
-    // ∪ {height}.
-    var s = Seq(tipHash, tipRoot).distinct.toDF("hash")
+    // the frontier's backing RDD on the loop route — dropped after the
+    // final rebase below (the walk route has no loop state)
     var sRdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = null
-    var span = 1L // = Arity^r, the jump distance of the table being consumed
-    resolved.tables.foreach { case (tbl, _) =>
-      if (span <= tipHeight) {
-        // jump: follow tbl's Arity^r pointer once; saturated rows land on
-        // their root, which for members of S is the (already-seeded) tip
-        // root.
-        def jump(cur: DataFrame, t: Int): DataFrame = {
-          val j0 = tbl.select(col("id").as(s"jid$t"), col("ptr").as(s"jptr$t"))
-          val j = if (bcast) broadcast(j0) else j0
-          cur.join(j, cur("hash") === j(s"jid$t")).select(col(s"jptr$t").as("hash"))
+    var s =
+      if (bcast) traced("annotate: membership walk") {
+        // Broadcast-envelope route: ship the parent map, walk in one task.
+        // Dangling parents (hash never seen as a block) terminate the walk
+        // without being emitted — they are pointers, not blocks — matching
+        // the loop's saturate-at-root semantics.
+        val pairs = blocks.select("hash", "parent_hash").collect()
+        val ids = new java.util.HashSet[String](pairs.length * 2)
+        val parentOf = new java.util.HashMap[String, String](pairs.length * 2)
+        pairs.foreach { r =>
+          ids.add(r.getString(0))
+          if (!r.isNullAt(1)) parentOf.put(r.getString(0), r.getString(1))
         }
-        val hops = Iterator.iterate(s -> 0) { case (cur, t) => jump(cur, t + 1) -> (t + 1) }
-          .drop(1).take(ChainOps.Arity - 1).map(_._1).toSeq
-        val (ns, nsRdd) = ChainOps.traced(s"annotate: membership span=$span")(
-          ChainOps.rebase(hops.foldLeft(s)(_ unionByName _).distinct()))
-        if (sRdd != null) sRdd.unpersist(blocking = false)
-        s = ns; sRdd = nsRdd
-        span *= ChainOps.Arity
+        val bc = spark.sparkContext.broadcast((ids, parentOf))
+        spark.range(1).as[Long].flatMap { _ =>
+          val (bIds, bParent) = bc.value
+          new Iterator[String] {
+            private var cur: String = if (bIds.contains(tipHash)) tipHash else null
+            def hasNext: Boolean = cur != null
+            def next(): String = {
+              val out = cur
+              val p = bParent.get(cur)
+              cur = if (p != null && bIds.contains(p)) p else null
+              out
+            }
+          }
+        }.toDF("hash")
+      } else {
+        // S: known ancestors of the tip. Starts at {tip, genesis}; after
+        // consuming table r it covers every distance in [0, Arity^(r+1)-1]
+        // ∪ {height}.
+        var s = Seq(tipHash, tipRoot).distinct.toDF("hash")
+        var span = 1L // = Arity^r, the jump distance of the table being consumed
+        resolved.tables.foreach { case (tbl, _) =>
+          if (span <= tipHeight) {
+            // jump: follow tbl's Arity^r pointer once; saturated rows land on
+            // their root, which for members of S is the (already-seeded) tip
+            // root.
+            def jump(cur: DataFrame, t: Int): DataFrame = {
+              val j0 = tbl.select(col("id").as(s"jid$t"), col("ptr").as(s"jptr$t"))
+              cur.join(j0, cur("hash") === j0(s"jid$t")).select(col(s"jptr$t").as("hash"))
+            }
+            val hops = Iterator.iterate(s -> 0) { case (cur, t) => jump(cur, t + 1) -> (t + 1) }
+              .drop(1).take(ChainOps.Arity - 1).map(_._1).toSeq
+            val (ns, nsRdd) = ChainOps.traced(s"annotate: membership span=$span")(
+              ChainOps.rebase(hops.foldLeft(s)(_ unionByName _).distinct()))
+            if (sRdd != null) sRdd.unpersist(blocking = false)
+            s = ns; sRdd = nsRdd
+            span *= ChainOps.Arity
+          }
+          ()
+        }
+        s
       }
-      ()
-    }
+    // The membership set is ≤ chain height rows of one hash column — always
+    // the small side of the final annotate join.
+    s = if (bcast) broadcast(s) else s
     val ann = withH
       .join(s.withColumn("is_on_best_chain", lit(true)), Seq("hash"), "left")
       .na.fill(false, Seq("is_on_best_chain"))
@@ -162,6 +202,9 @@ object BestChain {
     // annotation — so repeated annotations hold one copy, not one per run.
     val (annDf, annRdd) = ChainOps.traced("annotate: final rebase")(ChainOps.rebase(ann))
     resolved.tables.foreach(_._2.unpersist(blocking = false))
+    // On the walk route no tables were kept, so the height pass's final
+    // state RDD is not covered by the loop above — drop it explicitly.
+    resolved.resultRdd.unpersist(blocking = false)
     if (sRdd != null) sRdd.unpersist(blocking = false)
     Option(lastAnn.getAndSet(annRdd)).foreach(_.unpersist(blocking = false))
     annDf

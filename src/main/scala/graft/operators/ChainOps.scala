@@ -138,7 +138,17 @@ object ChainOps {
 
   private[graft] def resolve(
       nodes: DataFrame, idCol: String, parentCol: String,
-      keepTables: Boolean): Resolved = {
+      keepTables: Boolean): Resolved =
+    resolve(nodes, idCol, parentCol, keepTablesIf = _ => keepTables)
+
+  /** [[resolve]] with the keep-tables decision deferred until the node count
+    * is known — [[graft.chain.BestChain]] only needs the jump tables on the
+    * above-broadcast-envelope path, and persisting them for a small forest is
+    * pure overhead.
+    */
+  private[graft] def resolve(
+      nodes: DataFrame, idCol: String, parentCol: String,
+      keepTablesIf: Long => Boolean): Resolved = {
     val tables = scala.collection.mutable.ArrayBuffer
       .empty[(DataFrame, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row])]
     var (state, stateRdd, unresolved) = traced("resolve round 0 (init rebase)")(
@@ -149,10 +159,12 @@ object ChainOps {
           when(col(parentCol).isNull, lit(0L)).otherwise(lit(1L)).as("dist"),
           col(parentCol).isNull.as("done")),
         boolIdx = 3))
-    if (keepTables) tables += ((state, stateRdd))
-    // The table size is fixed across rounds, so the broadcast decision is
-    // made once; counting the already-persisted RDD is a cache scan.
+    // The table size is fixed across rounds, so the broadcast and
+    // keep-tables decisions are made once; counting the already-persisted
+    // RDD is a cache scan.
     val n = stateRdd.count()
+    val keepTables = keepTablesIf(n)
+    if (keepTables) tables += ((state, stateRdd))
     val bcast = n <= BroadcastMaxRows
     var r = 0
     while (unresolved > 0) {
