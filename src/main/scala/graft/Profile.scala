@@ -48,11 +48,9 @@ object Profile {
         val outs = bronze("tx_outputs")
           .join(cTxs.select("tx_hash"), Seq("tx_hash"), "left_semi")
         prev.foreach(_.unpersist(blocking = false))
-        prev = Seq(cTxs, rin, outs)
+        prev = Seq(cTxs)
         prev.foreach(_.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-        t("scratch materialize (cTxs+rin+outs)") {
-          force(cTxs); force(rin); force(outs)
-        }
+        t("scratch materialize (cTxs)")(force(cTxs))
         val ts = GoldStats.txStats(cTxs, rin, outs)
         t("digest (txStats agg x ann agg)")(force(
           ann.agg(

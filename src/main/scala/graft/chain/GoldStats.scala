@@ -32,38 +32,52 @@ object GoldStats {
   /** Per-transaction stats (≙ the 7 Transaction* properties,
     * TransactionGraph.java:140–147).
     *
+    * Shape (same two-level tagged-union pass as [[addressStats]]): spend and
+    * receive events union into one direction-tagged stream grouped per
+    * (tx, address), then per tx — input/output counts and values are sums of
+    * the level-1 partials, and the self-churn flag
+    * (BlockchainToGraph.java:873–882) is exactly "some address has both
+    * directions", free at level 2. That replaces two per-tx aggregates plus
+    * a composite-key semi-join + distinct with two grouped passes (both
+    * partial-aggregated map-side). Only new-address attribution
+    * (BlockchainToGraph.java:1076–1080) needs more: the level-1 pairs —
+    * already deduped, so strictly smaller than raw outputs — join tx height
+    * and take each address's global first appearance (chain order = height,
+    * then tx_hash as the deterministic batch stand-in for intra-block
+    * order). The final assembly joins two tx-grain aggregates instead of
+    * four.
+    *
     * @param cTxs  chainTxs output
     * @param rin   Enrich.resolvedInputs, pre-filtered to best-chain txs
     * @param outs  tx_outputs, pre-filtered to best-chain txs
     */
   def txStats(cTxs: DataFrame, rin: DataFrame, outs: DataFrame): DataFrame = {
-    val inAgg = rin.groupBy("tx_hash").agg(
-      count(lit(1)).as("input_count"),
-      sum("value").as("in_value"))
-    val outAgg = outs.groupBy("tx_hash").agg(
-      count(lit(1)).as("output_count"),
-      sum("value").as("out_value"))
-    // First global appearance of each address (chain order = height, then
-    // tx_hash as the deterministic batch stand-in for intra-block order)
-    // → TransactionNewAddressCount (BlockchainToGraph.java:1076–1080).
-    val firstTx = outs.join(cTxs.select("tx_hash", "height"), "tx_hash")
+    val events = outs.select(col("tx_hash"), col("address"), col("value"), lit("r").as("dir"))
+      .unionByName(rin.select(col("tx_hash"), col("src_address").as("address"),
+        col("value"), lit("s").as("dir")))
+    // Level 1: per (tx, address) — the grain churn and first-appearance need.
+    val perPair = events.groupBy("tx_hash", "address").agg(
+      count(when(col("dir") === "s", lit(1))).as("cnt_s"),
+      count(when(col("dir") === "r", lit(1))).as("cnt_r"),
+      sum(when(col("dir") === "s", col("value"))).as("val_s"),
+      sum(when(col("dir") === "r", col("value"))).as("val_r"))
+    // Level 2: per tx — counts/values re-sum the partials; churn = any
+    // address with both directions.
+    val perTx = perPair.groupBy("tx_hash").agg(
+      sum("cnt_s").as("input_count"),
+      sum("cnt_r").as("output_count"),
+      sum("val_s").as("in_value"),
+      sum("val_r").as("out_value"),
+      max(col("cnt_s") > 0 && col("cnt_r") > 0).as("is_between_one_address"))
+    val firstTx = perPair.where(col("cnt_r") > 0).select("tx_hash", "address")
+      .join(cTxs.select("tx_hash", "height"), "tx_hash")
       .groupBy("address")
       .agg(min(struct(col("height"), col("tx_hash"))).as("f"))
       .select(col("f.tx_hash").as("tx_hash"))
       .groupBy("tx_hash").agg(count(lit(1)).as("new_address_count"))
-    // Self-churn: an output pays an address that also funds the tx
-    // (BlockchainToGraph.java:873–882).
-    val churn = rin.as("i")
-      .join(outs.as("o"),
-        col("i.tx_hash") === col("o.tx_hash") && col("i.src_address") === col("o.address"),
-        "left_semi")
-      .select(col("i.tx_hash")).distinct()
-      .withColumn("is_between_one_address", lit(true))
     cTxs
-      .join(inAgg, Seq("tx_hash"), "left")
-      .join(outAgg, Seq("tx_hash"), "left")
+      .join(perTx, Seq("tx_hash"), "left")
       .join(firstTx, Seq("tx_hash"), "left")
-      .join(churn, Seq("tx_hash"), "left")
       .select(
         col("tx_hash"), col("block_hash"), col("is_coinbase"),
         col("ts").as("date"),

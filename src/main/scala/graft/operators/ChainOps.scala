@@ -85,8 +85,14 @@ object ChainOps {
     * with zero exchanges. Above it, hops fall back to shuffle joins (the
     * general path: at 100 TB a 100M-block table can't broadcast, and the
     * shuffle join is the plan you want there anyway).
+    *
+    * Overridable via the `graft.broadcastMaxRows` system property so specs
+    * can force the above-envelope paths (shuffle hops, loop membership) on
+    * small fixtures — those branches must stay exercised even though every
+    * local corpus fits the envelope.
     */
-  val BroadcastMaxRows: Long = 1L << 20
+  def BroadcastMaxRows: Long =
+    sys.props.get("graft.broadcastMaxRows").map(_.toLong).getOrElse(1L << 20)
 
   /** One saturating pointer hop: advance every unresolved row of `cur` by
     * `state`'s current jump distance. `tag` keeps the hop columns unique so

@@ -30,9 +30,12 @@ object BlkScale {
 
   private def pq(dir: String): String = s"read_parquet('$dir/*.parquet')"
 
-  /** Run-scoped persisted intermediates for the from-raw pipeline (bk0):
-    * cTxs/rin/outs each feed several branches of the digest DAG, so they are
-    * persisted for the run — and each new run swaps its set in, unpersisting
+  /** Run-scoped persisted intermediates for the from-raw pipeline (bk0).
+    * Only frames consumed by SEVERAL branches of the digest DAG belong here
+    * (currently cTxs alone: the two semi-joins, first-appearance, and the
+    * final assembly all read it) — since txStats consumes rin/outs exactly
+    * once via the direction-tagged union, persisting them would be a pure
+    * materialization barrier. Each new run swaps its set in, unpersisting
     * the previous run's (bench reruns hold ONE copy, not one per run).
     */
   private val scratch =
@@ -93,7 +96,7 @@ object BlkScale {
           .join(cTxs.select("tx_hash"), Seq("tx_hash"), "left_semi")
         val outs = bronze("tx_outputs")
           .join(cTxs.select("tx_hash"), Seq("tx_hash"), "left_semi")
-        stageForRun(cTxs, rin, outs)
+        stageForRun(cTxs)
         val ts = GoldStats.txStats(cTxs, rin, outs)
         ann.agg(
             count(lit(1)).as("n_blocks"),

@@ -93,6 +93,25 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("above-envelope route (shuffle hops + loop membership) agrees with the walk route") {
+    // Every local fixture fits the broadcast envelope, so the >BroadcastMaxRows
+    // branches — shuffle-join hops in resolve and ancestor-doubling membership
+    // — would otherwise never run. Force them by shrinking the envelope.
+    import spark.implicits._
+    sys.props("graft.broadcastMaxRows") = "4"
+    try forAllSeeded(forestGen, 4) { nodes =>
+      val df = nodes.toDF("hash", "parent_hash")
+      def norm(d: org.apache.spark.sql.DataFrame) = d
+        .select("hash", "height", "is_on_best_chain").collect()
+        .map(r => (r.getString(0), r.getInt(1), r.getBoolean(2))).toSet
+      val loop = norm(BestChain.annotateDistributed(df))
+      sys.props("graft.broadcastMaxRows") = (1L << 20).toString
+      val walk = try norm(BestChain.annotateDistributed(df))
+      finally sys.props("graft.broadcastMaxRows") = "4"
+      assert(loop == walk)
+    } finally sys.props.remove("graft.broadcastMaxRows")
+  }
+
   test("best chain is a connected path from a root to the max-height tip") {
     import spark.implicits._
     forAllSeeded(forestGen, 10) { nodes =>
