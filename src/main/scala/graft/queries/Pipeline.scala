@@ -223,15 +223,22 @@ object Pipeline {
     Q("d7_neardup_clusters",
       (s, d) => {
         val docs = Tables.documents(s, d)
+        // Capped candidate generation (the d3b scale default) feeds the
+        // cluster assignment: at 100 TB the uncapped shingle self-join is
+        // the part that blows up, and the cap's pair loss is exactly d3b's.
         val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
-          shingleK = 3, threshold = 0.8)
+          shingleK = 3, threshold = 0.8, maxShingleDf = Some(10L))
         Dedup.nearDupClusters(docs.select("doc_id"), pairs.select("id1", "id2"))
       },
-      Some(s"""WITH RECURSIVE $shingleCtes, sizes AS (
+      Some(s"""WITH RECURSIVE $shingleCtes, hot AS (
+        |  SELECT sh FROM sh GROUP BY sh HAVING count(*) > 10
+        |), shc AS (
+        |  SELECT s.* FROM sh s WHERE NOT EXISTS (SELECT 1 FROM hot h WHERE h.sh = s.sh)
+        |), sizes AS (
         |  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
         |), inter AS (
         |  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS i
-        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |  FROM shc a JOIN shc b ON a.sh = b.sh AND a.doc_id < b.doc_id
         |  GROUP BY 1, 2
         |), pairs AS (
         |  SELECT id1, id2 FROM inter
