@@ -226,19 +226,32 @@ object Dedup {
     import spark.implicits._
     val idCol = docs.columns.head
     val universe = docs.select(col(idCol).cast("long").as("doc_id")).distinct()
-    val vertices = universe.rdd.map(_.getLong(0))
-    val edges = pairs
-      .select(col(pairs.columns.head).cast("long"), col(pairs.columns(1)).cast("long"))
-      .rdd.map(r => Edge(r.getLong(0), r.getLong(1), ()))
+    // Materialize the candidate pairs once: vertex derivation, edge
+    // construction and GraphX's own internal scans all read this tiny table,
+    // and each would otherwise re-run the (expensive) pair-generation plan.
+    val (p, pRdd) = ChainOps.rebase(pairs
+      .select(col(pairs.columns.head).cast("long").as("id1"),
+        col(pairs.columns(1)).cast("long").as("id2")))
+    // CC runs over PAIR MEMBERS only — a doc with no near-dup candidate is a
+    // singleton component by construction and labels itself via the final
+    // left join. After dedup-quality candidate generation the pair-member
+    // set is a small fraction of the corpus, so the Pregel graph shrinks by
+    // orders of magnitude.
+    val members = p.select(col("id1").as("doc_id"))
+      .unionByName(p.select(col("id2").as("doc_id"))).distinct()
+    val vertices = members.rdd.map(_.getLong(0))
+    val edges = p.rdd.map(r => Edge(r.getLong(0), r.getLong(1), ()))
     // doc ids are already longs — no zipWithUniqueId indirection needed; the
     // component label GraphX picks is the min VERTEX id = min doc id.
     val graph = Graph(vertices.map(_ -> ()), edges)
     val ccGraph = graph.connectedComponents()
-    val out = ccGraph.vertices.toDF("doc_id", "cluster_id")
-      .join(universe, "doc_id") // drop ids that only appear in pairs, not docs
+    val out = universe
+      .join(ccGraph.vertices.toDF("doc_id", "cluster_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
     val (outDf, outRdd) = ChainOps.rebase(out)
     ccGraph.unpersist(blocking = false)
     graph.unpersist(blocking = false)
+    pRdd.unpersist(blocking = false)
     Option(lastClusters.getAndSet(outRdd)).foreach(_.unpersist(blocking = false))
     outDf
   }
