@@ -185,8 +185,15 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String,
       shingleK: Int = 3, threshold: Double = 0.0,
       maxShingleDf: Option[Long] = None): DataFrame = {
+    // Cache the shingle stream for the query: the candidate join (one
+    // reused exchange), the hot-shingle census and the set sizes all read
+    // it, and each would otherwise re-run the tokenize+shingle flatMap over
+    // the full corpus. Columnar MEMORY_AND_DISK (spills, never OOMs);
+    // run-scoped via swap-unpersist like every other iterative cache here.
     val shAll = shingleRows(df, idCol, textCol, shingleK)
       .withColumnRenamed(idCol, "id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    Option(lastShingles.getAndSet(shAll)).foreach(_.unpersist(blocking = false))
     val sh = maxShingleDf match {
       case None => shAll
       case Some(cap) =>
@@ -259,6 +266,10 @@ object Dedup {
   /** Previous nearDupClusters materialization (swap-unpersist per call). */
   private val lastClusters =
     new java.util.concurrent.atomic.AtomicReference[org.apache.spark.rdd.RDD[_]](null)
+
+  /** Previous ngramJaccardPairs shingle cache (swap-unpersist per call). */
+  private val lastShingles =
+    new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
 
   /** 64-bit SimHash: sign-aggregated token hashes. One explode + one agg;
     * the per-bit +/-1 sums are partial-aggregated map-side. With
