@@ -22,7 +22,7 @@ object Bench {
     "t1_token_stats", "t5_tfidf", "t6_winnow_fingerprint",
     "sim1_cosine_topk", "sim2_lsh_topk", "sim5_ivf_topk",
     "bc5_block_stats", "bc7_wallet_clusters",
-    "bk0_e2e_pipeline", "bk2_tx_stats", "bk4_address_stats")
+    "bk0_e2e_pipeline", "bk2_tx_stats", "bk4_address_stats", "bk7_utxo_set")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -64,6 +64,11 @@ object BlkScale {
     */
   private[graft] val WindowStartTs: Long = 1231006505L + 48000L * 600L
 
+  /** bk7 snapshot height: inside the stable prefix (before the fork window)
+    * so the UTXO answer is reorg-independent.
+    */
+  private[graft] val UtxoHeight: Int = 45000
+
   /** Chain-filtered tx context + resolved inputs + outputs, from the
     * bk1-verified annotation (set-based; no recursion).
     */
@@ -301,6 +306,45 @@ object BlkScale {
          |LEFT JOIN incp ON coalesce(ragg.address, sagg.address) = incp.address
          |LEFT JOIN outcp ON coalesce(ragg.address, sagg.address) = outcp.address
          |LEFT JOIN btw ON coalesce(ragg.address, sagg.address) = btw.address""".stripMargin)),
+
+    // Point-in-time UTXO set: outputs created by best-chain txs at height
+    // <= H minus outpoints spent by best-chain txs at height <= H — the
+    // query the reference's OutputIsUsed flag (TransactionGraph.java:152)
+    // exists to serve, computed as one co-located anti-join. Both sides key
+    // on the outpoint over tx_hash-bucketed silver, so at 100 TB the
+    // anti-join shuffles nothing new and the per-address rollup is the only
+    // exchange.
+    Q("bk7_utxo_set",
+      (s, _) => {
+        val h = lit(UtxoHeight)
+        val ctx = BlkCorpus.silver(s, "ctx").where(col("height") <= h)
+          .select("tx_hash")
+        val outsH = BlkCorpus.silver(s, "outs")
+          .join(ctx, Seq("tx_hash"), "left_semi")
+        val spentH = BlkCorpus.silver(s, "rin")
+          .join(ctx, Seq("tx_hash"), "left_semi")
+          .select(col("prev_tx_hash").as("tx_hash"), col("prev_index").as("idx"))
+        outsH.join(spentH, Seq("tx_hash", "idx"), "left_anti")
+          .groupBy("address")
+          .agg(count(lit(1)).as("utxo_count"), sum("value").as("utxo_balance"))
+          .select(col("address"), col("utxo_count"),
+            col("utxo_balance").cast("long").as("utxo_balance"))
+      },
+      Some(s"""WITH $bronzeCtes,
+         |$goldCtes,
+         |hctx AS (SELECT tx_hash FROM ctx WHERE height <= $UtxoHeight),
+         |outsh AS (
+         |  SELECT o.* FROM outs o WHERE o.tx_hash IN (SELECT tx_hash FROM hctx)
+         |), spenth AS (
+         |  SELECT i.prev_tx_hash AS tx_hash, i.prev_index AS idx
+         |  FROM rin i WHERE i.tx_hash IN (SELECT tx_hash FROM hctx)
+         |)
+         |SELECT o.address, count(*) AS utxo_count,
+         |  CAST(sum(o.value) AS BIGINT) AS utxo_balance
+         |FROM outsh o
+         |WHERE NOT EXISTS (
+         |  SELECT 1 FROM spenth s WHERE s.tx_hash = o.tx_hash AND s.idx = o.idx)
+         |GROUP BY o.address""".stripMargin)),
 
     // Wallet clustering at scale: GraphX connected components vs recursive
     // min-label propagation to fixpoint over the same co-spend graph.

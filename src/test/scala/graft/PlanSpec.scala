@@ -58,6 +58,13 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("UTXO set is an equi anti-join with a partial-aggregated rollup") {
+    val p = plan("bk7_utxo_set")
+    assert(p.contains("LeftAnti"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("partial_"), p)
+  }
+
   test("winnowing plans as shingle-stream + window + distinct — no joins at all") {
     val p = plan("t6_winnow_fingerprint")
     assert(!p.contains("Join"), p)
