@@ -38,6 +38,23 @@ class BlkCorpusSpec extends SparkSpec {
       col("height") <= BlkCorpus.DeepForkHeight).count() >= 5)
   }
 
+  test("corpus: above-envelope loop route matches ground truth at full 50k scale") {
+    // The walk route covers every local corpus (all fit the broadcast
+    // envelope), so gate the >BroadcastMaxRows route — shuffle-join hops in
+    // resolve + ancestor-doubling membership — against the generator's
+    // ground truth at REAL depth, where plan-growth/lineage bugs actually
+    // show (the small-forest property test cannot reach 4 doubling rounds).
+    BlkCorpus.ensureMaterialized(spark)
+    sys.props("graft.broadcastMaxRows") = "1000"
+    try {
+      val ann = BestChain.annotateDistributed(spark.read.parquet(BlkCorpus.bronzeDir("blocks")))
+        .select("hash", "height", "is_on_best_chain")
+      val truth = spark.read.parquet(BlkCorpus.truthDir)
+        .select(col("hash"), col("height").cast("int").as("height"), col("is_on_best_chain"))
+      assert(ann.exceptAll(truth).isEmpty && truth.exceptAll(ann).isEmpty)
+    } finally sys.props.remove("graft.broadcastMaxRows")
+  }
+
   test("corpus: double-spends exist but only on the stale branch") {
     BlkCorpus.ensureMaterialized(spark)
     val ins = spark.read.parquet(BlkCorpus.bronzeDir("tx_inputs"))
