@@ -92,6 +92,77 @@ object Multimodal {
     None
   }
 
+  val audioMetaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("channels", IntegerType),
+    StructField("sample_rate", IntegerType),
+    StructField("bits_per_sample", IntegerType),
+    StructField("duration_ms", LongType),
+    StructField("valid", BooleanType, nullable = false)))
+
+  /** (channels, sampleRate, bitsPerSample, durationMs) from a real WAV/RIFF
+    * header walk (RIFF 1991 spec: "RIFF" size "WAVE", then chunks; PCM
+    * fields live in "fmt ", payload length in "data"). Chunks before "fmt "
+    * (LIST/INFO metadata) are skipped by the walk, as the spec requires.
+    * Malformed/truncated bytes → None, same poison discipline as
+    * [[decodeHeader]]. durationMs is None when no "data" chunk is present
+    * (streaming/header-only files).
+    */
+  private[graft] def decodeWavHeader(bytes: Array[Byte])
+      : Option[(Int, Int, Int, Option[Long])] = {
+    if (bytes == null || bytes.length < 12) return None
+    def tag(off: Int): String =
+      new String(bytes, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    def u16(off: Int): Int = (bytes(off) & 0xFF) | ((bytes(off + 1) & 0xFF) << 8)
+    def u32(off: Int): Long =
+      (bytes(off) & 0xFFL) | ((bytes(off + 1) & 0xFFL) << 8) |
+        ((bytes(off + 2) & 0xFFL) << 16) | ((bytes(off + 3) & 0xFFL) << 24)
+    if (tag(0) != "RIFF" || tag(8) != "WAVE") return None
+    var pos = 12L
+    var fmt: Option[(Int, Int, Int, Long)] = None // channels, rate, bits, byteRate
+    var dataSize: Option[Long] = None
+    while (pos + 8 <= bytes.length && (fmt.isEmpty || dataSize.isEmpty)) {
+      val p = pos.toInt
+      val id = tag(p)
+      val size = u32(p + 4)
+      if (id == "fmt ") {
+        if (size < 16 || p + 8 + 16 > bytes.length) return None
+        val channels = u16(p + 10)
+        val rate = u32(p + 12)
+        val byteRate = u32(p + 16)
+        val bits = u16(p + 22)
+        if (channels <= 0 || rate <= 0 || rate > Int.MaxValue || bits <= 0) return None
+        fmt = Some((channels, rate.toInt, bits, byteRate))
+      } else if (id == "data") {
+        dataSize = Some(size)
+      }
+      // chunks are word-aligned: odd sizes carry a pad byte; Long arithmetic
+      // so a hostile 4 GiB size field cannot wrap pos back into the buffer
+      pos += 8L + size + (size & 1L)
+    }
+    fmt.map { case (ch, rate, bits, byteRate) =>
+      val dur = dataSize.collect { case d if byteRate > 0 => d * 1000L / byteRate }
+      (ch, rate, bits, dur)
+    }
+  }
+
+  /** Decode audio metadata for every row — same narrow iterator-to-iterator
+    * shape as [[decodeImageMeta]].
+    */
+  def decodeAudioMeta(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val rows = media.select("media_id", "bytes").rdd.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        decodeWavHeader(r.getAs[Array[Byte]](1)) match {
+          case Some((ch, rate, bits, dur)) => Row(id, ch, rate, bits, dur.orNull, true)
+          case None => Row(id, null, null, null, null, false)
+        }
+      }
+    }
+    spark.createDataFrame(rows, audioMetaSchema)
+  }
+
   /** Decode image metadata for every row — iterator-to-iterator per
     * partition, constant memory, preserves input partitioning (narrow).
     */

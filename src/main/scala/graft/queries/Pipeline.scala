@@ -501,6 +501,37 @@ object Pipeline {
         |  CAST(height AS INTEGER) AS height, CAST(channels AS INTEGER) AS channels, valid
         |FROM expected""".stripMargin)),
 
+    // Real WAV/RIFF header decode: PCM mono/stereo, a LIST metadata chunk
+    // the walk must skip, garbage, truncated, and a RIFF-but-not-WAVE file.
+    Q("mm2_audio_meta",
+      (s, _) => {
+        import s.implicits._
+        val fmtMono8k = "666d74201000000001000100401f0000401f000001000800"
+        val data8 = "6461746108000000deadbeefdeadbeef"
+        val fixtures = Seq(
+          (1L, "524946462c00000057415645" + fmtMono8k + data8), // mono 8kHz 8-bit, 8 B
+          (2L, "524946463400000057415645" + // stereo 44.1kHz 16-bit, 16 B
+            "666d7420100000000100020044ac000010b1020004001000" +
+            "646174611000000000112233445566778899aabbccddeeff"),
+          (3L, "524946463800000057415645" + "4c4953540400000049" +
+            "4e464f" + fmtMono8k + data8), // LIST chunk before fmt
+          (4L, "deadbeef"),
+          (5L, "52494646"), // truncated
+          (6L, "524946462c0000005741564d" + fmtMono8k + data8) // not WAVE
+        ).toDF("media_id", "hex")
+        graft.operators.Multimodal.decodeAudioMeta(
+          fixtures.select(col("media_id"), unhex(col("hex")).as("bytes")))
+      },
+      Some("""WITH expected(media_id, channels, sample_rate, bits_per_sample, duration_ms, valid) AS (VALUES
+        | (1, 1, 8000, 8, 1, TRUE), (2, 2, 44100, 16, 0, TRUE), (3, 1, 8000, 8, 1, TRUE),
+        | (4, NULL, NULL, NULL, NULL, FALSE), (5, NULL, NULL, NULL, NULL, FALSE),
+        | (6, NULL, NULL, NULL, NULL, FALSE))
+        |SELECT CAST(media_id AS BIGINT) AS media_id, CAST(channels AS INTEGER) AS channels,
+        |  CAST(sample_rate AS INTEGER) AS sample_rate,
+        |  CAST(bits_per_sample AS INTEGER) AS bits_per_sample,
+        |  CAST(duration_ms AS BIGINT) AS duration_ms, valid
+        |FROM expected""".stripMargin)),
+
     // --------------------------------------------------------- label analytics
     Q("sim4_label_counts",
       (s, d) => Tables.embeddings(s, d)

@@ -241,4 +241,27 @@ class BlockFileSpec extends SparkSpec {
     val bad = PngFixture.clone(); bad(25) = 9
     assert(decodeHeader(bad).isEmpty)
   }
+
+  test("wav header decode: word-aligned chunk walk, hostile sizes, malformed inputs") {
+    import graft.operators.Multimodal.decodeWavHeader
+    val fmtMono8k = "666d74201000000001000100401f0000401f000001000800"
+    val data8 = "6461746108000000deadbeefdeadbeef"
+    // ODD-size metadata chunk (3 bytes + mandatory pad byte) before fmt —
+    // a walk that forgets RIFF word alignment desyncs here
+    val odd = unhexStr("524946463800000057415645" + "4c49535403000000414243" + "00" +
+      fmtMono8k + data8)
+    assert(decodeWavHeader(odd).contains((1, 8000, 8, Some(1L))))
+    // header-only file (no data chunk): valid fmt, no duration
+    val headerOnly = unhexStr("524946461c00000057415645" + fmtMono8k)
+    assert(decodeWavHeader(headerOnly).contains((1, 8000, 8, None)))
+    // hostile 4 GiB chunk size must terminate, not wrap the cursor
+    val hostile = unhexStr("524946462c00000057415645" + "4c495354ffffffff" + fmtMono8k)
+    assert(decodeWavHeader(hostile).isEmpty)
+    assert(decodeWavHeader(null).isEmpty)
+    assert(decodeWavHeader(Array.emptyByteArray).isEmpty)
+    assert(decodeWavHeader(unhexStr("52494646")).isEmpty)
+    // zero-channel fmt is malformed
+    assert(decodeWavHeader(unhexStr("524946462c00000057415645" +
+      "666d74201000000001000000401f0000401f000001000800" + data8)).isEmpty)
+  }
 }
