@@ -66,17 +66,22 @@ object ChainOps {
     (df.sparkSession.createDataFrame(rdd, df.schema), rdd)
   }
 
-  /** [[rebase]] fused with the loop's convergence check: counting the rows
-    * where `boolIdx` is false happens on the SAME pass that fills the cache,
-    * so a doubling round costs one job, not a materialize job plus a count
-    * job. (A persisted RDD caches each partition as the filter drains it.)
+  /** [[rebase]] fused with the loop's bookkeeping: the total row count AND
+    * the count of rows where `boolIdx` is false ride the SAME pass that
+    * fills the cache, so a doubling round costs one job — not a materialize
+    * job plus count jobs. (A persisted RDD caches each partition as the
+    * aggregation drains it.)
     */
   private def rebaseCountFalse(df: DataFrame, boolIdx: Int)
-      : (DataFrame, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row], Long) = {
+      : (DataFrame, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row], Long, Long) = {
     val rdd = df.rdd
     rdd.persist(StorageLevel.MEMORY_AND_DISK)
-    val pending = rdd.filter(r => !r.getBoolean(boolIdx)).count()
-    (df.sparkSession.createDataFrame(rdd, df.schema), rdd, pending)
+    val (total, pending) = rdd.mapPartitions { it =>
+      var t = 0L; var p = 0L
+      it.foreach { r => t += 1; if (!r.getBoolean(boolIdx)) p += 1 }
+      Iterator.single((t, p))
+    }.fold((0L, 0L)) { case ((t1, p1), (t2, p2)) => (t1 + t2, p1 + p2) }
+    (df.sparkSession.createDataFrame(rdd, df.schema), rdd, total, pending)
   }
 
   /** Below this many rows the jump table broadcasts (~150 B/row → ≤150 MB):
@@ -157,7 +162,7 @@ object ChainOps {
       keepTablesIf: Long => Boolean): Resolved = {
     val tables = scala.collection.mutable.ArrayBuffer
       .empty[(DataFrame, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row])]
-    var (state, stateRdd, unresolved) = traced("resolve round 0 (init rebase)")(
+    var (state, stateRdd, n, unresolved) = traced("resolve round 0 (init rebase)")(
       rebaseCountFalse(
         nodes.select(
           col(idCol).as("id"),
@@ -166,9 +171,7 @@ object ChainOps {
           col(parentCol).isNull.as("done")),
         boolIdx = 3))
     // The table size is fixed across rounds, so the broadcast and
-    // keep-tables decisions are made once; counting the already-persisted
-    // RDD is a cache scan.
-    val n = stateRdd.count()
+    // keep-tables decisions are made once, off the fused round-0 count.
     val keepTables = keepTablesIf(n)
     if (keepTables) tables += ((state, stateRdd))
     val bcast = n <= BroadcastMaxRows
@@ -178,7 +181,7 @@ object ChainOps {
       val round = (1 until Arity).foldLeft(state) { (cur, i) =>
         hopOnce(cur, state, s"h$i", bcast)
       }
-      val (next, nextRdd, remaining) = traced(s"resolve round $r")(
+      val (next, nextRdd, _, remaining) = traced(s"resolve round $r")(
         rebaseCountFalse(round, boolIdx = 3))
       if (!keepTables) stateRdd.unpersist(blocking = false)
       else tables += ((next, nextRdd))
