@@ -37,6 +37,9 @@ object Bench {
       // union as exchange-free against an N-partition side -> runtime zip
       // failure (observed on the fused addressStats). Disable everywhere.
       .config("spark.sql.unionOutputPartitioning", "false")
+      // Bucket-aligned gold joins cluster on a SUBSET of the join keys
+      // (tx_hash buckets, (tx_hash, address) joins); allow that co-partition.
+      .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val all = SparkEntry.queries

@@ -7,6 +7,9 @@ object Materialize {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.unionOutputPartitioning", "false")
+      // Bucket-aligned gold joins cluster on a SUBSET of the join keys
+      // (tx_hash buckets, (tx_hash, address) joins); allow that co-partition.
+      .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val t0 = System.nanoTime()

@@ -11,6 +11,9 @@ object Profile {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.unionOutputPartitioning", "false")
+      // Bucket-aligned gold joins cluster on a SUBSET of the join keys
+      // (tx_hash buckets, (tx_hash, address) joins); allow that co-partition.
+      .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Ad-hoc conf sweeps: SPARK_GRAFT_CONF="k=v;k=v" (runtime-settable SQL confs).
@@ -27,6 +30,28 @@ object Profile {
       df.write.format("noop").mode("overwrite").save()
 
     BlkCorpus.ensureMaterialized(spark)
+
+    // Minimal bucketing probe
+    if (sys.env.get("SPARK_GRAFT_PROFILE").contains("bucketprobe")) {
+      val outs = BlkCorpus.silver(spark, "outs")
+      println("== groupBy(tx_hash) ==")
+      println(outs.groupBy("tx_hash").count().queryExecution.executedPlan.toString
+        .linesIterator.filter(l => l.contains("Exchange") || l.contains("Scan") || l.contains("Aggregate")).mkString("\n"))
+      println("== groupBy(tx_hash, address) ==")
+      println(outs.groupBy("tx_hash", "address").count().queryExecution.executedPlan.toString
+        .linesIterator.filter(l => l.contains("Exchange") || l.contains("Scan") || l.contains("Aggregate")).mkString("\n"))
+      spark.stop(); sys.exit(0)
+    }
+
+    // Plan dumps: SPARK_GRAFT_PROFILE=plan:<query>[,<query>...]
+    sys.env.get("SPARK_GRAFT_PROFILE").filter(_.startsWith("plan:")).foreach { v =>
+      v.stripPrefix("plan:").split(",").foreach { q =>
+        println(s"===== $q =====")
+        println(SparkEntry.queries(q)(spark, "/root/testdata/sf0.01")
+          .queryExecution.executedPlan.toString)
+      }
+      spark.stop(); sys.exit(0)
+    }
 
     // bk0 phase breakdown: where does the end-to-end from-raw time go?
     // Mirrors BlkScale's bk0 exactly (incl. the run-scoped persisted scratch)

@@ -32,44 +32,41 @@ object GoldStats {
   /** Per-transaction stats (≙ the 7 Transaction* properties,
     * TransactionGraph.java:140–147).
     *
-    * Shape (same two-level tagged-union pass as [[addressStats]]): spend and
-    * receive events union into one direction-tagged stream grouped per
-    * (tx, address), then per tx — input/output counts and values are sums of
-    * the level-1 partials, and the self-churn flag
-    * (BlockchainToGraph.java:873–882) is exactly "some address has both
-    * directions", free at level 2. That replaces two per-tx aggregates plus
-    * a composite-key semi-join + distinct with two grouped passes (both
-    * partial-aggregated map-side). Only new-address attribution
-    * (BlockchainToGraph.java:1076–1080) needs more: the level-1 pairs —
-    * already deduped, so strictly smaller than raw outputs — join tx height
-    * and take each address's global first appearance (chain order = height,
-    * then tx_hash as the deterministic batch stand-in for intra-block
-    * order). The final assembly joins two tx-grain aggregates instead of
-    * four.
+    * Shape: each side pre-aggregates to (tx, address) grain — a narrow pass
+    * when the input is tx_hash-bucketed (HashPartitioning(tx) satisfies the
+    * (tx, addr) clustering), an ordinary hash shuffle otherwise — then a
+    * co-partitioned FULL OUTER merge yields the pair grain both churn
+    * (BlockchainToGraph.java:873–882: "some address has both directions" =
+    * both sides non-null) and first-appearance need, and the per-tx rollup
+    * re-sums the partials without leaving the tx partitioning. On bucketed
+    * silver the whole tx-grain DAG is exchange-free; only the address-grain
+    * first-appearance step (BlockchainToGraph.java:1076–1080: global first
+    * appearance in chain order = height, then tx_hash as the deterministic
+    * batch stand-in for intra-block order) shuffles. This replaces two
+    * per-tx aggregates plus a composite-key semi-join + distinct with two
+    * grouped passes and one merge join.
     *
     * @param cTxs  chainTxs output
     * @param rin   Enrich.resolvedInputs, pre-filtered to best-chain txs
     * @param outs  tx_outputs, pre-filtered to best-chain txs
     */
   def txStats(cTxs: DataFrame, rin: DataFrame, outs: DataFrame): DataFrame = {
-    val events = outs.select(col("tx_hash"), col("address"), col("value"), lit("r").as("dir"))
-      .unionByName(rin.select(col("tx_hash"), col("src_address").as("address"),
-        col("value"), lit("s").as("dir")))
-    // Level 1: per (tx, address) — the grain churn and first-appearance need.
-    val perPair = events.groupBy("tx_hash", "address").agg(
-      count(when(col("dir") === "s", lit(1))).as("cnt_s"),
-      count(when(col("dir") === "r", lit(1))).as("cnt_r"),
-      sum(when(col("dir") === "s", col("value"))).as("val_s"),
-      sum(when(col("dir") === "r", col("value"))).as("val_r"))
-    // Level 2: per tx — counts/values re-sum the partials; churn = any
-    // address with both directions.
+    val recvL1 = outs.groupBy("tx_hash", "address").agg(
+      count(lit(1)).as("cnt_r"), sum("value").as("val_r"))
+    val spendL1 = rin
+      .select(col("tx_hash"), col("src_address").as("address"), col("value"))
+      .groupBy("tx_hash", "address").agg(
+        count(lit(1)).as("cnt_s"), sum("value").as("val_s"))
+    val perPair = recvL1.join(spendL1, Seq("tx_hash", "address"), "full_outer")
+    // Per-tx rollup: counts/values re-sum the partials (sum skips the nulls
+    // a one-sided pair carries); churn = any address with both directions.
     val perTx = perPair.groupBy("tx_hash").agg(
       sum("cnt_s").as("input_count"),
       sum("cnt_r").as("output_count"),
       sum("val_s").as("in_value"),
       sum("val_r").as("out_value"),
-      max(col("cnt_s") > 0 && col("cnt_r") > 0).as("is_between_one_address"))
-    val firstTx = perPair.where(col("cnt_r") > 0).select("tx_hash", "address")
+      max(col("cnt_s").isNotNull && col("cnt_r").isNotNull).as("is_between_one_address"))
+    val firstTx = recvL1.select("tx_hash", "address")
       .join(cTxs.select("tx_hash", "height"), "tx_hash")
       .groupBy("address")
       .agg(min(struct(col("height"), col("tx_hash"))).as("f"))
@@ -113,35 +110,33 @@ object GoldStats {
     * TransactionGraph.java:126–137; running `+=` maintenance at
     * BlockchainToGraph.java:837–947 becomes plain aggregation).
     *
-    * Shape: receive and spend events union into ONE direction-tagged stream,
-    * aggregated per (address, tx) and then per address — recv/spent/touch/
-    * between all fall out of that single two-level grouped pass (each level
-    * partial-aggregated map-side, and level 1 makes every per-tx flag exact
-    * so level 2 needs NO countDistinct expands). Only the counterparty
-    * distincts genuinely need per-tx participant lists: they reuse the
-    * level-1 pairs in one tagged join + one grouped pass. 3 shuffles on
-    * address + 1 on tx_hash, vs 6 aggregates and a 6-way join chain done
-    * naively — at 100 TB that halves the exchanges on the widest table.
+    * Shape (same pair-merge as [[txStats]]): each side pre-aggregates to
+    * (tx, address) grain — narrow over tx_hash-bucketed silver — and a
+    * co-partitioned FULL OUTER merge + tx-grain ts join yields distinct
+    * pairs with exact has_r/has_s flags, so the address rollup needs NO
+    * countDistinct expands for tx counts and the self-churn count
+    * (AddressBetweenAddressTransactionCount, BlockchainToGraph.java:870–882)
+    * is a plain conditional count. The counterparty distincts
+    * (BlockchainToGraph.java:950–983) join the per-tx participant lists —
+    * also bucket-aligned — per role. On bucketed silver NOTHING shuffles
+    * until the address grain: three address-hash exchanges total, vs 6
+    * aggregates and a 6-way join chain done naively — at 100 TB that
+    * removes every exchange on the widest (pair/event) tables.
     */
   def addressStats(cTxs: DataFrame, rin: DataFrame, outs: DataFrame): DataFrame = {
-    val txMeta = cTxs.select("tx_hash", "ts")
-    val events = outs.select(col("address"), col("tx_hash"), col("value"), lit("r").as("dir"))
-      .unionByName(rin.select(col("src_address").as("address"), col("tx_hash"),
-        col("value"), lit("s").as("dir")))
-      .join(txMeta, "tx_hash")
+    val recvA = outs.groupBy("tx_hash", "address")
+      .agg(sum("value").as("recv_value"))
+    val spendA = rin
+      .select(col("tx_hash"), col("src_address").as("address"), col("value"))
+      .groupBy("tx_hash", "address")
+      .agg(sum("value").as("spent_value"))
+    // Pair grain: distinct (address, tx) with both direction partials; ts
+    // rides in from the tx context on the same bucket alignment.
+    val perTx = recvA.join(spendA, Seq("tx_hash", "address"), "full_outer")
+      .join(cTxs.select("tx_hash", "ts"), "tx_hash")
+      .withColumn("has_r", col("recv_value").isNotNull)
+      .withColumn("has_s", col("spent_value").isNotNull)
 
-    // Level 1: per (address, tx) — collapses duplicates so every downstream
-    // count is distinct-by-construction.
-    val perTx = events.groupBy("address", "tx_hash").agg(
-      sum(when(col("dir") === "r", col("value"))).as("recv_value"),
-      sum(when(col("dir") === "s", col("value"))).as("spent_value"),
-      (count(when(col("dir") === "r", lit(1))) > 0).as("has_r"),
-      (count(when(col("dir") === "s", lit(1))) > 0).as("has_s"),
-      min("ts").as("ts"))
-
-    // Level 2: per address — balances, tx counts, first/last seen and the
-    // self-churn count (AddressBetweenAddressTransactionCount,
-    // BlockchainToGraph.java:870–882) in one grouped pass.
     val perAddr = perTx.groupBy("address").agg(
       sum("recv_value").as("input_tx_balance"),
       sum("spent_value").as("output_tx_balance"),
@@ -154,24 +149,20 @@ object GoldStats {
       max(when(col("has_s"), col("ts"))).as("last_spend"),
       count(when(col("has_r") && col("has_s"), lit(1))).as("between_addr_tx_count"))
 
-    // Distinct counterparties (BlockchainToGraph.java:950–983): funders of
-    // the txs that paid me / recipients of the txs I funded. Per-tx
-    // participant lists tagged by role, joined once against the level-1
-    // pairs, then both distinct counts in one grouped pass.
-    val participants = rin.select(col("tx_hash"), col("src_address").as("cp"), lit("f").as("role"))
-      .distinct()
-      .unionByName(outs.select(col("tx_hash"), col("address").as("cp"), lit("t").as("role"))
-        .distinct())
-    val cpAgg = perTx.select("address", "tx_hash", "has_r", "has_s")
-      .join(participants, "tx_hash")
-      .groupBy("address").agg(
-        countDistinct(when(col("has_r") && col("role") === "f", col("cp")))
-          .as("input_addr_count"),
-        countDistinct(when(col("has_s") && col("role") === "t", col("cp")))
-          .as("output_addr_count"))
+    // Distinct counterparties per role: funders of the txs that paid me /
+    // recipients of the txs I funded.
+    val funders = rin.select(col("tx_hash"), col("src_address").as("cp")).distinct()
+    val recips = outs.select(col("tx_hash"), col("address").as("cp")).distinct()
+    val inCp = perTx.where(col("has_r")).select("address", "tx_hash")
+      .join(funders, "tx_hash")
+      .groupBy("address").agg(countDistinct("cp").as("input_addr_count"))
+    val outCp = perTx.where(col("has_s")).select("address", "tx_hash")
+      .join(recips, "tx_hash")
+      .groupBy("address").agg(countDistinct("cp").as("output_addr_count"))
 
     perAddr
-      .join(cpAgg, Seq("address"), "left")
+      .join(inCp, Seq("address"), "left")
+      .join(outCp, Seq("address"), "left")
       .select(
         col("address"),
         (coalesce(col("input_tx_balance"), lit(0L)) - coalesce(col("output_tx_balance"), lit(0L)))
