@@ -32,48 +32,43 @@ object GoldStats {
   /** Per-transaction stats (≙ the 7 Transaction* properties,
     * TransactionGraph.java:140–147).
     *
-    * Shape: each side pre-aggregates to (tx, address) grain — a narrow pass
-    * when the input is tx_hash-bucketed (HashPartitioning(tx) satisfies the
-    * (tx, addr) clustering), an ordinary hash shuffle otherwise — then a
-    * co-partitioned FULL OUTER merge yields the pair grain both churn
-    * (BlockchainToGraph.java:873–882: "some address has both directions" =
-    * both sides non-null) and first-appearance need, and the per-tx rollup
-    * re-sums the partials without leaving the tx partitioning. On bucketed
-    * silver the whole tx-grain DAG is exchange-free; only the address-grain
-    * first-appearance step (BlockchainToGraph.java:1076–1080: global first
-    * appearance in chain order = height, then tx_hash as the deterministic
-    * batch stand-in for intra-block order) shuffles. This replaces two
-    * per-tx aggregates plus a composite-key semi-join + distinct with two
-    * grouped passes and one merge join.
+    * Shape: counts and values are plain per-tx aggregates of each side —
+    * narrow passes when the input is tx_hash-bucketed (HashPartitioning(tx)
+    * satisfies the grouping). Only the self-churn flag
+    * (BlockchainToGraph.java:873–882: "some address has both directions")
+    * needs pair semantics, and an INNER join of the two distinct (tx, addr)
+    * key sets delivers it while PRESERVING the tx partitioning — unlike a
+    * full-outer merge, whose coalesced key breaks propagation and forces a
+    * pair-grain re-exchange. On bucketed silver the whole tx-grain DAG is
+    * exchange-free; only new-address attribution
+    * (BlockchainToGraph.java:1076–1080: global first appearance in chain
+    * order = height, then tx_hash as the deterministic batch stand-in for
+    * intra-block order) shuffles, at the address grain.
     *
     * @param cTxs  chainTxs output
     * @param rin   Enrich.resolvedInputs, pre-filtered to best-chain txs
     * @param outs  tx_outputs, pre-filtered to best-chain txs
     */
   def txStats(cTxs: DataFrame, rin: DataFrame, outs: DataFrame): DataFrame = {
-    val recvL1 = outs.groupBy("tx_hash", "address").agg(
-      count(lit(1)).as("cnt_r"), sum("value").as("val_r"))
-    val spendL1 = rin
-      .select(col("tx_hash"), col("src_address").as("address"), col("value"))
-      .groupBy("tx_hash", "address").agg(
-        count(lit(1)).as("cnt_s"), sum("value").as("val_s"))
-    val perPair = recvL1.join(spendL1, Seq("tx_hash", "address"), "full_outer")
-    // Per-tx rollup: counts/values re-sum the partials (sum skips the nulls
-    // a one-sided pair carries); churn = any address with both directions.
-    val perTx = perPair.groupBy("tx_hash").agg(
-      sum("cnt_s").as("input_count"),
-      sum("cnt_r").as("output_count"),
-      sum("val_s").as("in_value"),
-      sum("val_r").as("out_value"),
-      max(col("cnt_s").isNotNull && col("cnt_r").isNotNull).as("is_between_one_address"))
-    val firstTx = recvL1.select("tx_hash", "address")
+    val outAgg = outs.groupBy("tx_hash").agg(
+      count(lit(1)).as("output_count"), sum("value").as("out_value"))
+    val inAgg = rin.groupBy("tx_hash").agg(
+      count(lit(1)).as("input_count"), sum("value").as("in_value"))
+    val recvKeys = outs.select("tx_hash", "address").distinct()
+    val spendKeys = rin.select(col("tx_hash"), col("src_address").as("address"))
+      .distinct()
+    val churn = recvKeys.join(spendKeys, Seq("tx_hash", "address"))
+      .groupBy("tx_hash").agg(lit(true).as("is_between_one_address"))
+    val firstTx = recvKeys
       .join(cTxs.select("tx_hash", "height"), "tx_hash")
       .groupBy("address")
       .agg(min(struct(col("height"), col("tx_hash"))).as("f"))
       .select(col("f.tx_hash").as("tx_hash"))
       .groupBy("tx_hash").agg(count(lit(1)).as("new_address_count"))
     cTxs
-      .join(perTx, Seq("tx_hash"), "left")
+      .join(inAgg, Seq("tx_hash"), "left")
+      .join(outAgg, Seq("tx_hash"), "left")
+      .join(churn, Seq("tx_hash"), "left")
       .join(firstTx, Seq("tx_hash"), "left")
       .select(
         col("tx_hash"), col("block_hash"), col("is_coinbase"),
@@ -110,30 +105,33 @@ object GoldStats {
     * TransactionGraph.java:126–137; running `+=` maintenance at
     * BlockchainToGraph.java:837–947 becomes plain aggregation).
     *
-    * Shape (same pair-merge as [[txStats]]): each side pre-aggregates to
-    * (tx, address) grain — narrow over tx_hash-bucketed silver — and a
-    * co-partitioned FULL OUTER merge + tx-grain ts join yields distinct
-    * pairs with exact has_r/has_s flags, so the address rollup needs NO
-    * countDistinct expands for tx counts and the self-churn count
+    * Shape: each side joins the tx timestamp FIRST (bucket-aligned — every
+    * row of a (tx, address) group shares it) and pre-aggregates to
+    * (tx, address) grain, narrow over tx_hash-bucketed silver. One
+    * co-partitioned FULL OUTER merge yields distinct pairs with exact
+    * has_r/has_s flags, so the address rollup needs NO countDistinct
+    * expands for tx counts and the self-churn count
     * (AddressBetweenAddressTransactionCount, BlockchainToGraph.java:870–882)
     * is a plain conditional count. The counterparty distincts
-    * (BlockchainToGraph.java:950–983) join the per-tx participant lists —
-    * also bucket-aligned — per role. On bucketed silver NOTHING shuffles
-    * until the address grain: three address-hash exchanges total, vs 6
-    * aggregates and a 6-way join chain done naively — at 100 TB that
-    * removes every exchange on the widest (pair/event) tables.
+    * (BlockchainToGraph.java:950–983) join each side's pair keys against
+    * the opposite role's participant list — bucket-aligned — then one
+    * role-tagged dedup feeds both counts from a single grouped pass. On
+    * bucketed silver NOTHING shuffles until the address grain: three
+    * address-hash exchanges total, vs 6 aggregates and a 6-way join chain
+    * done naively — at 100 TB that removes every exchange on the widest
+    * (pair/event) tables.
     */
   def addressStats(cTxs: DataFrame, rin: DataFrame, outs: DataFrame): DataFrame = {
-    val recvA = outs.groupBy("tx_hash", "address")
-      .agg(sum("value").as("recv_value"))
+    val ctxTs = cTxs.select("tx_hash", "ts")
+    val recvA = outs.join(ctxTs, "tx_hash").groupBy("tx_hash", "address")
+      .agg(sum("value").as("recv_value"), min("ts").as("ts_r"))
     val spendA = rin
       .select(col("tx_hash"), col("src_address").as("address"), col("value"))
+      .join(ctxTs, "tx_hash")
       .groupBy("tx_hash", "address")
-      .agg(sum("value").as("spent_value"))
-    // Pair grain: distinct (address, tx) with both direction partials; ts
-    // rides in from the tx context on the same bucket alignment.
+      .agg(sum("value").as("spent_value"), min("ts").as("ts_s"))
+    // Pair grain: distinct (address, tx) with both direction partials.
     val perTx = recvA.join(spendA, Seq("tx_hash", "address"), "full_outer")
-      .join(cTxs.select("tx_hash", "ts"), "tx_hash")
       .withColumn("has_r", col("recv_value").isNotNull)
       .withColumn("has_s", col("spent_value").isNotNull)
 
@@ -143,26 +141,31 @@ object GoldStats {
       count(when(col("has_r"), lit(1))).as("input_tx_count"),
       count(when(col("has_s"), lit(1))).as("output_tx_count"),
       count(lit(1)).as("tx_count"),
-      min(when(col("has_r"), col("ts"))).as("first_recv"),
-      max(when(col("has_r"), col("ts"))).as("last_recv"),
-      min(when(col("has_s"), col("ts"))).as("first_spend"),
-      max(when(col("has_s"), col("ts"))).as("last_spend"),
+      min("ts_r").as("first_recv"),
+      max("ts_r").as("last_recv"),
+      min("ts_s").as("first_spend"),
+      max("ts_s").as("last_spend"),
       count(when(col("has_r") && col("has_s"), lit(1))).as("between_addr_tx_count"))
 
     // Distinct counterparties per role: funders of the txs that paid me /
-    // recipients of the txs I funded.
-    val funders = rin.select(col("tx_hash"), col("src_address").as("cp")).distinct()
-    val recips = outs.select(col("tx_hash"), col("address").as("cp")).distinct()
-    val inCp = perTx.where(col("has_r")).select("address", "tx_hash")
-      .join(funders, "tx_hash")
-      .groupBy("address").agg(countDistinct("cp").as("input_addr_count"))
-    val outCp = perTx.where(col("has_s")).select("address", "tx_hash")
-      .join(recips, "tx_hash")
-      .groupBy("address").agg(countDistinct("cp").as("output_addr_count"))
+    // recipients of the txs I funded. Null counterparties are dropped up
+    // front (countDistinct ignores nulls) so the role-tagged dedup + one
+    // conditional-count pass is exactly two COUNT(DISTINCT cp)s.
+    val funders = rin.select(col("tx_hash"), col("src_address").as("cp"))
+      .where(col("cp").isNotNull).distinct()
+    val recips = outs.select(col("tx_hash"), col("address").as("cp"))
+      .where(col("cp").isNotNull).distinct()
+    val cpPairs = recvA.select("tx_hash", "address").join(funders, "tx_hash")
+      .select(col("address"), col("cp"), lit("in").as("role"))
+      .unionByName(spendA.select("tx_hash", "address").join(recips, "tx_hash")
+        .select(col("address"), col("cp"), lit("out").as("role")))
+      .distinct()
+    val cpCounts = cpPairs.groupBy("address").agg(
+      count(when(col("role") === "in", lit(1))).as("input_addr_count"),
+      count(when(col("role") === "out", lit(1))).as("output_addr_count"))
 
     perAddr
-      .join(inCp, Seq("address"), "left")
-      .join(outCp, Seq("address"), "left")
+      .join(cpCounts, Seq("address"), "left")
       .select(
         col("address"),
         (coalesce(col("input_tx_balance"), lit(0L)) - coalesce(col("output_tx_balance"), lit(0L)))
