@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling / corpus-rebalancing for training-data curation.
+  *
+  * All three operators key on a content hash instead of `rand()`: at 100 TB a
+  * sample must be (a) reproducible across reruns and engines, (b) STABLE under
+  * corpus growth — re-running over an appended corpus keeps every previously
+  * kept id, so downstream shards/caches don't churn — and (c) auditable by an
+  * external oracle. `rand()` gives none of those; a 60-bit md5-derived key
+  * (same portable construction as Dedup's LSH base hashes) gives all three at
+  * the cost of one hash per row, computed inside whole-stage codegen.
+  *
+  * Scale shapes: [[stratifiedSample]] is a pure narrow filter (the rate table
+  * rides into the task as a literal CASE — zero shuffles at any corpus size);
+  * [[temperatureResample]] adds one tiny stratum-count aggregate broadcast
+  * back against the corpus (narrow main pass); [[perStratumSample]] is the
+  * only shuffling member and plans as WindowGroupLimit, so each map partition
+  * ships at most k rows per stratum, not the corpus.
+  */
+object Sampling {
+
+  /** 2^60 — the exclusive upper bound of [[hashKey]]. */
+  val KeySpace: Long = 1L << 60
+
+  /** Deterministic 60-bit uniform key in [0, 2^60): the first 15 hex digits
+    * of md5(id), hashed over the id's canonical string form (numeric ids
+    * render identically in every engine). md5 is bit-identical in any
+    * engine, so keep/drop decisions can be recomputed exactly by a SQL
+    * oracle.
+    */
+  def hashKey(c: Column): Column =
+    conv(substring(md5(c.cast("string")), 1, 15), 16, 10).cast("long")
+
+  /** keep <=> hashKey < floor(rate * 2^60). The threshold is computed in
+    * double and floored — both steps correctly rounded, hence engine-exact.
+    * Binary-fraction rates (1/2, 1/8, ...) make it exact outright.
+    */
+  private def keep(idCol: String, rate: Column): Column =
+    hashKey(col(idCol)) < floor(rate * lit(KeySpace.toDouble)).cast("long")
+
+  /** Stratified Bernoulli sample at explicit per-stratum keep rates (strata
+    * not in `rates` use `defaultRate`). One narrow filter pass, no shuffle,
+    * no stratum-size scan: the curation recipe ("keep all rare-language docs,
+    * 1/8 of English") applies to a 100 TB corpus at scan speed.
+    */
+  def stratifiedSample(df: DataFrame, idCol: String, stratumCol: String,
+      rates: Map[String, Double], defaultRate: Double = 1.0): DataFrame = {
+    val rate = rates.foldLeft(lit(defaultRate)) { case (acc, (k, v)) =>
+      when(col(stratumCol) === k, lit(v)).otherwise(acc)
+    }
+    df.where(keep(idCol, rate))
+  }
+
+  /** Uniform k-per-stratum sample: the k smallest hash keys within each
+    * stratum (hash order ≡ uniform order; idCol breaks the astronomically
+    * unlikely key tie). Plans as rank-limited window — Spark's
+    * WindowGroupLimit pushes a partial top-k below the exchange, so the
+    * shuffle carries at most k rows per stratum per map partition.
+    */
+  def perStratumSample(df: DataFrame, idCol: String, stratumCol: String,
+      k: Int): DataFrame = {
+    val w = Window.partitionBy(stratumCol)
+      .orderBy(hashKey(col(idCol)).asc, col(idCol).asc)
+    df.withColumn("_rn", row_number().over(w)).where(col("_rn") <= k).drop("_rn")
+  }
+
+  /** Temperature resampling at alpha = 1/2: downsample each stratum so kept
+    * counts are proportional to n_s^alpha — the multilingual rebalancing rule
+    * of mC4/T5 and XLM-R (arXiv:1910.10683 §3.4.3, arXiv:1911.02116 §3) —
+    * anchored so the smallest stratum keeps everything:
+    * rate_s = sqrt(n_min / n_s). sqrt is IEEE-correctly-rounded in every
+    * engine — unlike pow — so rates, thresholds, and hence the sample are
+    * bit-deterministic. Rows with a null stratum are dropped.
+    *
+    * One tiny per-stratum count (shuffled at stratum cardinality, not corpus
+    * size) broadcast back against the corpus: the main pass stays narrow.
+    */
+  def temperatureResample(df: DataFrame, idCol: String,
+      stratumCol: String): DataFrame = {
+    val counts = df.groupBy(col(stratumCol)).agg(count(lit(1)).as("_n"))
+    val rates = counts
+      .crossJoin(counts.agg(min("_n").as("_nmin")))
+      .select(col(stratumCol),
+        sqrt(col("_nmin").cast("double") / col("_n")).as("_rate"))
+    df.join(broadcast(rates), stratumCol)
+      .where(keep(idCol, col("_rate")))
+      .drop("_rate")
+  }
+}

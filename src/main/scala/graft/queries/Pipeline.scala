@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Q
 import graft.tables.Tables
-import graft.operators.{Dedup, Similarity, TextOps}
+import graft.operators.{Dedup, Sampling, Similarity, TextOps}
 
 /** Training-data-pipeline operator inventory (prompt §"beyond the reference"):
   * deduplication, similarity search, text analysis, multimodal plumbing —
@@ -536,6 +536,35 @@ object Pipeline {
     Q("sim4_label_counts",
       (s, d) => Tables.embeddings(s, d)
         .groupBy("label").agg(count(lit(1)).as("n")),
-      Some("SELECT label, count(*) AS n FROM embeddings GROUP BY label"))
+      Some("SELECT label, count(*) AS n FROM embeddings GROUP BY label")),
+
+    // ------------------------------------------- deterministic corpus sampling
+    // The md5-derived 60-bit key makes every keep/drop decision recomputable
+    // in SQL, so these carry full oracles despite being "random" samples.
+    Q("ds1_stratified_sample",
+      (s, d) => Sampling.stratifiedSample(Tables.documents(s, d), "doc_id",
+        "lang", Map("en" -> 0.125, "zh" -> 1.0), defaultRate = 0.5),
+      Some(s"""SELECT * FROM documents
+        |WHERE CAST(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS UBIGINT) AS BIGINT) <
+        |  CAST(floor((CASE lang WHEN 'en' THEN 0.125 WHEN 'zh' THEN 1.0 ELSE 0.5 END)
+        |    * 1152921504606846976.0) AS BIGINT)""".stripMargin)),
+
+    Q("ds2_per_stratum_sample",
+      (s, d) => Sampling.perStratumSample(Tables.documents(s, d), "doc_id",
+        "lang", k = 20),
+      Some("""SELECT doc_id, text, lang, source, n_chars FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY lang
+        |    ORDER BY CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS UBIGINT), doc_id) AS rn
+        |  FROM documents) WHERE rn <= 20""".stripMargin)),
+
+    Q("ds3_temperature_resample",
+      (s, d) => Sampling.temperatureResample(Tables.documents(s, d), "doc_id",
+        "lang"),
+      Some("""WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+        |r AS (SELECT lang, sqrt(CAST((SELECT min(n) FROM c) AS DOUBLE) / n) AS rate FROM c)
+        |SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars
+        |FROM documents d JOIN r USING (lang)
+        |WHERE CAST(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS UBIGINT) AS BIGINT) <
+        |  CAST(floor(rate * 1152921504606846976.0) AS BIGINT)""".stripMargin))
   )
 }

@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.execution.FormattedMode
+import org.apache.spark.sql.functions._
+
+import graft.operators.Sampling
+
+/** Deterministic-sampling properties: reproducibility, growth stability
+  * (the reason for hash keys over rand()), exact per-stratum k, and the
+  * alpha=1/2 temperature-rebalancing law.
+  */
+class SamplingSpec extends SparkSpec {
+
+  private def docs = {
+    import spark.implicits._
+    // 3 strata with 10 / 40 / 160 members: 16:4:1 size ratios make the
+    // sqrt law's expected kept counts distinct and testable.
+    ((0 until 10).map(i => (i.toLong, "rare")) ++
+      (10 until 50).map(i => (i.toLong, "mid")) ++
+      (50 until 210).map(i => (i.toLong, "big"))).toDF("id", "lang")
+  }
+
+  test("stratifiedSample: rate 1.0 keeps all, 0.0 keeps none, runs are identical") {
+    val out = Sampling.stratifiedSample(docs, "id", "lang",
+      Map("rare" -> 1.0, "mid" -> 0.0), defaultRate = 0.5)
+    val byLang = out.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byLang("rare") == 10L)
+    assert(!byLang.contains("mid"))
+    assert(byLang("big") > 0 && byLang("big") < 160)
+    val again = Sampling.stratifiedSample(docs, "id", "lang",
+      Map("rare" -> 1.0, "mid" -> 0.0), defaultRate = 0.5)
+    assert(out.collect().map(_.getLong(0)).sorted
+      .sameElements(again.collect().map(_.getLong(0)).sorted))
+  }
+
+  test("stratifiedSample: lower-rate sample is a subset of the higher-rate one") {
+    def ids(rate: Double) =
+      Sampling.stratifiedSample(docs, "id", "lang", Map.empty, rate)
+        .collect().map(_.getLong(0)).toSet
+    val (quarter, half) = (ids(0.25), ids(0.5))
+    assert(quarter.subsetOf(half), s"${quarter.diff(half)} kept at 1/4 but not 1/2")
+    assert(quarter.size < half.size)
+  }
+
+  test("stratifiedSample: growth stability — appending rows never evicts kept ids") {
+    import spark.implicits._
+    val kept = Sampling.stratifiedSample(docs, "id", "lang", Map.empty, 0.5)
+      .collect().map(_.getLong(0)).toSet
+    val grown = docs.unionByName(
+      (1000 until 1100).map(i => (i.toLong, "big")).toDF("id", "lang"))
+    val keptGrown = Sampling.stratifiedSample(grown, "id", "lang", Map.empty, 0.5)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept.subsetOf(keptGrown))
+  }
+
+  test("perStratumSample: exactly min(k, stratum size) rows, deterministic") {
+    val out = Sampling.perStratumSample(docs, "id", "lang", k = 25)
+    val byLang = out.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byLang == Map("rare" -> 10L, "mid" -> 25L, "big" -> 25L))
+    val again = Sampling.perStratumSample(docs, "id", "lang", k = 25)
+    assert(out.collect().map(_.getLong(0)).sorted
+      .sameElements(again.collect().map(_.getLong(0)).sorted))
+  }
+
+  test("temperatureResample: smallest stratum fully kept; kept mass tracks sqrt(n)") {
+    val out = Sampling.temperatureResample(docs, "id", "lang")
+    val byLang = out.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byLang("rare") == 10L)
+    // Expected kept counts: n * sqrt(n_min/n) = sqrt(10 * n):
+    // mid 20, big 40. Bernoulli spread at these sizes stays within ~2 sigma.
+    assert(byLang("mid") >= 10 && byLang("mid") <= 32, byLang)
+    assert(byLang("big") >= 25 && byLang("big") <= 58, byLang)
+    // The rebalance must flatten the distribution: big/rare kept ratio well
+    // under the 16x input ratio.
+    assert(byLang("big").toDouble / byLang("rare") < 8.0, byLang)
+  }
+
+  test("plans: ds1 filter is a single narrow pass; ds2 pushes a window group limit") {
+    val sf = "/root/testdata/sf0.001"
+    val p1 = SparkEntry.queries("ds1_stratified_sample")(spark, sf)
+      .queryExecution.explainString(FormattedMode)
+    assert(!p1.contains("Exchange"), p1)
+    val p2 = SparkEntry.queries("ds2_per_stratum_sample")(spark, sf)
+      .queryExecution.explainString(FormattedMode)
+    assert(p2.contains("WindowGroupLimit"), p2)
+  }
+}
