@@ -146,6 +146,117 @@ object Multimodal {
     }
   }
 
+  val videoMetaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("brand", StringType),
+    StructField("duration_ms", LongType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("track_count", IntegerType),
+    StructField("valid", BooleanType, nullable = false)))
+
+  /** (brand, durationMs, width, height, trackCount) from a real MP4 /
+    * ISO-BMFF (ISO/IEC 14496-12) box walk: `ftyp` major brand, `moov/mvhd`
+    * timescale+duration (version 0 and 1 layouts), one `moov/trak/tkhd` per
+    * track (16.16 fixed-point dims; the first track with nonzero dims is the
+    * video track). Handles 64-bit largesize boxes (size == 1) and
+    * size == 0 ("to end of file"). A box whose declared size overruns the
+    * buffer (truncated download) or no parseable `mvhd` → None, same poison
+    * discipline as [[decodeHeader]].
+    */
+  private[graft] def decodeMp4Header(bytes: Array[Byte])
+      : Option[(Option[String], Option[Long], Option[Int], Option[Int], Int)] = {
+    if (bytes == null || bytes.length < 8) return None
+    def u16(off: Int): Int = ((bytes(off) & 0xFF) << 8) | (bytes(off + 1) & 0xFF)
+    def u32(off: Int): Long =
+      ((bytes(off) & 0xFFL) << 24) | ((bytes(off + 1) & 0xFFL) << 16) |
+        ((bytes(off + 2) & 0xFFL) << 8) | (bytes(off + 3) & 0xFFL)
+    def u64(off: Int): Long = (u32(off) << 32) | u32(off + 4)
+    def tag(off: Int): String =
+      new String(bytes, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
+    var brand: Option[String] = None
+    var durMs: Option[Long] = None
+    var dims: Option[(Int, Int)] = None
+    var traks = 0
+
+    /** Walk the boxes in [start, end); false on structural corruption. */
+    def walk(start: Long, end: Long)(f: (String, Long, Long) => Boolean): Boolean = {
+      var pos = start
+      while (pos + 8 <= end) {
+        val p = pos.toInt
+        val typ = tag(p + 4)
+        var hdr = 8L
+        var size = u32(p)
+        if (size == 1) { // 64-bit largesize
+          if (pos + 16 > end) return false
+          size = u64(p + 8); hdr = 16L
+        } else if (size == 0) size = end - pos // box extends to end of file
+        if (size < hdr || pos + size > end) return false
+        if (!f(typ, pos + hdr, pos + size)) return false
+        pos += size
+      }
+      true
+    }
+
+    val ok = walk(0L, bytes.length.toLong) {
+      case ("ftyp", cs, ce) =>
+        if (ce - cs >= 4) brand = Some(tag(cs.toInt))
+        true
+      case ("moov", ms, me) =>
+        walk(ms, me) {
+          case ("mvhd", cs, ce) =>
+            val c = cs.toInt
+            val v = bytes(c) & 0xFF
+            val need = if (v == 1) 32L else 20L
+            if (ce - cs < need) false
+            else {
+              val (ts, dur) =
+                if (v == 1) (u32(c + 20), u64(c + 24)) else (u32(c + 12), u32(c + 16))
+              if (ts <= 0) false
+              else { durMs = Some(dur * 1000L / ts); true }
+            }
+          case ("trak", ts, te) =>
+            traks += 1
+            walk(ts, te) {
+              case ("tkhd", cs, ce) =>
+                val c = cs.toInt
+                val v = bytes(c) & 0xFF
+                val wOff = if (v == 1) 88 else 76 // 16.16 fixed, height follows
+                if (ce - cs < wOff + 8) false
+                else {
+                  val w = u16(c + wOff); val h = u16(c + wOff + 4)
+                  if (dims.isEmpty && w > 0 && h > 0) dims = Some((w, h))
+                  true
+                }
+              case _ => true
+            }
+          case _ => true
+        }
+      case _ => true // mdat/free/...: skip
+    }
+    if (!ok || durMs.isEmpty) None
+    else Some((brand, durMs, dims.map(_._1), dims.map(_._2), traks))
+  }
+
+  /** Decode video-container metadata for every row — same narrow
+    * iterator-to-iterator shape as [[decodeImageMeta]].
+    */
+  def decodeVideoMeta(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val rows = media.select("media_id", "bytes").rdd.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        decodeMp4Header(r.getAs[Array[Byte]](1)) match {
+          case Some((brand, dur, w, h, n)) =>
+            Row(id, brand.orNull, dur.orNull, w.orNull, h.orNull, n, true)
+          case None => Row(id, null, null, null, null, null, false)
+        }
+      }
+    }
+    spark.createDataFrame(rows, videoMetaSchema)
+  }
+
   /** Decode audio metadata for every row — same narrow iterator-to-iterator
     * shape as [[decodeImageMeta]].
     */

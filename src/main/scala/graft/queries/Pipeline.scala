@@ -532,6 +532,66 @@ object Pipeline {
         |  CAST(duration_ms AS BIGINT) AS duration_ms, valid
         |FROM expected""".stripMargin)),
 
+    // Real MP4/ISO-BMFF box walk: classic video file, legacy audio-only
+    // (no ftyp), v1 mvhd/tkhd with a 64-bit-largesize mdat, garbage, a
+    // truncated download whose moov size overruns the buffer, and a
+    // header-only prefix with no moov.
+    Q("mm3_video_meta",
+      (s, _) => {
+        import s.implicits._
+        // Fixture bytes generated by an independent (Python struct) builder
+        // of spec-conformant boxes; embedded verbatim.
+        val fixtures = Seq(
+          (1L, "000000186674797069736f6d0000000069736f6d6d703431000000d86d6f6f76" +
+            "0000006c6d766864000000000000000000000000000003e8000009c400010000" +
+            "0100000000000000000000000001000000000000000000000000000000010000" +
+            "0000000000000000000000004000000000000000000000000000000000000000" +
+            "000000000000000000000003000000647472616b0000005c746b686400000007" +
+            "00000000000000000000000100000000000009c4000000000000000000000000" +
+            "0000000000010000000000000000000000000000000100000000000000000000" +
+            "00000000400000000140000000f000000000000c6d646174deadbeef"),
+          (2L, "000000d86d6f6f760000006c6d7668640000000000000000000000000000ac44" +
+            "0001588800010000010000000000000000000000000100000000000000000000" +
+            "0000000000010000000000000000000000000000400000000000000000000000" +
+            "0000000000000000000000000000000000000003000000647472616b0000005c" +
+            "746b686400000007000000000000000000000001000000000001588800000000" +
+            "0000000000000000010000000001000000000000000000000000000000010000" +
+            "000000000000000000000000400000000000000000000000"),
+          (3L, "00000018667479706d7034320000000069736f6d6d703431000000016d646174" +
+            "00000000000000180000000000000000000001546d6f6f76000000786d766864" +
+            "01000000000000000000000000000000000000000000025800000000000004d2" +
+            "0001000001000000000000000000000000010000000000000000000000000000" +
+            "0001000000000000000000000000000040000000000000000000000000000000" +
+            "00000000000000000000000000000003000000647472616b0000005c746b6864" +
+            "0000000700000000000000000000000100000000000004d20000000000000000" +
+            "0000000001000000000100000000000000000000000000000001000000000000" +
+            "0000000000000000400000000000000000000000000000707472616b00000068" +
+            "746b686401000007000000000000000000000000000000000000000200000000" +
+            "00000000000004d2000000000000000000000000000000000001000000000000" +
+            "0000000000000000000100000000000000000000000000004000000007800000" +
+            "04380000"),
+          (4L, "deadbeef00000000"),
+          (5L, "000000186674797069736f6d0000000069736f6d6d703431000010006d6f6f76" +
+            "00000000000000000000000000000000"),
+          (6L, "000000186674797069736f6d0000000069736f6d6d7034310000000c66726565" +
+            "00000000")
+        ).toDF("media_id", "hex")
+        graft.operators.Multimodal.decodeVideoMeta(
+          fixtures.select(col("media_id"), unhex(col("hex")).as("bytes")))
+      },
+      Some("""WITH expected(media_id, brand, duration_ms, width, height, track_count, valid) AS (VALUES
+        | (1, 'isom', 2500, 320, 240, 1, TRUE),
+        | (2, NULL, 2000, NULL, NULL, 1, TRUE),
+        | (3, 'mp42', 2056, 1920, 1080, 2, TRUE),
+        | (4, NULL, NULL, NULL, NULL, NULL, FALSE),
+        | (5, NULL, NULL, NULL, NULL, NULL, FALSE),
+        | (6, NULL, NULL, NULL, NULL, NULL, FALSE))
+        |SELECT CAST(media_id AS BIGINT) AS media_id, brand,
+        |  CAST(duration_ms AS BIGINT) AS duration_ms,
+        |  CAST(width AS INTEGER) AS width, CAST(height AS INTEGER) AS height,
+        |  CAST(track_count AS INTEGER) AS track_count, valid
+        |FROM expected""".stripMargin)),
+
     // --------------------------------------------------------- label analytics
     Q("sim4_label_counts",
       (s, d) => Tables.embeddings(s, d)

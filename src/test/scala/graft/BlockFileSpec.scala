@@ -264,4 +264,25 @@ class BlockFileSpec extends SparkSpec {
     assert(decodeWavHeader(unhexStr("524946462c00000057415645" +
       "666d74201000000001000000401f0000401f000001000800" + data8)).isEmpty)
   }
+
+  test("mp4 box walk: size-0 to-EOF boxes, hostile sizes, malformed inputs") {
+    import graft.operators.Multimodal.decodeMp4Header
+    // moov whose mvhd parses structurally but carries timescale 0 → unparseable
+    val mvhd0 = unhexStr("000000246d6f6f76" + // moov size 36
+      "0000001c6d766864" + // mvhd size 28: v0 + crea + mod + ts=0 + dur
+      "00000000" + "00000000" + "00000000" + "00000000" + "00000064")
+    assert(decodeMp4Header(mvhd0).isEmpty)
+    // size==0 box (extends to EOF): a trailing mdat after a real moov parses
+    val eofBox = unhexStr("000000246d6f6f76" +
+      "0000001c6d766864" + // v0, ts=1000, dur=2000
+      "00000000" + "00000000" + "00000000" + "000003e8" + "000007d0" +
+      "000000006d646174deadbeef") // mdat size 0 -> to EOF
+    assert(decodeMp4Header(eofBox).contains((None, Some(2000L), None, None, 0)))
+    // a box size below the header size (size=7) is structural corruption
+    assert(decodeMp4Header(unhexStr("000000076d6f6f76deadbeef")).isEmpty)
+    // largesize declared but buffer ends before the 16-byte header
+    assert(decodeMp4Header(unhexStr("000000016d646174")).isEmpty)
+    assert(decodeMp4Header(null).isEmpty)
+    assert(decodeMp4Header(Array.emptyByteArray).isEmpty)
+  }
 }
