@@ -49,10 +49,14 @@ object BestChain {
       .where(lit(false))
 
     val ids = pairs.map(_.getString(0)).toSet
-    // node → parent, only when the parent actually exists; roots (null or
-    // dangling parent — the same orphan semantics as ChainOps) are absent.
+    // node → parent for every non-null pointer, INCLUDING dangling ones
+    // (parents never seen as blocks): the walk terminates at the phantom
+    // parent, so a dangling pointer counts its one unresolvable hop —
+    // exactly ChainOps' saturate-at-root semantics (a null-parent root sits
+    // at height 0, a dangling-parent block at 1), which the bk6 oracle pins.
+    // Phantom entries are filtered out again at emission below.
     val parentOf: Map[String, String] = pairs.flatMap(r =>
-      Option(r.getString(1)).filter(ids.contains).map(r.getString(0) -> _)).toMap
+      Option(r.getString(1)).map(r.getString(0) -> _)).toMap
     val memo = scala.collection.mutable.HashMap.empty[String, Int]
     pairs.foreach { r =>
       // walk up to the first memoized ancestor or a root (stack-safe),

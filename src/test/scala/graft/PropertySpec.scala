@@ -38,10 +38,30 @@ class PropertySpec extends SparkSpec {
         })
     }
 
+  /** [[forestGen]] plus dangling parents: pointers to hashes never seen as
+    * nodes (the reference dies on these, BlockchainToGraph.java:431; the
+    * engine counts the one unresolvable hop — bk6-oracle-pinned semantics).
+    */
+  private val forestWithDanglingGen: Gen[Seq[(String, Option[String])]] =
+    Gen.choose(1, 40).flatMap { n =>
+      Gen.sequence[Seq[Option[Int]], Option[Int]](
+        (0 until n).map { i =>
+          if (i == 0) Gen.const(None)
+          else Gen.frequency(
+            (1, Gen.const(None)),
+            (1, Gen.const(Some(-1))), // dangling pointer
+            (4, Gen.choose(0, i - 1).map(Some(_))))
+        })
+        .map(parents => parents.zipWithIndex.map { case (p, i) =>
+          (s"n$i", p.map(j => if (j < 0) s"phantom$i" else s"n$j"))
+        })
+    }
+
   private def bruteDepths(nodes: Seq[(String, Option[String])]): Map[String, Long] = {
     val parent = nodes.toMap
     def depth(id: String): Long = parent(id) match {
       case None => 0L
+      case Some(p) if !parent.contains(p) => 1L // dangling: one unresolvable hop
       case Some(p) => 1L + depth(p)
     }
     nodes.map { case (id, _) => id -> depth(id) }.toMap
@@ -49,12 +69,13 @@ class PropertySpec extends SparkSpec {
 
   test("pointer-doubling depths equal brute-force recursion on random forests") {
     import spark.implicits._
-    forAllSeeded(forestGen, 10) { nodes =>
-      val df = nodes.toDF("id", "parent")
-      val got = ChainOps.rootsAndDepths(df, "id", "parent")
-        .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
-      assert(got == bruteDepths(nodes))
-    }
+    Seq(forestGen, forestWithDanglingGen).foreach(g =>
+      forAllSeeded(g, 10) { nodes =>
+        val df = nodes.toDF("id", "parent")
+        val got = ChainOps.rootsAndDepths(df, "id", "parent")
+          .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+        assert(got == bruteDepths(nodes))
+      })
   }
 
   test("Pregel depths equal doubling depths on random forests") {
@@ -82,15 +103,16 @@ class PropertySpec extends SparkSpec {
     }
   }
 
-  test("driver-side and distributed best-chain paths agree") {
+  test("driver-side and distributed best-chain paths agree (incl. dangling parents)") {
     import spark.implicits._
-    forAllSeeded(forestGen, 6) { nodes =>
-      val df = nodes.toDF("hash", "parent_hash")
-      def norm(d: org.apache.spark.sql.DataFrame) = d
-        .select("hash", "height", "is_on_best_chain").collect()
-        .map(r => (r.getString(0), r.getInt(1), r.getBoolean(2))).toSet
-      assert(norm(BestChain.annotate(df)) == norm(BestChain.annotateDistributed(df)))
-    }
+    Seq(forestGen, forestWithDanglingGen).foreach(g =>
+      forAllSeeded(g, 6) { nodes =>
+        val df = nodes.toDF("hash", "parent_hash")
+        def norm(d: org.apache.spark.sql.DataFrame) = d
+          .select("hash", "height", "is_on_best_chain").collect()
+          .map(r => (r.getString(0), r.getInt(1), r.getBoolean(2))).toSet
+        assert(norm(BestChain.annotate(df)) == norm(BestChain.annotateDistributed(df)))
+      })
   }
 
   test("above-envelope route (shuffle hops + loop membership) agrees with the walk route") {
@@ -110,6 +132,22 @@ class PropertySpec extends SparkSpec {
       finally sys.props("graft.broadcastMaxRows") = "4"
       assert(loop == walk)
     } finally sys.props.remove("graft.broadcastMaxRows")
+  }
+
+  test("dangling-parent heights: all three routes count the unresolvable hop") {
+    import spark.implicits._
+    // b1's parent was never seen as a block; b3 is a true (null-parent) root.
+    val df = Seq(("b1", "px"), ("b2", "b1"), ("b3", null.asInstanceOf[String]))
+      .toDF("hash", "parent_hash")
+    def norm(d: org.apache.spark.sql.DataFrame) = d
+      .select("hash", "height", "is_on_best_chain").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getBoolean(2))).toSet
+    val expected = Set(("b1", 1, true), ("b2", 2, true), ("b3", 0, false))
+    assert(norm(BestChain.annotate(df)) == expected)           // driver route
+    assert(norm(BestChain.annotateDistributed(df)) == expected) // walk route
+    sys.props("graft.broadcastMaxRows") = "1"
+    try assert(norm(BestChain.annotateDistributed(df)) == expected) // loop route
+    finally sys.props.remove("graft.broadcastMaxRows")
   }
 
   test("best chain is a connected path from a root to the max-height tip") {
