@@ -42,7 +42,17 @@ object BestChain {
   def annotate(blocks: DataFrame): DataFrame = {
     val pairs = blocks.select("hash", "parent_hash")
       .limit(DriverSideThreshold.toInt + 1).collect()
-    if (pairs.length > DriverSideThreshold) return annotateDistributed(blocks)
+    if (pairs.length > DriverSideThreshold) annotateDistributed(blocks)
+    else annotateInMemory(blocks, pairs)
+  }
+
+  /** One-pass in-memory resolution of a collected parent forest: memoized
+    * height walk, tip pick, best-chain walk. Shared by [[annotate]]'s
+    * driver route and [[annotateDistributed]]'s broadcast-envelope route —
+    * identical semantics by construction.
+    */
+  private def annotateInMemory(
+      blocks: DataFrame, pairs: Array[org.apache.spark.sql.Row]): DataFrame = {
     if (pairs.isEmpty) return blocks
       .withColumn("height", lit(0).cast("int"))
       .withColumn("is_on_best_chain", lit(false))
@@ -93,33 +103,43 @@ object BestChain {
   private val lastAnn =
     new java.util.concurrent.atomic.AtomicReference[org.apache.spark.rdd.RDD[_]](null)
 
-  /** The distributed doubling path — O(log_Arity depth) self-join rounds for
-    * heights, then membership = the tip's ancestor set, by one of two
-    * routes picked on the block count (the same size cut as Spark's own
-    * broadcast-vs-shuffle join decision):
+  /** The scale path, route-picked on the block count with the same size cut
+    * as Spark's own broadcast-vs-shuffle join decision:
     *
-    *  - **≤ [[graft.operators.ChainOps.BroadcastMaxRows]]**: the parent map
-    *    fits the broadcast envelope (the exact build-side collect a
-    *    BroadcastExchange performs), so ONE executor task walks tip→root over
-    *    the broadcast map — O(height) hash lookups, one job, no loop. An
-    *    ancestor walk is inherently sequential (each hop needs the previous
-    *    hash), so a single in-memory walk is the optimal plan whenever the
-    *    map ships.
-    *  - **above it**: the walk's state no longer ships, so membership runs
-    *    the ancestor-doubling loop over the jump tables retained from the
-    *    height pass (tables are only persisted in this regime): the frontier
-    *    S starts at {tip, root} and one round per table — Arity−1 chained
-    *    jump joins, a distinct, and a lineage-truncating rebase — grows it
-    *    Arity× per round. The rebase is load-bearing: each jump EMBEDS the
-    *    previous S plan, so an unmaterialized chain of rounds duplicates the
-    *    S subtree Arity× per round and plan canonicalization goes
-    *    combinatorial (observed as a driver OOM at 50k blocks).
+    *  - **≤ [[graft.operators.ChainOps.BroadcastMaxRows]]**: the parent
+    *    forest fits the broadcast envelope (the exact build-side collect a
+    *    BroadcastExchange performs), so the whole resolution — heights AND
+    *    membership — is ONE in-memory pass over the collected pairs
+    *    ([[annotateInMemory]], identical to the driver route) instead of
+    *    O(log depth) distributed jobs of fixed stage latency. Chain walks
+    *    are inherently sequential (each hop needs the previous hash), so
+    *    the in-memory pass is the optimal plan whenever the forest ships.
+    *  - **above it**: O(log_Arity depth) self-join doubling rounds for
+    *    heights, then membership = the tip's ancestor set via the
+    *    ancestor-doubling loop over the jump tables retained from the
+    *    height pass: the frontier S starts at {tip, root} and one round per
+    *    table — Arity−1 chained jump joins, a distinct, and a
+    *    lineage-truncating rebase — grows it Arity× per round. The rebase
+    *    is load-bearing: each jump EMBEDS the previous S plan, so an
+    *    unmaterialized chain of rounds duplicates the S subtree Arity× per
+    *    round and plan canonicalization goes combinatorial (observed as a
+    *    driver OOM at 50k blocks).
+    *
+    * The probe collects at most envelope+1 rows (an early-terminating
+    * limit), so the above-envelope path never ships more than the envelope
+    * before taking the loop.
     */
   def annotateDistributed(blocks: DataFrame): DataFrame = {
     import ChainOps.traced
+    val probe = traced("annotate: envelope probe")(blocks
+      .select("hash", "parent_hash")
+      .limit(ChainOps.BroadcastMaxRows.toInt + 1).collect())
+    if (probe.length <= ChainOps.BroadcastMaxRows)
+      return annotateInMemory(blocks, probe)
+
     val resolved = traced("annotate: resolve")(ChainOps.resolve(
       blocks.select("hash", "parent_hash"), "hash", "parent_hash",
-      keepTablesIf = _ > ChainOps.BroadcastMaxRows))
+      keepTables = true))
     val h = resolved.result
       .select(col("id").as("hash"), col("dist").cast("int").as("height"))
     val withH = blocks.join(h, "hash")
@@ -134,70 +154,35 @@ object BestChain {
     val tipHash = tipRows(0).getString(0)
     val tipHeight = tipRows(0).getLong(1)
     val tipRoot = tipRows(0).getString(2)
-    val bcast = resolved.n <= ChainOps.BroadcastMaxRows
 
     val spark = blocks.sparkSession
     import spark.implicits._
-    // the frontier's backing RDD on the loop route — dropped after the
-    // final rebase below (the walk route has no loop state)
+    // the frontier's backing RDD — dropped after the final rebase below
     var sRdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = null
-    var s =
-      if (bcast) traced("annotate: membership walk") {
-        // Broadcast-envelope route: ship the parent map, walk in one task.
-        // Dangling parents (hash never seen as a block) terminate the walk
-        // without being emitted — they are pointers, not blocks — matching
-        // the loop's saturate-at-root semantics.
-        val pairs = blocks.select("hash", "parent_hash").collect()
-        val ids = new java.util.HashSet[String](pairs.length * 2)
-        val parentOf = new java.util.HashMap[String, String](pairs.length * 2)
-        pairs.foreach { r =>
-          ids.add(r.getString(0))
-          if (!r.isNullAt(1)) parentOf.put(r.getString(0), r.getString(1))
+    // S: known ancestors of the tip. Starts at {tip, genesis}; after
+    // consuming table r it covers every distance in [0, Arity^(r+1)-1]
+    // ∪ {height}.
+    var s = Seq(tipHash, tipRoot).distinct.toDF("hash")
+    var span = 1L // = Arity^r, the jump distance of the table being consumed
+    resolved.tables.foreach { case (tbl, _) =>
+      if (span <= tipHeight) {
+        // jump: follow tbl's Arity^r pointer once; saturated rows land on
+        // their root, which for members of S is the (already-seeded) tip
+        // root.
+        def jump(cur: DataFrame, t: Int): DataFrame = {
+          val j0 = tbl.select(col("id").as(s"jid$t"), col("ptr").as(s"jptr$t"))
+          cur.join(j0, cur("hash") === j0(s"jid$t")).select(col(s"jptr$t").as("hash"))
         }
-        val bc = spark.sparkContext.broadcast((ids, parentOf))
-        spark.range(1).as[Long].flatMap { _ =>
-          val (bIds, bParent) = bc.value
-          new Iterator[String] {
-            private var cur: String = if (bIds.contains(tipHash)) tipHash else null
-            def hasNext: Boolean = cur != null
-            def next(): String = {
-              val out = cur
-              val p = bParent.get(cur)
-              cur = if (p != null && bIds.contains(p)) p else null
-              out
-            }
-          }
-        }.toDF("hash")
-      } else {
-        // S: known ancestors of the tip. Starts at {tip, genesis}; after
-        // consuming table r it covers every distance in [0, Arity^(r+1)-1]
-        // ∪ {height}.
-        var s = Seq(tipHash, tipRoot).distinct.toDF("hash")
-        var span = 1L // = Arity^r, the jump distance of the table being consumed
-        resolved.tables.foreach { case (tbl, _) =>
-          if (span <= tipHeight) {
-            // jump: follow tbl's Arity^r pointer once; saturated rows land on
-            // their root, which for members of S is the (already-seeded) tip
-            // root.
-            def jump(cur: DataFrame, t: Int): DataFrame = {
-              val j0 = tbl.select(col("id").as(s"jid$t"), col("ptr").as(s"jptr$t"))
-              cur.join(j0, cur("hash") === j0(s"jid$t")).select(col(s"jptr$t").as("hash"))
-            }
-            val hops = Iterator.iterate(s -> 0) { case (cur, t) => jump(cur, t + 1) -> (t + 1) }
-              .drop(1).take(ChainOps.Arity - 1).map(_._1).toSeq
-            val (ns, nsRdd) = ChainOps.traced(s"annotate: membership span=$span")(
-              ChainOps.rebase(hops.foldLeft(s)(_ unionByName _).distinct()))
-            if (sRdd != null) sRdd.unpersist(blocking = false)
-            s = ns; sRdd = nsRdd
-            span *= ChainOps.Arity
-          }
-          ()
-        }
-        s
+        val hops = Iterator.iterate(s -> 0) { case (cur, t) => jump(cur, t + 1) -> (t + 1) }
+          .drop(1).take(ChainOps.Arity - 1).map(_._1).toSeq
+        val (ns, nsRdd) = ChainOps.traced(s"annotate: membership span=$span")(
+          ChainOps.rebase(hops.foldLeft(s)(_ unionByName _).distinct()))
+        if (sRdd != null) sRdd.unpersist(blocking = false)
+        s = ns; sRdd = nsRdd
+        span *= ChainOps.Arity
       }
-    // The membership set is ≤ chain height rows of one hash column — always
-    // the small side of the final annotate join.
-    s = if (bcast) broadcast(s) else s
+      ()
+    }
     val ann = withH
       .join(s.withColumn("is_on_best_chain", lit(true)), Seq("hash"), "left")
       .na.fill(false, Seq("is_on_best_chain"))
