@@ -20,6 +20,7 @@ object Bench {
     "d1_exact_dedup", "d2_fingerprint_dedup", "d3b_ngram_jaccard_capped",
     "d4_minhash_pairs", "d7_neardup_clusters",
     "t1_token_stats", "t5_tfidf", "t6_winnow_fingerprint",
+    "ds3_temperature_resample", "p0_curation_pipeline",
     "sim1_cosine_topk", "sim2_lsh_topk", "sim5_ivf_topk",
     "bc5_block_stats", "bc7_wallet_clusters",
     "bk0_e2e_pipeline", "bk2_tx_stats", "bk4_address_stats", "bk7_utxo_set")

@@ -625,6 +625,37 @@ object Pipeline {
         |SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars
         |FROM documents d JOIN r USING (lang)
         |WHERE CAST(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS UBIGINT) AS BIGINT) <
+        |  CAST(floor(rate * 1152921504606846976.0) AS BIGINT)""".stripMargin)),
+
+    // Flagship curation pipeline from raw documents: exact dedup (keep the
+    // min-id copy) → quality gate (token count + punctuation ratio) →
+    // temperature rebalance across languages. The whole chain — including
+    // the "random" sample — is bit-reproducible, so it carries a full
+    // row-level oracle: the documents analogue of bk0_e2e_pipeline.
+    Q("p0_curation_pipeline",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val keep = docs.groupBy("text").agg(min("doc_id").as("doc_id"))
+        val surviving = docs.join(keep.select("doc_id"), Seq("doc_id"), "left_semi")
+        val quality = surviving.join(
+          TextOps.qualityMetrics(surviving, "doc_id", "text")
+            .where(col("n_tokens") >= 5 && col("punct_ratio") <= 0.2)
+            .select("doc_id"),
+          Seq("doc_id"), "left_semi")
+        Sampling.temperatureResample(quality, "doc_id", "lang")
+          .select("doc_id", "lang", "source")
+      },
+      Some("""WITH keep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text),
+        |s AS (SELECT d.* FROM documents d JOIN keep USING (doc_id)),
+        |q AS (
+        |  SELECT doc_id, lang, source FROM s
+        |  WHERE len(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) >= 5
+        |    AND CAST(length(text) - length(regexp_replace(text, '[!-/:-@\[-`{-~]', '', 'g')) AS DOUBLE)
+        |        / length(text) <= 0.2
+        |), c AS (SELECT lang, count(*) AS n FROM q GROUP BY lang),
+        |r AS (SELECT lang, sqrt(CAST((SELECT min(n) FROM c) AS DOUBLE) / n) AS rate FROM c)
+        |SELECT q.doc_id, q.lang, q.source FROM q JOIN r USING (lang)
+        |WHERE CAST(CAST(('0x' || substring(md5(CAST(q.doc_id AS VARCHAR)), 1, 15)) AS UBIGINT) AS BIGINT) <
         |  CAST(floor(rate * 1152921504606846976.0) AS BIGINT)""".stripMargin))
   )
 }
