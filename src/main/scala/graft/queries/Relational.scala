@@ -108,8 +108,8 @@ object Relational {
               .cast("double").as("revenue"))
       },
       Some("SELECT o_orderpriority, count(*) AS n, " +
-        "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * " +
-        "(CAST(1 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4)))) AS DOUBLE) AS revenue " +
+        "CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * " +
+        "(CAST(1 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4)))) AS VARCHAR) AS DOUBLE) AS revenue " +
         "FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY o_orderpriority")),
 
     Q("j6_multihop_agg",
@@ -123,7 +123,7 @@ object Relational {
           .groupBy("r_name", "n_name")
           .agg(dsum(col("l_extendedprice")).as("revenue"))
       },
-      Some("SELECT r_name, n_name, CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) " +
+      Some("SELECT r_name, n_name, CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) " +
         "AS revenue FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
         "JOIN customer ON o_custkey = c_custkey JOIN nation ON c_nationkey = n_nationkey " +
         "JOIN region ON n_regionkey = r_regionkey GROUP BY r_name, n_name")),
@@ -206,12 +206,12 @@ object Relational {
           count(lit(1)).as("count_order"))
         .withColumn("avg_qty", col("sum_qty") / col("count_order")),
       Some("SELECT l_returnflag, l_linestatus, " +
-        "CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty, " +
-        "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price, " +
-        "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(8,4)) - " +
-        "CAST(l_discount AS DECIMAL(8,4)))) AS DOUBLE) AS sum_disc_price, " +
+        "CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_qty, " +
+        "CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_base_price, " +
+        "CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(8,4)) - " +
+        "CAST(l_discount AS DECIMAL(8,4)))) AS VARCHAR) AS DOUBLE) AS sum_disc_price, " +
         "count(*) AS count_order, " +
-        "CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_qty " +
+        "CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) / count(*) AS avg_qty " +
         "FROM lineitem GROUP BY l_returnflag, l_linestatus")),
 
     Q("a5_minmax_group",
@@ -267,14 +267,14 @@ object Relational {
         .agg(count(lit(1)).as("n"), min(col("l_quantity")).as("min_qty"),
           max(col("l_quantity")).as("max_qty"), dsum(col("l_extendedprice")).as("sum_price")),
       Some("SELECT count(*) AS n, min(l_quantity) AS min_qty, max(l_quantity) AS max_qty, " +
-        "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price FROM lineitem")),
+        "CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_price FROM lineitem")),
 
     Q("a11_rollup",
       (s, d) => Tables.lineitem(s, d)
         .rollup("l_returnflag", "l_linestatus")
         .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty")),
       Some("SELECT l_returnflag, l_linestatus, count(*) AS n, " +
-        "CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty " +
+        "CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_qty " +
         "FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)")),
 
     Q("a12_cube",
@@ -291,9 +291,9 @@ object Relational {
         .agg(dsum(col("o_totalprice")))
         .na.fill(0.0, Seq("F", "O", "P")),
       Some("SELECT o_orderpriority, " +
-        "CAST(coalesce(SUM(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(18,4)) END), 0) AS DOUBLE) AS F, " +
-        "CAST(coalesce(SUM(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(18,4)) END), 0) AS DOUBLE) AS O, " +
-        "CAST(coalesce(SUM(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(18,4)) END), 0) AS DOUBLE) AS P " +
+        "CAST(CAST(coalesce(SUM(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(18,4)) END), 0) AS VARCHAR) AS DOUBLE) AS F, " +
+        "CAST(CAST(coalesce(SUM(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(18,4)) END), 0) AS VARCHAR) AS DOUBLE) AS O, " +
+        "CAST(CAST(coalesce(SUM(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(18,4)) END), 0) AS VARCHAR) AS DOUBLE) AS P " +
         "FROM orders GROUP BY o_orderpriority")),
 
     Q("a15_unpivot",
@@ -304,6 +304,19 @@ object Relational {
           "metric", "value"),
       Some("SELECT l_orderkey, l_linenumber, 'l_tax' AS metric, l_tax AS value FROM lineitem " +
         "UNION ALL SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem")),
+
+    // Two-phase salted aggregation over a genuinely hot grouping (6 keys
+    // across all of lineitem): identical semantics to the plain GROUP BY the
+    // oracle runs, but the first shuffle spreads each hot key over 16
+    // reducers — the skewed-aggregation shape AQE cannot split.
+    Q("a16_salted_hot_agg",
+      (s, d) => graft.operators.Salting.twoPhaseAgg(
+        Tables.lineitem(s, d), Seq("l_returnflag"), salts = 16)(
+        Seq(sum(col("l_quantity").cast(DecimalType(18, 4))).as("_q"),
+          count(lit(1)).as("_n")),
+        Seq(sum("_q").cast("double").as("sum_qty"), sum("_n").as("n_rows"))),
+      Some("SELECT l_returnflag, CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) " +
+        "AS sum_qty, count(*) AS n_rows FROM lineitem GROUP BY l_returnflag")),
 
     Q("c11_from_json",
       (s, d) => Tables.events(s, d)
@@ -373,9 +386,9 @@ object Relational {
         Tables.orders(s, d).select(col("o_orderkey"),
           sum(dec(col("o_totalprice"))).over(w).cast("double").as("running_total"))
       },
-      Some("SELECT o_orderkey, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER " +
+      Some("SELECT o_orderkey, CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER " +
         "(PARTITION BY o_custkey ORDER BY o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND " +
-        "CURRENT ROW) AS DOUBLE) AS running_total FROM orders")),
+        "CURRENT ROW) AS VARCHAR) AS DOUBLE) AS running_total FROM orders")),
 
     Q("w4_sessionize",
       (s, d) => {
@@ -558,7 +571,7 @@ object Relational {
         .groupBy(expr("(ts div 1000) div 3600000000").as("hr"), col("event_type"))
         .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value")),
       Some("SELECT epoch_us(ts) // 3600000000 AS hr, event_type, count(*) AS n, " +
-        "CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value " +
+        "CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_value " +
         "FROM events GROUP BY 1, 2")),
 
     // Session windows (T7): Spark's native session_window vs the
@@ -599,7 +612,7 @@ object Relational {
         .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"),
           min(col("value")).as("min_value"), max(col("value")).as("max_value")),
       Some("SELECT event_type, count(*) AS n, " +
-        "CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value, " +
+        "CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_value, " +
         "min(value) AS min_value, max(value) AS max_value FROM events GROUP BY event_type"))
   )
 }
