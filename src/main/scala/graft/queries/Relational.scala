@@ -574,6 +574,25 @@ object Relational {
         "CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_value " +
         "FROM events GROUP BY 1, 2")),
 
+    // Hopping (sliding) windows: Spark's native window() with a slide —
+    // 1h windows every 30min, so each event lands in exactly two windows.
+    // The oracle unrolls the two epoch-aligned starts per event.
+    Q("e2_hopping_counts",
+      (s, d) => Tables.events(s, d)
+        .groupBy(
+          window(timestamp_micros(expr("ts div 1000")), "1 hour", "30 minutes").as("w"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+        .select(unix_micros(col("w.start")).as("wstart"), col("event_type"),
+          col("n"), col("sum_value")),
+      Some("""WITH e AS (SELECT epoch_us(ts) AS us, event_type, value FROM events),
+        |w AS (SELECT us, event_type, value,
+        |  unnest([(us // 1800000000) * 1800000000,
+        |          (us // 1800000000) * 1800000000 - 1800000000]) AS wstart FROM e)
+        |SELECT wstart, event_type, count(*) AS n,
+        |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_value
+        |FROM w GROUP BY 1, 2""".stripMargin)),
+
     // Session windows (T7): Spark's native session_window vs the
     // gaps-and-islands SQL formulation — identical session boundaries
     // (a new session starts when the gap is >= the 30-minute timeout).
