@@ -58,6 +58,27 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("bucketed address stats shuffle ONLY at the address grain") {
+    // The pair-merge shape's whole point: on tx_hash-bucketed silver, no
+    // event- or tx-grain data ever crosses the wire — every exchange in the
+    // plan clusters on address(+cp/role). A tx_hash key here means the
+    // bucket alignment regressed.
+    val p = plan("bk4_address_stats")
+    val keys = "hashpartitioning\\(([^)]*)\\)".r.findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(keys.nonEmpty, p)
+    keys.foreach(k => assert(!k.contains("tx_hash"), s"tx-grain exchange on bucketed silver: $k"))
+  }
+
+  test("bucketed tx stats: per-side aggregates are exchange-free above the scans") {
+    // txStats' counts/values/churn all aggregate narrow over the bucketed
+    // scans; only new-address attribution (address grain) and the final
+    // tx-grain alignment may shuffle. More than 4 exchanges means a
+    // pair-grain re-exchange crept back in.
+    val p = plan("bk2_tx_stats")
+    val n = "hashpartitioning\\(".r.findAllMatchIn(p).size
+    assert(n <= 4, s"bk2 exchange count regressed: $n\n$p")
+  }
+
   test("UTXO set is an equi anti-join with a partial-aggregated rollup") {
     val p = plan("bk7_utxo_set")
     assert(p.contains("LeftAnti"), p)
