@@ -113,6 +113,15 @@ object Dedup {
     * would silently un-dedup exactly the most duplicated documents.
     * `extraCols` ride along (e.g. simhash signatures for verification).
     */
+  /** Previous cappedBucketPairs tagged-bucket cache (swap-unpersist per
+    * call, same discipline as [[lastShingles]]): the tagged table feeds
+    * THREE consumers (two self-join sides + the hot-bucket star path), and
+    * without materialization each one recomputes the full upstream
+    * signature pipeline — shingle explode, hashing, min-aggregation.
+    */
+  private val lastTagged =
+    new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
+
   private[operators] def cappedBucketPairs(
       banded: DataFrame, idCol: String, keyCols: Seq[String],
       extraCol: Option[String], maxBucketSize: Int): DataFrame = {
@@ -128,6 +137,8 @@ object Dedup {
       .withColumn("_minid", col(s"_hub.$idCol"))
       .withColumn("_mine", extraCol.map(e => col(s"_hub.$e")).getOrElse(lit(null)))
       .drop("_hub")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    Option(lastTagged.getAndSet(tagged)).foreach(_.unpersist(blocking = false))
     val normal = tagged.where(col("_n") <= maxBucketSize)
     def side(n: Int) = normal.select(
       (keys :+ col(idCol).as(s"id$n")) ++
