@@ -45,6 +45,23 @@ class CacheDisciplineSpec extends SparkSpec {
       s"cached RDDs grew across calls: $after1 after 1 call, $after3 after 3")
   }
 
+  test("minhash/ngram pair generation: repeated calls hold constant cached state") {
+    import spark.implicits._
+    val docs = (1 to 40).map(i => (i.toLong, s"the quick brown fox ${i % 5} jumps over dog ${i % 5}"))
+      .toDF("doc_id", "text")
+    def run(): Unit = {
+      operators.Dedup.minhashCandidatePairs(
+        operators.Dedup.minhashSignatures(docs, "doc_id", "text"), "doc_id").collect()
+      operators.Dedup.ngramJaccardPairs(docs, "doc_id", "text").collect()
+    }
+    run()
+    val after1 = cachedCount
+    run(); run()
+    val after3 = cachedCount
+    assert(after3 <= after1,
+      s"cached RDDs grew across calls: $after1 after 1 call, $after3 after 3")
+  }
+
   test("annotateDistributed: repeated calls hold constant cached state") {
     import spark.implicits._
     val blocks = (("g", null: String, 0L) +: (1 to 50).map(i =>
