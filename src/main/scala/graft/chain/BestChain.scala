@@ -21,13 +21,6 @@ import graft.operators.ChainOps
   */
 object BestChain {
 
-  /** Below this many blocks the whole forest fits trivially in driver
-    * memory; resolve it there in one pass instead of paying O(log d)
-    * distributed jobs of fixed latency — the same adaptive size cut as a
-    * broadcast join. 100k string pairs ≈ 20 MB.
-    */
-  val DriverSideThreshold: Long = 100000L
-
   /** (hash, height) for every block in a parent-pointer forest. */
   def heights(blocks: DataFrame): DataFrame =
     ChainOps.rootsAndDepths(blocks.select("hash", "parent_hash"), "hash", "parent_hash")
@@ -36,15 +29,11 @@ object BestChain {
   /** blocks + (height, is_on_best_chain). Best tip = max height, ties broken
     * by min hash (deterministic; the reference takes file order —
     * BlockchainToGraph.java:91–102 — which a batch engine cannot see).
-    * Forests under [[DriverSideThreshold]] resolve driver-side in one
-    * collect; larger ones take the doubling path ([[annotateDistributed]]).
+    * Alias of [[annotateDistributed]], which already routes adaptively:
+    * forests inside the broadcast envelope resolve in one in-memory pass,
+    * larger ones take the doubling path.
     */
-  def annotate(blocks: DataFrame): DataFrame = {
-    val pairs = blocks.select("hash", "parent_hash")
-      .limit(DriverSideThreshold.toInt + 1).collect()
-    if (pairs.length > DriverSideThreshold) annotateDistributed(blocks)
-    else annotateInMemory(blocks, pairs)
-  }
+  def annotate(blocks: DataFrame): DataFrame = annotateDistributed(blocks)
 
   /** One-pass in-memory resolution of a collected parent forest: memoized
     * height walk, tip pick, best-chain walk. Shared by [[annotate]]'s
