@@ -104,20 +104,6 @@ object Profile {
       val outs = outsB.join(cTxs.select("tx_hash"), Seq("tx_hash"), "left_semi")
       t("rin semi force")(force(rin))
       t("outs semi force")(force(outs))
-      // addressStats pieces
-      val txMeta = cTxs.select("tx_hash", "ts")
-      val events = outs.select(col("address"), col("tx_hash"), col("value"), lit("r").as("dir"))
-        .unionByName(rin.select(col("src_address").as("address"), col("tx_hash"),
-          col("value"), lit("s").as("dir")))
-        .join(txMeta, "tx_hash")
-      t("events force")(force(events))
-      val perTx = events.groupBy("address", "tx_hash").agg(
-        sum(when(col("dir") === "r", col("value"))).as("recv_value"),
-        sum(when(col("dir") === "s", col("value"))).as("spent_value"),
-        (count(when(col("dir") === "r", lit(1))) > 0).as("has_r"),
-        (count(when(col("dir") === "s", lit(1))) > 0).as("has_s"),
-        min("ts").as("ts"))
-      t("perTx force")(force(perTx))
       t("full addressStats")(force(GoldStats.addressStats(cTxs, rin, outs)))
       t("full txStats")(force(GoldStats.txStats(cTxs, rin, outs)))
     }
