@@ -22,8 +22,11 @@ object Bench {
     "t1_token_stats", "t5_tfidf", "t6_winnow_fingerprint",
     "ds3_temperature_resample", "p0_curation_pipeline",
     "sim1_cosine_topk", "sim2_lsh_topk", "sim5_ivf_topk",
-    "bc5_block_stats", "bc7_wallet_clusters",
-    "bk0_e2e_pipeline", "bk2_tx_stats", "bk4_address_stats", "bk7_utxo_set")
+    "bc5_block_stats",
+    // bk5 (corpus-scale clustering), not bc7: the 7-row fixture's time is
+    // pure GraphX stage latency and measures nothing about the engine.
+    "bk0_e2e_pipeline", "bk2_tx_stats", "bk4_address_stats", "bk5_wallet_clusters",
+    "bk7_utxo_set")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -57,6 +60,13 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
     var failures = List.empty[String]
     val results = names.filter(n => only.forall(_.contains(n))).map { name =>
+      // Cold-cache boundary: drain every operator's retained swap register
+      // before each query. WITHIN a query the warm+timed runs share the
+      // registers (that is the steady-state being measured); ACROSS queries
+      // the registers coexist in the deliberately small bench heap and the
+      // eviction thrash poisons the medians (bk0 measured 70s in-suite vs
+      // 7.5s isolated before this boundary existed).
+      Graft.releaseCaches()
       def once(): Double = {
         val t0 = System.nanoTime()
         try all(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
@@ -78,7 +88,15 @@ object Bench {
     val spread = results.map { case (k, (_, s)) => "\"" + k + "\":" + s }
       .mkString("{", ",", "}")
     val total = results.map(_._2._1).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"runs":$runs,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"runs":$runs,"sf":"$sfDir"}"""
+    println(json)
+    // The driver stores only a truncated tail of the run log, which has cut
+    // up to 10 of the per-query timings from every BENCH artifact so far —
+    // the file is the lossless channel.
+    val out = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench.json"))
+    Option(out.getParent).foreach(java.nio.file.Files.createDirectories(_))
+    java.nio.file.Files.writeString(out, json + "\n")
     spark.stop()
   }
 }

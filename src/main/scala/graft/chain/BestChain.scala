@@ -92,6 +92,10 @@ object BestChain {
   private val lastAnn =
     new java.util.concurrent.atomic.AtomicReference[org.apache.spark.rdd.RDD[_]](null)
 
+  /** Drop the retained annotation ([[graft.Graft.releaseCaches]]). */
+  private[graft] def release(): Unit =
+    Option(lastAnn.getAndSet(null)).foreach(_.unpersist(blocking = false))
+
   /** The scale path, route-picked on the block count with the same size cut
     * as Spark's own broadcast-vs-shuffle join decision:
     *
@@ -120,10 +124,15 @@ object BestChain {
     */
   def annotateDistributed(blocks: DataFrame): DataFrame = {
     import ChainOps.traced
+    // Read the sys-prop-backed envelope ONCE: a second read could disagree
+    // under a concurrent property change and misroute between the in-memory
+    // walk and the doubling loop. Clamped before .toInt — an envelope above
+    // Int.MaxValue-1 would overflow the limit into a negative value.
+    val envelope = math.min(ChainOps.BroadcastMaxRows, (Int.MaxValue - 1).toLong).toInt
     val probe = traced("annotate: envelope probe")(blocks
       .select("hash", "parent_hash")
-      .limit(ChainOps.BroadcastMaxRows.toInt + 1).collect())
-    if (probe.length <= ChainOps.BroadcastMaxRows)
+      .limit(envelope + 1).collect())
+    if (probe.length <= envelope)
       return annotateInMemory(blocks, probe)
 
     val resolved = traced("annotate: resolve")(ChainOps.resolve(

@@ -26,6 +26,10 @@ object WalletCluster {
   private val lastResult =
     new java.util.concurrent.atomic.AtomicReference[org.apache.spark.rdd.RDD[_]](null)
 
+  /** Drop the retained clustering ([[graft.Graft.releaseCaches]]). */
+  private[graft] def release(): Unit =
+    Option(lastResult.getAndSet(null)).foreach(_.unpersist(blocking = false))
+
   /** @param addresses  one-column DF of the full address universe
     * @param txFunders  (tx_hash, src_address) distinct funding pairs
     * @return (address, wallet_id) where wallet_id = min address in the

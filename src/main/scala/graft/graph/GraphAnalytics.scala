@@ -83,4 +83,8 @@ object GraphAnalytics {
   /** Previous pageRank materialization (swap-unpersist per call). */
   private val lastRank =
     new java.util.concurrent.atomic.AtomicReference[org.apache.spark.rdd.RDD[_]](null)
+
+  /** Drop the retained ranking ([[graft.Graft.releaseCaches]]). */
+  private[graft] def release(): Unit =
+    Option(lastRank.getAndSet(null)).foreach(_.unpersist(blocking = false))
 }

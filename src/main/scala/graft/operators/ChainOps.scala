@@ -149,17 +149,7 @@ object ChainOps {
 
   private[graft] def resolve(
       nodes: DataFrame, idCol: String, parentCol: String,
-      keepTables: Boolean): Resolved =
-    resolve(nodes, idCol, parentCol, keepTablesIf = _ => keepTables)
-
-  /** [[resolve]] with the keep-tables decision deferred until the node count
-    * is known — [[graft.chain.BestChain]] only needs the jump tables on the
-    * above-broadcast-envelope path, and persisting them for a small forest is
-    * pure overhead.
-    */
-  private[graft] def resolve(
-      nodes: DataFrame, idCol: String, parentCol: String,
-      keepTablesIf: Long => Boolean): Resolved = {
+      keepTables: Boolean): Resolved = {
     val tables = scala.collection.mutable.ArrayBuffer
       .empty[(DataFrame, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row])]
     var (state, stateRdd, n, unresolved) = traced("resolve round 0 (init rebase)")(
@@ -170,9 +160,8 @@ object ChainOps {
           when(col(parentCol).isNull, lit(0L)).otherwise(lit(1L)).as("dist"),
           col(parentCol).isNull.as("done")),
         boolIdx = 3))
-    // The table size is fixed across rounds, so the broadcast and
-    // keep-tables decisions are made once, off the fused round-0 count.
-    val keepTables = keepTablesIf(n)
+    // The table size is fixed across rounds, so the broadcast decision is
+    // made once, off the fused round-0 count.
     if (keepTables) tables += ((state, stateRdd))
     val bcast = n <= BroadcastMaxRows
     var r = 0
@@ -260,6 +249,10 @@ object ChainOps {
   /** Previous depthsPregel materialization (swap-unpersist per call). */
   private val lastPregel =
     new java.util.concurrent.atomic.AtomicReference[org.apache.spark.rdd.RDD[_]](null)
+
+  /** Drop the retained Pregel depths ([[graft.Graft.releaseCaches]]). */
+  private[graft] def release(): Unit =
+    Option(lastPregel.getAndSet(null)).foreach(_.unpersist(blocking = false))
 
   /** Chain tip = maximal height — the reference's getBestAndHeight
     * (BlockchainToGraph.java:38–49) without any traversal: with height

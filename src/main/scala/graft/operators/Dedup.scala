@@ -113,22 +113,20 @@ object Dedup {
     * would silently un-dedup exactly the most duplicated documents.
     * `extraCols` ride along (e.g. simhash signatures for verification).
     */
-  /** Previous cappedBucketPairs tagged-bucket cache (swap-unpersist per
-    * call, same discipline as [[lastShingles]]): the tagged table feeds
-    * THREE consumers (two self-join sides + the hot-bucket star path), and
-    * without materialization each one recomputes the full upstream
-    * signature pipeline — shingle explode, hashing, min-aggregation.
-    */
-  private val lastTagged =
-    new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
-
   private[operators] def cappedBucketPairs(
       banded: DataFrame, idCol: String, keyCols: Seq[String],
       extraCol: Option[String], maxBucketSize: Int): DataFrame = {
     val keys = keyCols.map(col)
     // Bucket stats ride a window over the SAME partitioning the self-join
     // shuffles by — one exchange total, instead of a groupBy + rejoin that
-    // would shuffle the banded table twice.
+    // would shuffle the banded table twice. The three consumers (two
+    // self-join sides + the hot-bucket star path) all sit ABOVE that one
+    // exchange, so ReuseExchange computes the upstream signature pipeline
+    // once and each consumer re-reads the shuffle files — deliberately NOT
+    // persisted: a cache would hold a second corpus×bands copy and its fill
+    // barrier measurably regressed minhash (d4 +44% in round 7), while the
+    // shuffle files already are the shared materialization. PlanSpec pins
+    // the ReusedExchange shape.
     val w = org.apache.spark.sql.expressions.Window.partitionBy(keys: _*)
     val hub = min(struct(col(idCol) +: extraCol.map(col).toSeq: _*)).over(w)
     val tagged = banded
@@ -137,8 +135,6 @@ object Dedup {
       .withColumn("_minid", col(s"_hub.$idCol"))
       .withColumn("_mine", extraCol.map(e => col(s"_hub.$e")).getOrElse(lit(null)))
       .drop("_hub")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    Option(lastTagged.getAndSet(tagged)).foreach(_.unpersist(blocking = false))
     val normal = tagged.where(col("_n") <= maxBucketSize)
     def side(n: Int) = normal.select(
       (keys :+ col(idCol).as(s"id$n")) ++
@@ -281,6 +277,12 @@ object Dedup {
   /** Previous ngramJaccardPairs shingle cache (swap-unpersist per call). */
   private val lastShingles =
     new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
+
+  /** Drop every retained dedup cache ([[graft.Graft.releaseCaches]]). */
+  private[graft] def release(): Unit = {
+    Option(lastShingles.getAndSet(null)).foreach(_.unpersist(blocking = false))
+    Option(lastClusters.getAndSet(null)).foreach(_.unpersist(blocking = false))
+  }
 
   /** 64-bit SimHash: sign-aggregated token hashes. One explode + one agg;
     * the per-bit +/-1 sums are partial-aggregated map-side. With

@@ -74,14 +74,19 @@ object Sampling {
     * anchored so the smallest stratum keeps everything:
     * rate_s = sqrt(n_min / n_s). sqrt is IEEE-correctly-rounded in every
     * engine — unlike pow — so rates, thresholds, and hence the sample are
-    * bit-deterministic. Rows with a null stratum are dropped.
+    * bit-deterministic. Rows with a null stratum are dropped — BEFORE the
+    * counts, so the anchor n_min is the smallest stratum that actually
+    * survives: a few null-stratum rows must not become the anchor and
+    * collapse every real stratum's keep rate while never appearing in the
+    * output themselves.
     *
     * One tiny per-stratum count (shuffled at stratum cardinality, not corpus
     * size) broadcast back against the corpus: the main pass stays narrow.
     */
   def temperatureResample(df: DataFrame, idCol: String,
       stratumCol: String): DataFrame = {
-    val counts = df.groupBy(col(stratumCol)).agg(count(lit(1)).as("_n"))
+    val counts = df.where(col(stratumCol).isNotNull)
+      .groupBy(col(stratumCol)).agg(count(lit(1)).as("_n"))
     val rates = counts
       .crossJoin(counts.agg(min("_n").as("_nmin")))
       .select(col(stratumCol),

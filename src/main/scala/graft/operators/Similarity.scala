@@ -183,6 +183,14 @@ object Similarity {
   /** Number of memoized (persisted) IVF indexes — observable bound for tests. */
   def ivfCacheEntries: Int = ivfCache.synchronized(ivfCache.size())
 
+  /** Drop every memoized IVF index ([[graft.Graft.releaseCaches]]).
+    * Explicitly-built [[IvfModel]]s are caller-owned and untouched.
+    */
+  private[graft] def release(): Unit = ivfCache.synchronized {
+    ivfCache.values().forEach(_.unpersist())
+    ivfCache.clear()
+  }
+
   /** Build an IVF index: train spherical k-means centroids on a driver-side
     * sample (deterministic, no RNG — kilobytes on the driver, never the
     * corpus), then assign every corpus row to its cell in ONE narrow typed

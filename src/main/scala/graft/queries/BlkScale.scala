@@ -45,6 +45,10 @@ object BlkScale {
     dfs.foreach(_.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
   }
 
+  /** Drop the retained pipeline scratch ([[graft.Graft.releaseCaches]]). */
+  private[graft] def release(): Unit =
+    scratch.getAndSet(Nil).foreach(_.unpersist(blocking = false))
+
   /** Non-recursive bronze CTEs over the materialized parquet. */
   private def bronzeCtes: String =
     s"""blocks AS (SELECT * FROM ${pq(BlkCorpus.bronzeDir("blocks"))}),

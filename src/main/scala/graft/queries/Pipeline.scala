@@ -620,7 +620,8 @@ object Pipeline {
     Q("ds3_temperature_resample",
       (s, d) => Sampling.temperatureResample(Tables.documents(s, d), "doc_id",
         "lang"),
-      Some("""WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+      Some("""WITH c AS (SELECT lang, count(*) AS n FROM documents
+        |  WHERE lang IS NOT NULL GROUP BY lang),
         |r AS (SELECT lang, sqrt(CAST((SELECT min(n) FROM c) AS DOUBLE) / n) AS rate FROM c)
         |SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars
         |FROM documents d JOIN r USING (lang)
@@ -656,7 +657,7 @@ object Pipeline {
         |  WHERE len(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) >= 5
         |    AND CAST(length(text) - length(regexp_replace(text, '[!-/:-@\[-`{-~]', '', 'g')) AS DOUBLE)
         |        / length(text) <= 0.2
-        |), c AS (SELECT lang, count(*) AS n FROM q GROUP BY lang),
+        |), c AS (SELECT lang, count(*) AS n FROM q WHERE lang IS NOT NULL GROUP BY lang),
         |r AS (SELECT lang, sqrt(CAST((SELECT min(n) FROM c) AS DOUBLE) / n) AS rate FROM c)
         |SELECT q.doc_id, q.lang, q.source FROM q JOIN r USING (lang)
         |WHERE CAST(CAST(('0x' || substring(md5(CAST(q.doc_id AS VARCHAR)), 1, 15)) AS UBIGINT) AS BIGINT) <

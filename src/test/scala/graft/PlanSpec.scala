@@ -93,6 +93,22 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("MapPartitions"), p) // the JIT'd shingle flatMap
   }
 
+  test("banded self-join shares ONE signature pipeline via runtime exchange reuse") {
+    // cappedBucketPairs' three consumers (two join sides + the hot-bucket
+    // star path) all sit above the same hashpartitioning(band, bucket)
+    // exchange; AQE's stage reuse computes the shingle→hash→min-agg→band
+    // pipeline once and the other consumers read the shuffle files. This is
+    // why the tagged table is deliberately NOT persisted (a cache-fill
+    // barrier regressed d4 by 44% in round 7). Reuse only materializes in
+    // the FINAL adaptive plan, so execute first.
+    val df = SparkEntry.queries("d4_minhash_pairs")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.explainString(FormattedMode)
+    val reused = "ReusedExchange".r.findAllMatchIn(p).size
+    assert(p.contains("isFinalPlan=true"), p.take(2000))
+    assert(reused >= 2, s"expected >=2 ReusedExchange (one per extra consumer), got $reused\n${p.take(3000)}")
+  }
+
   test("near-dup default path is the band equi-join, never a quadratic join") {
     import org.apache.spark.sql.functions.col
     val emb = graft.tables.Tables.embeddings(spark, sf).where(col("vec_id") < 100)

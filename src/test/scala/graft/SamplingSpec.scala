@@ -78,6 +78,26 @@ class SamplingSpec extends SparkSpec {
     assert(byLang("big").toDouble / byLang("rare") < 8.0, byLang)
   }
 
+  test("temperatureResample: null strata are dropped and never anchor n_min") {
+    import spark.implicits._
+    // 2 null-stratum rows are far smaller than every real stratum; if they
+    // leaked into the counts they would become the anchor (n_min = 2) and
+    // collapse the real strata's keep rates to ~sqrt(2/n) while themselves
+    // never surviving the equi-join — the law "smallest stratum keeps
+    // everything" would then hold for NO stratum in the output.
+    val withNulls = docs.unionByName(
+      Seq((9000L, null), (9001L, null)).toDF("id", "lang"))
+    val out = Sampling.temperatureResample(withNulls, "id", "lang")
+    val byLang = out.groupBy("lang").count().collect()
+      .map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+    assert(!byLang.contains(None), byLang) // null rows never emitted
+    assert(byLang(Some("rare")) == 10L, byLang) // real anchor keeps everything
+    // and the result is IDENTICAL to the null-free corpus: nulls are inert
+    val clean = Sampling.temperatureResample(docs, "id", "lang")
+      .select("id").collect().map(_.getLong(0)).sorted
+    assert(out.select("id").collect().map(_.getLong(0)).sorted.sameElements(clean))
+  }
+
   test("plans: ds1 filter is a single narrow pass; ds2 pushes a window group limit") {
     val sf = "/root/testdata/sf0.001"
     val p1 = SparkEntry.queries("ds1_stratified_sample")(spark, sf)

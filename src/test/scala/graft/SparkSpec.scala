@@ -5,6 +5,16 @@ import org.scalatest.funsuite.AnyFunSuite
 
 /** One shared local session for the whole test run — Spark startup dominates
   * suite time otherwise.
+  *
+  * SEQUENTIAL-EXECUTION DEPENDENCY: some suites (PropertySpec, BlkCorpusSpec)
+  * route the chain operators through their above-envelope paths by mutating
+  * the JVM-global `graft.broadcastMaxRows` system property around a call.
+  * That is safe only because `Test / fork` is on and forked suites run
+  * sequentially in one JVM — enabling `testForkedParallel` or in-process
+  * parallel suites would race the property and silently change which route
+  * each test exercises. If parallel tests ever become worth it, replace the
+  * property with an explicit envelope parameter threaded into
+  * BestChain/ChainOps first.
   */
 object SparkSpec {
   lazy val spark: SparkSession = {
