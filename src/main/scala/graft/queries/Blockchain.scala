@@ -222,8 +222,14 @@ object Blockchain {
          |  CAST(coalesce(id_.in_value, 0) AS BIGINT) AS in_value
          |FROM od FULL JOIN id_ ON od.address = id_.address""".stripMargin)),
 
-    // PageRank influence ranking — iterative float math is engine-defined;
-    // rows-only gate.
+    // PageRank influence ranking, VALUE-gated: GraphX staticPageRank(10)
+    // is (probe-verified, GraphSpec) exactly 10 rounds of
+    // r' = 0.15 + 0.85 * Σ_in r/outdeg from r0 = 1, then a final
+    // normalization to Σr = |V| — all closed-form, so DuckDB re-derives it
+    // by unrolling the 10 rounds. Message sums are the one place the two
+    // engines may legitimately differ (association order of double
+    // addition, ~1e-13 relative over 10 rounds), so BOTH sides round to 6
+    // decimals via %f — 7 orders of magnitude of headroom.
     Q("g2_pagerank",
       (s, _) => {
         val ann = BestChain.annotate(F.blocksDf(s))
@@ -232,9 +238,44 @@ object Blockchain {
           .join(cTxs.select("tx_hash"), Seq("tx_hash"), "left_semi")
         val outs = F.txOutputsDf(s).join(cTxs.select("tx_hash"), Seq("tx_hash"), "left_semi")
         graft.graph.GraphAnalytics.pageRank(
-          graft.graph.GraphAnalytics.flowEdges(rin, outs))
+            graft.graph.GraphAnalytics.flowEdges(rin, outs))
+          .select(col("address"), format_string("%.6f", col("rank")).as("rank_r"))
       },
-      None),
+      Some {
+        val rounds = (1 to 10).map { i =>
+          s"""pr$i AS (
+             |  SELECT v.address, 0.15 + 0.85 * coalesce(m.msg, CAST(0 AS DOUBLE)) AS rank
+             |  FROM verts v LEFT JOIN (
+             |    SELECT e.dst AS address, sum(p.rank / d.outdeg) AS msg
+             |    FROM pr${i - 1} p JOIN edges e ON p.address = e.src
+             |    JOIN deg d ON e.src = d.src
+             |    GROUP BY e.dst) m ON v.address = m.address)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH RECURSIVE ${chainCte.stripPrefix("WITH ")},
+           |edges AS (
+           |  SELECT DISTINCT f.src, o.address AS dst
+           |  FROM (SELECT DISTINCT tx_hash, src_address AS src FROM rin) f
+           |  JOIN outs o ON f.tx_hash = o.tx_hash
+           |), verts AS (
+           |  -- DISTINCT over UNION ALL, not UNION: inside a WITH RECURSIVE
+           |  -- chain DuckDB parses a bare UNION as the recursive-union
+           |  -- operator and does not deduplicate the two branches
+           |  SELECT DISTINCT address FROM (
+           |    SELECT src AS address FROM edges
+           |    UNION ALL SELECT dst FROM edges)
+           |), deg AS (
+           |  SELECT src, CAST(count(*) AS DOUBLE) AS outdeg FROM edges GROUP BY src
+           |), pr0 AS (
+           |  SELECT address, CAST(1 AS DOUBLE) AS rank FROM verts
+           |),
+           |$rounds,
+           |norm AS (
+           |  SELECT CAST((SELECT count(*) FROM verts) AS DOUBLE)
+           |    / (SELECT sum(rank) FROM pr10) AS s
+           |)
+           |SELECT p.address, printf('%.6f', p.rank * norm.s) AS rank_r
+           |FROM pr10 p, norm""".stripMargin
+      }),
 
     Q("bc8_script_decode",
       (s, _) => {

@@ -46,4 +46,32 @@ class GraphSpec extends SparkSpec {
     // F receives from both A and B; B only receives the reset mass
     assert(ranks("F") > ranks("B"))
   }
+
+  test("pagerank semantics pin: 10 iterations from r0=1 then normalize to sum=|V|") {
+    // The g2 DuckDB oracle re-derives GraphX staticPageRank in SQL on the
+    // closed-form contract asserted here: r' = 0.15 + 0.85 * sum(in r/outdeg)
+    // starting from 1.0, 10 rounds, final ranks scaled so they sum to the
+    // vertex count. A Spark upgrade changing PageRank must fail HERE, not at
+    // the driver's oracle gate. Graph: a source (0), a 2-cycle (1<->2) and a
+    // sink chain (3->4) — exercises no-in-edge, cyclic and dangling mass.
+    import org.apache.spark.graphx.{Edge, Graph}
+    val sc = spark.sparkContext
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 1L), (2L, 3L), (3L, 4L), (0L, 3L))
+    val verts = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    val g = Graph(sc.parallelize(verts.map(v => (v, ()))),
+      sc.parallelize(edges.map(e => Edge(e._1, e._2, 1.0))))
+    val gx = g.staticPageRank(10, 0.15).vertices.collect().toMap
+
+    val outdeg = edges.groupBy(_._1).map { case (k, v) => k -> v.size }
+    var r = verts.map(v => v -> 1.0).toMap
+    for (_ <- 0 until 10) {
+      val msgs = edges.groupBy(_._2).map { case (dst, es) =>
+        dst -> es.map(e => r(e._1) / outdeg(e._1)).sum }
+      r = verts.map(v => v -> (0.15 + 0.85 * msgs.getOrElse(v, 0.0))).toMap
+    }
+    val scale = verts.size / r.values.sum
+    verts.foreach { v =>
+      assert(math.abs(gx(v) - r(v) * scale) < 1e-12, s"vertex $v: ${gx(v)} vs ${r(v) * scale}")
+    }
+  }
 }
