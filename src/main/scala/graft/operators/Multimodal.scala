@@ -291,27 +291,67 @@ object Multimodal {
     spark.createDataFrame(rows, imageMetaSchema)
   }
 
-  /** STUB model: deterministic pseudo-embedding from content (xxhash64 of
-    * (bytes, dim index) → [-1, 1] floats). Real impl: batched model
-    * inference per partition — which is exactly why this is a partition-wise
-    * transform and not a per-row UDF: weights load once per partition, rows
-    * flow through in batches.
+  /** splitmix64 finalizer (Steele/Lea/Flood 2014, public domain; the JDK's
+    * SplittableRandom mix) — fixes the projection matrix deterministically.
     */
-  def embedMedia(media: DataFrame, dim: Int = 16): DataFrame = {
+  private def mix64(x0: Long): Long = {
+    var x = x0 + 0x9E3779B97F4A7C15L
+    x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+    x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+    x ^ (x >>> 31)
+  }
+
+  /** Content embedding WITHOUT a model: byte-histogram features (256-dim L1
+    * normalized — byte distribution is a real content signal: similar blobs
+    * have similar histograms) projected through a FIXED seeded ±1 random
+    * matrix (Johnson–Lindenstrauss / Achlioptas 2001 sign projection) and
+    * L2-normalized, so cosine geometry downstream (near-dup, ANN) behaves
+    * like a real embedding space. Fully deterministic — the matrix derives
+    * from splitmix64(seed, d, b), no RNG state — hence reproducible across
+    * partitionings, sessions and engines.
+    *
+    * This is the declared MODEL STUB boundary (§2.11): a neural encoder does
+    * not fit this container. Swapping one in replaces only the
+    * histogram+projection body below; the dataflow contract — partition-wise
+    * transform, weights ("model") built once per partition, rows streamed
+    * through in batches, (media_id, float vector) out — is exactly what
+    * batched inference needs and is what the specs pin.
+    */
+  def embedMedia(media: DataFrame, dim: Int = 16, seed: Long = 42L): DataFrame = {
     val spark = media.sparkSession
     val schema = StructType(Seq(
       StructField("media_id", LongType, nullable = false),
       StructField("embedding", ArrayType(FloatType, containsNull = false), nullable = false)))
     val rows = media.select("media_id", "bytes").rdd.mapPartitions { it =>
-      // per-partition "model load" happens here (once), then batch-map
+      // per-partition "model load": the dim×256 sign matrix, built once
+      val proj = Array.tabulate(dim, 256) { (d, b) =>
+        if ((mix64(mix64(seed + d) ^ b.toLong) & 1L) == 0L) 1f else -1f
+      }
       it.map { r =>
         val id = r.getLong(0)
         val bytes = r.getAs[Array[Byte]](1)
-        val base = if (bytes == null) 0L else java.util.Arrays.hashCode(bytes).toLong
-        val vec = Array.tabulate(dim) { d =>
-          val h = base * 6364136223846793005L + d * 1442695040888963407L
-          (h >>> 11).toFloat / (1L << 53).toFloat * 2f - 1f
-        }
+        val vec = new Array[Float](dim)
+        if (bytes != null && bytes.length > 0) {
+          val hist = new Array[Float](256)
+          var i = 0
+          while (i < bytes.length) { hist(bytes(i) & 0xFF) += 1f; i += 1 }
+          val inv = 1f / bytes.length
+          var d = 0
+          while (d < dim) {
+            val row = proj(d)
+            var s = 0f; var b = 0
+            while (b < 256) { s += row(b) * hist(b) * inv; b += 1 }
+            vec(d) = s
+            d += 1
+          }
+          var sq = 0.0; d = 0
+          while (d < dim) { sq += vec(d).toDouble * vec(d); d += 1 }
+          if (sq > 0) {
+            val n = (1.0 / math.sqrt(sq)).toFloat
+            d = 0
+            while (d < dim) { vec(d) *= n; d += 1 }
+          }
+        } // null/empty bytes → zero vector (a poisoned row must not kill the task)
         Row(id, vec)
       }
     }

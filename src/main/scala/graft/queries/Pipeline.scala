@@ -661,6 +661,25 @@ object Pipeline {
         |r AS (SELECT lang, sqrt(CAST((SELECT min(n) FROM c) AS DOUBLE) / n) AS rate FROM c)
         |SELECT q.doc_id, q.lang, q.source FROM q JOIN r USING (lang)
         |WHERE CAST(CAST(('0x' || substring(md5(CAST(q.doc_id AS VARCHAR)), 1, 15)) AS UBIGINT) AS BIGINT) <
-        |  CAST(floor(rate * 1152921504606846976.0) AS BIGINT)""".stripMargin))
+        |  CAST(floor(rate * 1152921504606846976.0) AS BIGINT)""".stripMargin)),
+
+    // Multimodal → ANN end-to-end: opaque blobs → content embedding
+    // (byte-histogram × fixed JL sign projection, the declared model-stub
+    // boundary) → IVF approximate top-k. The whole chain is deterministic
+    // but the scores are engine-defined floats and the top-k approximate —
+    // rows-only gate here; recall >= 0.9 vs brute force over the SAME
+    // embeddings is spec-gated in SimilaritySpec, and embedMedia itself is
+    // property-tested (unit norm, determinism, content sensitivity).
+    Q("p1_media_pipeline",
+      (s, d) => {
+        val media = Tables.documents(s, d)
+          .select(col("doc_id").as("media_id"), col("text").cast("binary").as("bytes"))
+        val emb = graft.operators.Multimodal.embedMedia(media, dim = 16)
+        val queries = emb.filter(col("media_id") < 10)
+        Similarity.ivfTopK(emb, queries, "media_id", "embedding", k = 5,
+          nlist = 64, nprobe = 40)
+          .select(col("query_id"), col("media_id"), col("rank"))
+      },
+      None)
   )
 }

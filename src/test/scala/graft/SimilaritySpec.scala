@@ -33,6 +33,50 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.9, s"IVF recall $recall (${(ivf & exact).size}/${exact.size})")
   }
 
+  test("p1 media pipeline: IVF over embedMedia output keeps recall >= 0.9") {
+    // End-to-end gate for the mm→ANN composition p1_media_pipeline: the
+    // byte-histogram×JL embeddings (REAL content structure — text blobs
+    // cluster by language/byte distribution, unlike the structureless
+    // synthetic embeddings above) must keep IVF recall against brute force
+    // over the SAME vectors.
+    import graft.operators.Multimodal
+    val media = Tables.documents(spark, sf)
+      .select(col("doc_id").as("media_id"), col("text").cast("binary").as("bytes"))
+    val emb = Multimodal.embedMedia(media, dim = 16).cache()
+    val queries = emb.filter(col("media_id") < 10)
+    val exact = topkSet(
+      Similarity.bruteForceTopK(emb, queries, "media_id", "embedding", k = 5), "media_id")
+    val ivf = topkSet(
+      Similarity.ivfTopK(emb, queries, "media_id", "embedding", k = 5,
+        nlist = 64, nprobe = 40), "media_id")
+    val recall = (ivf & exact).size.toDouble / exact.size
+    assert(recall >= 0.9, s"media-pipeline recall $recall (${(ivf & exact).size}/${exact.size})")
+    emb.unpersist()
+  }
+
+  test("embedMedia: unit-norm, deterministic, content-sensitive, poison-safe") {
+    import spark.implicits._
+    import graft.operators.Multimodal
+    val media = Seq(
+      (1L, "aaaa bbbb cccc dddd".getBytes("UTF-8")),
+      (2L, "aaaa bbbb cccc dddd".getBytes("UTF-8")), // identical content
+      (3L, "aaaa bbbb cccc dddx".getBytes("UTF-8")), // near-identical
+      (4L, Array.tabulate(512)(i => (i * 37).toByte)), // different content
+      (5L, Array.emptyByteArray),
+      (6L, null.asInstanceOf[Array[Byte]]))
+      .toDF("media_id", "bytes")
+    val out = Multimodal.embedMedia(media, dim = 16).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double =
+      a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+    def norm(a: Array[Float]): Double = math.sqrt(cos(a, a))
+    assert(math.abs(norm(out(1L)) - 1.0) < 1e-5)
+    assert(out(1L).sameElements(out(2L))) // same bytes → same vector, exactly
+    assert(cos(out(1L), out(3L)) > 0.9) // near-dup bytes → near-dup vectors
+    assert(cos(out(1L), out(4L)) < 0.9) // different content separates
+    assert(out(5L).forall(_ == 0f) && out(6L).forall(_ == 0f)) // poison rows inert
+  }
+
   test("IVF scans a bounded corpus fraction (cell containment)") {
     val emb = Tables.embeddings(spark, sf)
     val n = emb.count()
