@@ -50,8 +50,22 @@ object BlkCorpus {
   val WalletSize = 10
   val NumWallets: Int = NumAddresses / WalletSize
 
+  /** Fraction of spend outputs that carry a NON-STANDARD script (OP_RETURN
+    * data push) and therefore decode to ScriptToAddress.Sentinel — the
+    * mainnet reality the reference collapses every undecodable script into
+    * one mega-vertex (BlockchainToGraph.java:1071–1073). At ~15% of spend
+    * outputs the sentinel is a genuinely hot key of every address-grain
+    * rollup (>10% of the outs table vs ~0.07% for a pool address), so the
+    * corpus now exercises the skew the gold plans claim to absorb
+    * (BlkCorpusSpec pins the fraction and GoldStats' partial-agg shapes).
+    * Sentinel outputs are burned — never registered as spendable — matching
+    * their on-chain nature (OP_RETURN is provably unspendable), so they
+    * appear only on the receive side and never link wallets.
+    */
+  val SentinelOutputRate = 0.15
+
   def baseDir: String =
-    sys.env.getOrElse("SPARK_GRAFT_CORPUS_DIR", "/root/repo/target/blkcorpus_v4")
+    sys.env.getOrElse("SPARK_GRAFT_CORPUS_DIR", "/root/repo/target/blkcorpus_v5")
   def rawDir: String = s"$baseDir/raw"
   def bronzeDir(table: String): String = s"$baseDir/bronze/$table"
   def silverDir(table: String): String = s"$baseDir/silver/$table"
@@ -184,7 +198,7 @@ object BlkCorpus {
     type WalletPools = Array[ArrayBuffer[Utxo]]
     val utxos: WalletPools = Array.fill(NumWallets)(ArrayBuffer.empty[Utxo])
     def registerOut(pools: WalletPools, txid: String, idx: Int, value: Long, addrIdx: Int): Unit =
-      pools(addrIdx / WalletSize) += ((txid, idx, value, addrIdx))
+      if (addrIdx >= 0) pools(addrIdx / WalletSize) += ((txid, idx, value, addrIdx))
     def takeUtxo(from: ArrayBuffer[Utxo]): Utxo = {
       val i = rnd.nextInt(from.length)
       val u = from(i)
@@ -216,8 +230,16 @@ object BlkCorpus {
       val per = (totalIn - fee) / nOut
       val outs = (0 until nOut).map { i =>
         val v = if (i == nOut - 1) (totalIn - fee) - per * (nOut - 1) else per
-        (TxOut(v, null), anyAddr())
-      }.map { case (o, a) => (TxOut(o.value, pool(a)), a) }
+        if (rnd.nextDouble() < SentinelOutputRate) {
+          // OP_RETURN + 8-byte data push: undecodable → the sentinel hot key;
+          // addrIdx -1 marks it unspendable (skipped by registerOut below)
+          val data = new Array[Byte](8); rnd.nextBytes(data)
+          (TxOut(v, Array[Byte](0x6a, 0x08) ++ data), -1)
+        } else {
+          val a = anyAddr()
+          (TxOut(v, pool(a)), a)
+        }
+      }
       val txIns = ins.map(u => TxIn(u._1, u._2.toLong, Array[Byte](0x51)))
       val witness = rnd.nextDouble() < 0.3
       val (bytes, txid) = serTx(txIns, outs.map(_._1), witness)

@@ -91,12 +91,47 @@ class BlkCorpusSpec extends SparkSpec {
     BlkCorpus.ensureMaterialized(spark)
     val outs = spark.read.parquet(BlkCorpus.bronzeDir("tx_outputs")).cache()
     val total = outs.count()
-    assert(outs.where(col("address") === graft.functions.ScriptToAddress.Sentinel)
-      .count() == 0, "every generated script must decode")
     // all four templates present: Base58 ('1'/'3'), bech32 v0, bech32m v1
     Seq("1%", "3%", "bc1q%", "bc1p%").foreach { p =>
       assert(outs.where(col("address").like(p)).count() > 0, s"no $p addresses")
     }
     assert(total > 20000L, s"corpus too small: $total outputs")
+  }
+
+  test("corpus: the <undecodable> sentinel is a >10% hot key and the rollups absorb it") {
+    // The skew reality of mainnet: every non-standard script collapses into
+    // ONE address (reference BlockchainToGraph.java:1071–1073). The corpus
+    // now carries it at >10% of all outputs — ~150x hotter than any pool
+    // address — and the address-grain gold plans must stay correct AND
+    // balanced. Correctness of the sentinel's own rollup row is pinned here
+    // against a direct recompute (the bk4 DuckDB oracle re-verifies the full
+    // table every round); balance holds structurally because every
+    // address-grain exchange in GoldStats is either preceded by a map-side
+    // partial aggregate at (tx, address) grain — the hot key leaves each map
+    // task as ONE row per bucket — or shuffles on a multi-column key
+    // ((address, cp, role) distinct) that spreads the sentinel across
+    // reducers; PlanSpec pins the partial_ shapes.
+    BlkCorpus.ensureMaterialized(spark)
+    val sentinel = graft.functions.ScriptToAddress.Sentinel
+    val outs = BlkCorpus.silver(spark, "outs")
+    val total = outs.count()
+    val hot = outs.where(col("address") === sentinel).count()
+    assert(hot.toDouble / total > 0.10,
+      s"sentinel not hot: $hot of $total (${hot * 100.0 / total}%)")
+    // sentinel outputs are OP_RETURN burns: they must never appear as a
+    // funding address (they would otherwise weld unrelated wallets together)
+    val rin = BlkCorpus.silver(spark, "rin")
+    assert(rin.where(col("src_address") === sentinel).count() == 0)
+    // the sentinel's address-stats row survives the skew correctly:
+    // received balance/count match a direct aggregate of the outs table
+    val row = graft.chain.GoldStats
+      .addressStats(BlkCorpus.silver(spark, "ctx"), rin, outs)
+      .where(col("address") === sentinel).collect()
+    assert(row.length == 1)
+    val expect = outs.where(col("address") === sentinel)
+      .agg(sum("value"), countDistinct("tx_hash")).collect()(0)
+    assert(row(0).getAs[Long]("input_tx_balance") == expect.getLong(0))
+    assert(row(0).getAs[Long]("input_tx_count") == expect.getLong(1))
+    assert(row(0).getAs[Long]("output_tx_count") == 0L)
   }
 }

@@ -62,6 +62,37 @@ class CacheDisciplineSpec extends SparkSpec {
       s"cached RDDs grew across calls: $after1 after 1 call, $after3 after 3")
   }
 
+  test("Graft.releaseCaches drains every retained register") {
+    import spark.implicits._
+    // touch several register-holding operators...
+    val addrs = (1 to 30).map(i => s"a$i").toDF("address")
+    val funders = (1 to 10).flatMap(t =>
+      Seq((s"t$t", s"a${t * 3 - 2}"), (s"t$t", s"a${t * 3 - 1}")))
+      .toDF("tx_hash", "src_address")
+    WalletCluster.clusters(addrs, funders).collect()
+    val docs = (1 to 20).map(i => (i.toLong, s"some text body $i")).toDF("doc_id", "text")
+    operators.Dedup.ngramJaccardPairs(docs, "doc_id", "text").collect()
+    val emb = (1 to 50).map(i => (i.toLong, Array.tabulate(8)(d => (i * d).toFloat)))
+      .toDF("vec_id", "embedding")
+    operators.Similarity.ivfTopK(emb, emb.where(col("vec_id") < 3),
+      "vec_id", "embedding", k = 2, nlist = 4, nprobe = 2).collect()
+    assert(cachedCount > 0, "operators should have retained state before release")
+    // ...then the release hook must return the session to a cold cache.
+    // Delta-based bound (<= not == 0): suites share one session and an
+    // earlier suite may legitimately hold its OWN caches — release only
+    // owns the engine's registers.
+    Graft.releaseCaches()
+    val afterRelease = cachedCount
+    assert(operators.Similarity.ivfCacheEntries == 0)
+    // the operators still work afterwards (registers just refill)...
+    WalletCluster.clusters(addrs, funders).collect()
+    assert(cachedCount > afterRelease)
+    // ...and a second release returns to the same floor: nothing leaks
+    Graft.releaseCaches()
+    assert(cachedCount <= afterRelease,
+      s"releaseCaches floor grew: $afterRelease -> $cachedCount")
+  }
+
   test("annotateDistributed: repeated calls hold constant cached state") {
     import spark.implicits._
     val blocks = (("g", null: String, 0L) +: (1 to 50).map(i =>
