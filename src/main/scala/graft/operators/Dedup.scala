@@ -51,6 +51,40 @@ object Dedup {
       .toDF(idCol, "_sh")
   }
 
+  /** The portable md5-derived 60-bit hash pair of a shingle, assembled
+    * straight from the raw digest bytes. Bit-identical to the SQL form
+    * `conv(substring(md5(s), 1, 15), 16, 10)` /
+    * `conv(substring(md5(s), 17, 15), 16, 10)` (nibbles 0–14 and 16–30 of
+    * the digest, big-endian) — pinned by OperatorsSpec — but ~2× faster:
+    * the SQL chain allocates a 32-char hex string per shingle and runs
+    * NumberConverter twice.
+    */
+  private def md5Pair(md: java.security.MessageDigest, s: String): (Long, Long) = {
+    val dg = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    var h1 = 0L; var i = 0
+    while (i < 7) { h1 = (h1 << 8) | (dg(i) & 0xFFL); i += 1 }
+    h1 = (h1 << 4) | ((dg(7) & 0xFFL) >>> 4)
+    var h2 = 0L; i = 8
+    while (i < 15) { h2 = (h2 << 8) | (dg(i) & 0xFFL); i += 1 }
+    h2 = (h2 << 4) | ((dg(15) & 0xFFL) >>> 4)
+    (h1, h2)
+  }
+
+  /** The xxhash64 pair of a shingle — bit-identical to the SQL columns
+    * `xxhash64(s)` and `xxhash64(lit(7), s)` (seed 42; multi-arg xxhash64
+    * chains each argument's hash as the next seed, so the second value
+    * hashes the int 7 first) — pinned by OperatorsSpec.
+    */
+  private def xxPair(s: String): (Long, Long) = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    import org.apache.spark.unsafe.types.UTF8String
+    val u = UTF8String.fromString(s)
+    val h1 = XXH64.hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes, 42L)
+    val h2 = XXH64.hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes,
+      XXH64.hashInt(7, 42L))
+    (h1, h2)
+  }
+
   /** Exact dedup: keep one representative (min of idCol) per identical key.
     * ≙ the reference's dedupe-before-insert existence probes
     * (BlockchainToGraph.java:176–179, 212–215).
@@ -63,7 +97,9 @@ object Dedup {
     * xxhash64 passes — the fast path. `portable = true` derives two 60-bit
     * values from the md5 hex instead: md5 is bit-identical in ANY engine, so
     * signatures (hence LSH candidate pairs) can be recomputed exactly by a
-    * SQL oracle — at ~3× the hashing cost, same LSH quality.
+    * SQL oracle. (Minhash's portable path computes the same bits in its
+    * shingle flatMap — [[shingleHashRows]] — skipping the hex/conv
+    * round-trip; this Column form remains for simhash's token stream.)
     */
   private def baseHashes(c: Column, portable: Boolean): (Column, Column) =
     if (portable) {
@@ -73,34 +109,50 @@ object Dedup {
     } else (xxhash64(c), xxhash64(lit(7), c))
 
   /** MinHash signature: for each row, `numHashes` min-hashes over its
-    * word-k-shingle set. One explode + one hash-aggregate; the signature is
-    * assembled map-side (partial agg) so the shuffle carries numHashes longs
-    * per id, not per shingle. The hash family derives all numHashes values
-    * from TWO string hashes per shingle — h_i = (h1 XOR rot(h2, i)) with the
-    * sign bit cleared — instead of hashing the string numHashes times
-    * (XOR-rotate rather than Kirsch–Mitzenmacher h1+i·h2 because ANSI mode
-    * forbids wrapping long arithmetic; runtime is dominated by the min
-    * buffers either way). Clearing bit 63 makes min() order-agree between
-    * signed and unsigned engines, which the portable oracle relies on.
-    * Default is 32 hashes / 8 bands of 4 — the common near-dup setting; 64+
-    * buffers push the aggregate past whole-stage-codegen field limits.
+    * word-k-shingle set, computed in ONE narrow typed pass — a document's
+    * whole shingle set lives in its row, so the signature needs no explode,
+    * no exchange and no 32-buffer hash aggregate (the previous shape; at
+    * corpus scale the id-grain shuffle it carried was pure overhead). The
+    * hash family derives all numHashes values from TWO string hashes per
+    * shingle — h_i = (h1 XOR rotl(h2, i)) with the sign bit cleared —
+    * instead of hashing the string numHashes times; `portable = true` uses
+    * the md5-derived pair ([[md5Pair]], bit-identical to the SQL oracle's
+    * conv/substring form), the default the xxhash64 pair ([[xxPair]],
+    * bit-identical to the previous SQL columns). Clearing bit 63 makes
+    * min() order-agree between signed and unsigned engines, which the
+    * portable oracle relies on. Default is 32 hashes / 8 bands of 4 — the
+    * common near-dup setting.
     */
   def minhashSignatures(
       df: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 32, shingleK: Int = 3,
       portable: Boolean = false): DataFrame = {
-    val (h1, h2) = baseHashes(col("_sh"), portable)
-    val exploded = shingleRows(df, idCol, textCol, shingleK)
-      .withColumn("_h1", h1)
-      .withColumn("_h2", h2)
-    val mins = (0 until numHashes).map { i =>
-      val rot = shiftleft(col("_h2"), i).bitwiseOR(shiftrightunsigned(col("_h2"), 64 - i))
-      min(col("_h1").bitwiseXOR(rot).bitwiseAND(lit(Long.MaxValue))).as(s"_h$i")
-    }
-    exploded
-      .groupBy(col(idCol))
-      .agg(mins.head, mins.tail: _*)
-      .select(col(idCol), array((0 until numHashes).map(i => col(s"_h$i")): _*).as("signature"))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val k = shingleK
+    df.select(col(idCol).cast("long"), col(textCol).cast("string"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val md = if (portable) java.security.MessageDigest.getInstance("MD5") else null
+        it.map { t =>
+          val toks = t._2.trim.toLowerCase(java.util.Locale.ROOT).split("\\s+")
+          val sh: Iterator[String] =
+            if (toks.length < k) Iterator.single(toks.mkString(" "))
+            else toks.sliding(k).map(_.mkString(" "))
+          val mins = Array.fill(numHashes)(Long.MaxValue)
+          sh.toSet.foreach { s: String =>
+            val (h1, h2) = if (portable) md5Pair(md, s) else xxPair(s)
+            var i = 0
+            while (i < numHashes) {
+              val v = (h1 ^ java.lang.Long.rotateLeft(h2, i)) & Long.MaxValue
+              if (v < mins(i)) mins(i) = v
+              i += 1
+            }
+          }
+          (t._1, mins.toSeq)
+        }
+      }
+      .toDF(idCol, "signature")
   }
 
   /** Cap-aware band self-join shared by minhash/simhash banding. A bucket of
@@ -284,24 +336,43 @@ object Dedup {
     Option(lastClusters.getAndSet(null)).foreach(_.unpersist(blocking = false))
   }
 
-  /** 64-bit SimHash: sign-aggregated token hashes. One explode + one agg;
-    * the per-bit +/-1 sums are partial-aggregated map-side. With
-    * `portable = true` the token hash is the md5-derived 60-bit value
-    * ([[baseHashes]]): bits 60–63 of the signature are then always 0 (a
+  /** 64-bit SimHash: sign-aggregated token hashes (per occurrence, not per
+    * distinct token), computed in ONE narrow typed pass — like
+    * [[minhashSignatures]], a document's token stream lives in its row, so
+    * the 64 ±1 bit-sums need no explode, no exchange and no 64-buffer
+    * aggregate. Bit-identical to the previous explode+agg form (integer
+    * counting, sign threshold — OperatorsSpec and the d5 oracle pin it).
+    * With `portable = true` the token hash is the md5-derived 60-bit value
+    * ([[md5Pair]]): bits 60–63 of the signature are then always 0 (a
     * 60-bit SimHash — recall guarantees of the 16-bit-chunk banding are
     * unchanged) and the whole computation is reproducible in any engine.
+    * Null-text rows are dropped, matching the explode of a null token array.
     */
   def simhash(df: DataFrame, idCol: String, textCol: String,
       portable: Boolean = false): DataFrame = {
-    val toks = df.select(col(idCol), explode(tokensCol(col(textCol))).as("_t"))
-      .withColumn("_h", baseHashes(col("_t"), portable)._1)
-    val bitSums = (0 until 64).map(j =>
-      sum(when(shiftright(col("_h"), j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"_b$j"))
-    val agged = toks.groupBy(col(idCol)).agg(bitSums.head, bitSums.tail: _*)
-    val sig = (0 until 64).map { j =>
-      when(col(s"_b$j") > 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
-    }.reduce(_.bitwiseOR(_))
-    agged.select(col(idCol), sig.as("simhash"))
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(textCol).cast("string"))
+      .where(col(textCol).isNotNull)
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val md = if (portable) java.security.MessageDigest.getInstance("MD5") else null
+        it.map { t =>
+          val counts = new Array[Int](64)
+          t._2.trim.toLowerCase(java.util.Locale.ROOT).split("\\s+").foreach { tk =>
+            val h = if (portable) md5Pair(md, tk)._1 else xxPair(tk)._1
+            var j = 0
+            while (j < 64) {
+              if (((h >>> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1
+              j += 1
+            }
+          }
+          var sig = 0L; var j = 0
+          while (j < 64) { if (counts(j) > 0) sig |= (1L << j); j += 1 }
+          (t._1, sig)
+        }
+      }
+      .toDF(idCol, "simhash")
   }
 
   /** SimHash near-dup candidates: pairs agreeing exactly on >=1 of the four

@@ -135,6 +135,63 @@ class OperatorsSpec extends SparkSpec {
     assert(!sPairs.exists(p => p._2 == 3L || p._1 == 3L))
   }
 
+  test("portable minhash: flatMap digest hashing is bit-identical to the SQL md5/conv form") {
+    import spark.implicits._
+    // The d4 oracle recomputes signatures via SQL
+    // conv(substring(md5(sh),1,15),16,10) / conv(substring(md5(sh),17,15),16,10);
+    // the engine assembles the same 60-bit values from the raw digest bytes
+    // inside the shingle flatMap. Any drift here silently breaks the oracle,
+    // so pin bit equality of the FULL signature on a mixed corpus (unicode,
+    // short docs, repeated shingles).
+    val df = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "short"),
+      (3L, "naïve café über straße 日本語 テキスト mixed in"),
+      (4L, "a a a a a a a a"),
+      (5L, "one two three four five six seven eight nine ten")).toDF("doc_id", "text")
+    val fast = Dedup.minhashSignatures(df, "doc_id", "text", portable = true)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    // re-derive via the SQL expression chain over the same shingle set
+    val numHashes = 32
+    val exploded = df.select(col("doc_id"),
+      explode(Dedup.shingles(col("text"), 3)).as("_sh"))
+      .withColumn("_h1", conv(substring(md5(col("_sh")), 1, 15), 16, 10).cast("long"))
+      .withColumn("_h2", conv(substring(md5(col("_sh")), 17, 15), 16, 10).cast("long"))
+    val mins = (0 until numHashes).map { i =>
+      val rot = shiftleft(col("_h2"), i)
+        .bitwiseOR(shiftrightunsigned(col("_h2"), 64 - i))
+      min(col("_h1").bitwiseXOR(rot).bitwiseAND(lit(Long.MaxValue))).as(s"_h$i")
+    }
+    val sql = exploded.groupBy(col("doc_id"))
+      .agg(mins.head, mins.tail: _*)
+      .select(col("doc_id"),
+        array((0 until numHashes).map(i => col(s"_h$i")): _*).as("signature"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(fast.keySet == sql.keySet)
+    fast.foreach { case (id, sig) =>
+      assert(sig == sql(id), s"signature drift for doc $id")
+    }
+  }
+
+  test("default minhash: JVM xxhash pair is bit-identical to the SQL xxhash64 columns") {
+    import spark.implicits._
+    // the fast-path family must keep producing the bits xxhash64(s) /
+    // xxhash64(7, s) produce, or candidate sets silently change under a
+    // Spark upgrade that alters the catalyst XXH64 helper surface
+    val df = Seq((0L, "alpha beta gamma"), (1L, ""), (2L, "日本語 テキスト"), (3L, "x"))
+      .toDF("id", "s")
+    val sqlPairs = df.orderBy("id")
+      .select(xxhash64(col("s")), xxhash64(lit(7), col("s")))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // one-shingle docs (k over fewer tokens collapses to the full string)
+    // make the signature slot 0 = (h1 ^ h2) & MaxValue recomputable exactly
+    val sig0 = Dedup.minhashSignatures(df, "id", "s", numHashes = 1, shingleK = 10)
+      .orderBy("id").collect().map(_.getSeq[Long](1).head)
+    sqlPairs.zip(sig0).foreach { case ((h1, h2), got) =>
+      assert(got == ((h1 ^ h2) & Long.MaxValue), s"xx pair drift: $h1/$h2 -> $got")
+    }
+  }
+
   test("simhash: identical docs at hamming 0; near-identical within 3") {
     import spark.implicits._
     val df = Seq(
