@@ -35,6 +35,9 @@ object Verify {
     def selected(name: String): Boolean = only.forall(_.contains(name))
     SparkEntry.queries.foreach { case (name, fn) =>
       if (selected(name)) {
+        // same cold-cache boundary as Bench: 107 queries in one session
+        // would otherwise accumulate every operator's retained register
+        Graft.releaseCaches()
         try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
         catch { case e: Throwable =>
