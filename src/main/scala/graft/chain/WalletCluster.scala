@@ -5,6 +5,8 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
+import graft.operators.{ChainOps, UnionFind}
+
 /** Wallet clustering = connected components over the co-spend graph —
   * completing the reference's abandoned `AddressWalletID` feature
   * (declared at TransactionGraph.java:137, never computed:
@@ -12,10 +14,24 @@ import org.apache.spark.storage.StorageLevel
   *
   * Co-spend heuristic: addresses funding the same transaction belong to one
   * wallet. Edges are a star per tx (each funder → the tx's min funder), so
-  * edge count is linear in inputs, not quadratic per tx. GraphX
-  * `connectedComponents` is Pregel under the hood — O(diameter) supersteps of
-  * partition-local message passing, the scalable form of the reference's
-  * per-vertex traversals.
+  * edge count is linear in inputs, not quadratic per tx. The edge DERIVATION
+  * (distincts + hub join) is always distributed; the components step routes
+  * on the materialized edge count with the same size cut as a
+  * broadcast-vs-shuffle join decision (mirror of
+  * [[BestChain.annotateDistributed]]):
+  *
+  *  - edge list ≤ [[ChainOps.BroadcastMaxRows]]: collect it (the exact
+  *    transfer a BroadcastExchange performs) and run driver union-find —
+  *    one pass instead of GraphX's ~6 jobs of fixed Pregel stage latency,
+  *    which dominate end-to-end time whenever the co-spend graph is small
+  *    (it usually is: vertices are DISTINCT co-spending addresses, orders
+  *    of magnitude fewer than events).
+  *  - above it: GraphX `connectedComponents` — O(diameter) supersteps of
+  *    partition-local message passing, the scalable form of the reference's
+  *    per-vertex traversals.
+  *
+  * Both routes label each component with its MIN address; GraphSpec gates
+  * route equality on a forced-envelope fixture.
   */
 object WalletCluster {
 
@@ -40,24 +56,42 @@ object WalletCluster {
     import spark.implicits._
 
     val universe = addresses.select(col(addresses.columns.head).as("address")).distinct()
-    // CC runs over FUNDER addresses only — every other address is a
-    // singleton component by construction (no incident edge) and labels
-    // itself via the final left join. On a real chain most addresses never
-    // co-spend, so this shrinks the Pregel graph by the singleton fraction.
-    val funderAddrs = txFunders.select(col("src_address").as("address")).distinct()
+    val funders = txFunders.select(col("tx_hash"), col("src_address").as("address")).distinct()
+    // Star per tx around the MIN funder address (any fixed hub keeps the
+    // same components; min-address makes both routes derivable from the
+    // same table). Funder-only vertices: every other address is a singleton
+    // by construction and labels itself via the final left join.
+    val hub = funders.groupBy("tx_hash").agg(min("address").as("hub"))
+    val edgeRows = funders.join(hub, "tx_hash")
+      .where(col("address") =!= col("hub"))
+      .select(col("address").as("src"), col("hub").as("dst"))
+      .distinct()
+    // Materialize ONCE: the route decision needs the count, and both routes
+    // re-read the edges (collect / vid joins + GraphX's internal scans).
+    val (edgeDf, edgeRdd) = ChainOps.rebase(edgeRows)
+    val envelope = math.min(ChainOps.BroadcastMaxRows, (Int.MaxValue - 1).toLong)
+
+    if (edgeRdd.count() <= envelope) {
+      val labels = UnionFind.components(
+        edgeDf.collect().iterator.map(r => (r.getString(0), r.getString(1))))
+      edgeRdd.unpersist(blocking = false)
+      val labelDf = labels.toSeq.toDF("address", "wallet_id")
+      // the in-memory route holds NO persisted state — broadcast the tiny
+      // label table against the universe and swap nothing
+      return universe
+        .join(broadcast(labelDf), Seq("address"), "left")
+        .select(col("address"), coalesce(col("wallet_id"), col("address")).as("wallet_id"))
+    }
+
     // Dense unique vertex ids (no hash-collision risk at 100 TB).
+    val funderAddrs = funders.select("address").distinct()
     val vertices = funderAddrs.rdd.map(_.getString(0)).zipWithUniqueId()
     val vdf = vertices.toDF("address", "vid").persist(StorageLevel.MEMORY_AND_DISK)
-
-    val funders = txFunders.select(col("tx_hash"), col("src_address").as("address")).distinct()
-      .join(vdf, "address")
-    val hub = funders.groupBy("tx_hash").agg(min("vid").as("hub_vid"))
-    val edgeRows = funders.join(hub, "tx_hash")
-      .where(col("vid") =!= col("hub_vid"))
-      .select(col("vid").as("src"), col("hub_vid").as("dst"))
-      .distinct()
-
-    val edges = edgeRows.rdd.map(r => Edge(r.getLong(0), r.getLong(1), ()))
+    val edgeVids = edgeDf
+      .join(vdf.select(col("address").as("src"), col("vid").as("src_vid")), "src")
+      .join(vdf.select(col("address").as("dst"), col("vid").as("dst_vid")), "dst")
+      .select("src_vid", "dst_vid")
+    val edges = edgeVids.rdd.map(r => Edge(r.getLong(0), r.getLong(1), ()))
     val graph = Graph(vertices.map { case (_, vid) => (vid, ()) }, edges)
     val ccGraph = graph.connectedComponents()
     val cc = ccGraph.vertices.toDF("vid", "cc")
@@ -71,10 +105,11 @@ object WalletCluster {
     // Materialize, then drop every piece of GraphX state (Pregel leaves its
     // final graph cached) plus the previous invocation's result — a bench
     // rerun or a long session must hold one clustering, not one per call.
-    val (outDf, outRdd) = graft.operators.ChainOps.rebase(out)
+    val (outDf, outRdd) = ChainOps.rebase(out)
     ccGraph.unpersist(blocking = false)
     graph.unpersist(blocking = false)
     vdf.unpersist(blocking = false)
+    edgeRdd.unpersist(blocking = false)
     Option(lastResult.getAndSet(outRdd)).foreach(_.unpersist(blocking = false))
     outDf
   }

@@ -292,12 +292,29 @@ object Dedup {
     import spark.implicits._
     val idCol = docs.columns.head
     val universe = docs.select(col(idCol).cast("long").as("doc_id")).distinct()
-    // Materialize the candidate pairs once: vertex derivation, edge
-    // construction and GraphX's own internal scans all read this tiny table,
-    // and each would otherwise re-run the (expensive) pair-generation plan.
+    // Materialize the candidate pairs once: the route decision needs the
+    // count, and vertex derivation, edge construction and GraphX's own
+    // internal scans would otherwise each re-run the (expensive)
+    // pair-generation plan.
     val (p, pRdd) = ChainOps.rebase(pairs
       .select(col(pairs.columns.head).cast("long").as("id1"),
         col(pairs.columns(1)).cast("long").as("id2")))
+    // Envelope route (mirror of WalletCluster/BestChain): after
+    // dedup-quality candidate generation the pair list is a small fraction
+    // of the corpus — when it fits the broadcast envelope, driver
+    // union-find resolves the components in one pass instead of GraphX's
+    // ~6 jobs of fixed Pregel latency; the distributed path remains for
+    // genuinely large pair sets.
+    val envelope = math.min(ChainOps.BroadcastMaxRows, (Int.MaxValue - 1).toLong)
+    if (pRdd.count() <= envelope) {
+      val labels = UnionFind.components(
+        p.collect().iterator.map(r => (r.getLong(0), r.getLong(1))))
+      pRdd.unpersist(blocking = false)
+      val labelDf = labels.toSeq.toDF("doc_id", "cluster_id")
+      return universe
+        .join(broadcast(labelDf), Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+    }
     // CC runs over PAIR MEMBERS only — a doc with no near-dup candidate is a
     // singleton component by construction and labels itself via the final
     // left join. After dedup-quality candidate generation the pair-member

@@ -84,8 +84,10 @@ class CacheDisciplineSpec extends SparkSpec {
     Graft.releaseCaches()
     val afterRelease = cachedCount
     assert(operators.Similarity.ivfCacheEntries == 0)
-    // the operators still work afterwards (registers just refill)...
-    WalletCluster.clusters(addrs, funders).collect()
+    // the operators still work afterwards (registers just refill; the
+    // shingle cache is register-backed on every route, unlike clusters,
+    // whose in-memory envelope route holds no persisted state at all)...
+    operators.Dedup.ngramJaccardPairs(docs, "doc_id", "text").collect()
     assert(cachedCount > afterRelease)
     // ...and a second release returns to the same floor: nothing leaks
     Graft.releaseCaches()

@@ -123,6 +123,35 @@ class ChainSpec extends SparkSpec {
     assert(w("C") == "C" && w("D") == "D" && w("F") == "F")
   }
 
+  test("wallet clustering: distributed GraphX route ≡ in-memory union-find route") {
+    // the envelope route (driver union-find) is what every local fixture
+    // takes; force the GraphX path with a zero envelope and pin equality —
+    // a multi-tx overlapping co-spend graph so transitive merges are real
+    import spark.implicits._
+    val universe = (1 to 12).map(i => f"a$i%02d").toDF("address")
+    val funders = Seq(
+      ("t1", "a01"), ("t1", "a02"), ("t1", "a03"),
+      ("t2", "a03"), ("t2", "a04"), // bridges t1's wallet to a04
+      ("t3", "a06"), ("t3", "a07"),
+      ("t4", "a09")) // single-funder tx: no edge
+      .toDF("tx_hash", "src_address")
+    def run(): Map[String, String] =
+      graft.chain.WalletCluster.clusters(universe, funders)
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val inMem = run()
+    assert(inMem("a04") == "a01" && inMem("a07") == "a06" && inMem("a09") == "a09")
+    val prev = sys.props.get("graft.broadcastMaxRows")
+    try {
+      sys.props("graft.broadcastMaxRows") = "0"
+      assert(run() == inMem)
+    } finally {
+      prev match {
+        case Some(v) => sys.props("graft.broadcastMaxRows") = v
+        case None => sys.props.remove("graft.broadcastMaxRows")
+      }
+    }
+  }
+
   test("ChainOps.depths handles multi-chain forests") {
     import spark.implicits._
     val nodes = Seq(

@@ -91,6 +91,20 @@ class OperatorsSpec extends SparkSpec {
     val got = Dedup.nearDupClusters(docs, pairs)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L, 6L -> 6L))
+    // route equality: force the distributed GraphX path (zero envelope) —
+    // the in-memory union-find route above must agree exactly
+    val prev = sys.props.get("graft.broadcastMaxRows")
+    try {
+      sys.props("graft.broadcastMaxRows") = "0"
+      val dist = Dedup.nearDupClusters(docs, pairs)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(dist == got)
+    } finally {
+      prev match {
+        case Some(v) => sys.props("graft.broadcastMaxRows") = v
+        case None => sys.props.remove("graft.broadcastMaxRows")
+      }
+    }
   }
 
   test("winnowing: shared runs >= w+k-1 tokens share a fingerprint; selection is sparse") {
