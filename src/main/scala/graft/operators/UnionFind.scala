@@ -38,14 +38,18 @@ private[graft] object UnionFind {
         size(big) = sa + sb
       }
     }
+    // snapshot the members before resolving: find() path-halves (updates
+    // values in place), and iterating a map while mutating it is fragile
+    // even when no keys are inserted
+    val members = parent.keys.toArray
     val minOf = scala.collection.mutable.HashMap.empty[T, T]
-    parent.keys.foreach { v =>
+    members.foreach { v =>
       val r = find(v)
       minOf.get(r) match {
         case Some(m) => if (ord.lt(v, m)) minOf(r) = v
         case None => minOf(r) = v
       }
     }
-    parent.keys.map(v => v -> minOf(find(v))).toMap
+    members.iterator.map(v => v -> minOf(find(v))).toMap
   }
 }
