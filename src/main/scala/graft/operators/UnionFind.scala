@@ -41,7 +41,7 @@ private[graft] object UnionFind {
     // snapshot the members before resolving: find() path-halves (updates
     // values in place), and iterating a map while mutating it is fragile
     // even when no keys are inserted
-    val members = parent.keys.toArray
+    val members = parent.keys.toList
     val minOf = scala.collection.mutable.HashMap.empty[T, T]
     members.foreach { v =>
       val r = find(v)
@@ -50,6 +50,6 @@ private[graft] object UnionFind {
         case None => minOf(r) = v
       }
     }
-    members.iterator.map(v => v -> minOf(find(v))).toMap
+    members.map(v => v -> minOf(find(v))).toMap
   }
 }
