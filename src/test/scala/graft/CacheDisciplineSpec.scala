@@ -16,6 +16,16 @@ class CacheDisciplineSpec extends SparkSpec {
   private def cachedCount: Int =
     spark.sparkContext.getRDDStorageInfo.count(_.isCached)
 
+  /** Release hooks unpersist with blocking = false, so storage info is only
+    * EVENTUALLY consistent — poll briefly before asserting on counts.
+    */
+  private def eventually(cond: => Boolean, timeoutMs: Long = 10000): Boolean = {
+    val deadline = System.nanoTime() + timeoutMs * 1000000L
+    var ok = cond
+    while (!ok && System.nanoTime() < deadline) { Thread.sleep(50); ok = cond }
+    ok
+  }
+
   test("WalletCluster.clusters: repeated calls hold constant cached state") {
     import spark.implicits._
     val addrs = (1 to 60).map(i => s"a$i").toDF("address")
@@ -64,6 +74,7 @@ class CacheDisciplineSpec extends SparkSpec {
 
   test("Graft.releaseCaches drains every retained register") {
     import spark.implicits._
+    val baseline = cachedCount // caches owned by OTHER suites, if any
     // touch several register-holding operators...
     val addrs = (1 to 30).map(i => s"a$i").toDF("address")
     val funders = (1 to 10).flatMap(t =>
@@ -82,6 +93,8 @@ class CacheDisciplineSpec extends SparkSpec {
     // earlier suite may legitimately hold its OWN caches — release only
     // owns the engine's registers.
     Graft.releaseCaches()
+    assert(eventually(cachedCount <= baseline),
+      s"release did not return to the $baseline-cache baseline: $cachedCount")
     val afterRelease = cachedCount
     assert(operators.Similarity.ivfCacheEntries == 0)
     // the operators still work afterwards (registers just refill; the
@@ -91,7 +104,7 @@ class CacheDisciplineSpec extends SparkSpec {
     assert(cachedCount > afterRelease)
     // ...and a second release returns to the same floor: nothing leaks
     Graft.releaseCaches()
-    assert(cachedCount <= afterRelease,
+    assert(eventually(cachedCount <= afterRelease),
       s"releaseCaches floor grew: $afterRelease -> $cachedCount")
   }
 

@@ -105,6 +105,11 @@ class OperatorsSpec extends SparkSpec {
         case None => sys.props.remove("graft.broadcastMaxRows")
       }
     }
+    // empty pair list: every doc is its own cluster (the in-memory route's
+    // empty-label-table join must not lose rows)
+    val lone = Dedup.nearDupClusters(docs, Seq.empty[(Long, Long)].toDF("id1", "id2"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lone == (1L to 6L).map(i => i -> i).toMap)
   }
 
   test("winnowing: shared runs >= w+k-1 tokens share a fingerprint; selection is sparse") {
