@@ -5,14 +5,21 @@ import org.apache.spark.sql.functions._
 
 /** Deduplication operators for large-scale training-data pipelines.
   *
-  * All variants are pure `org.apache.spark.sql.functions` compositions
-  * (whole-stage-codegen'd, no UDFs) and scale as:
+  * Scale shapes:
   *   - exact:        one hash-aggregate shuffle on the dedup key
-  *   - minhash LSH:  explode(shingles) → 1 agg → explode(bands) → 1 band
-  *                   self-join (bucketed by band hash; candidate pairs only)
-  *   - simhash:      explode(tokens) → 1 agg → band self-join on 16-bit chunks
+  *   - minhash LSH:  ONE narrow typed pass per doc for the signature (the
+  *                   shingle set lives in the row — no explode, no exchange),
+  *                   then explode(bands) → 1 band self-join (bucketed by
+  *                   band hash; candidate pairs only, shared via AQE
+  *                   exchange reuse)
+  *   - simhash:      same narrow signature pass → band self-join on 16-bit
+  *                   chunks
   *   - ngram jaccard: exact verification on candidate pairs (quadratic only
   *                   within a bucket, never globally)
+  * Candidate generation and verification are declarative (codegen'd
+  * functions); the per-doc signature passes are JIT'd `mapPartitions` whose
+  * hash families stay bit-identical to their SQL forms (spec-pinned), so
+  * the DuckDB oracles can recompute every pair.
   */
 object Dedup {
 
@@ -92,21 +99,6 @@ object Dedup {
   def exact(df: DataFrame, keyCols: Seq[String], idCol: String): DataFrame =
     df.groupBy(keyCols.map(col): _*)
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
-
-  /** Base (h1, h2) string hashes for the XOR-rotate family. Default: two
-    * xxhash64 passes — the fast path. `portable = true` derives two 60-bit
-    * values from the md5 hex instead: md5 is bit-identical in ANY engine, so
-    * signatures (hence LSH candidate pairs) can be recomputed exactly by a
-    * SQL oracle. (Minhash's portable path computes the same bits in its
-    * shingle flatMap — [[shingleHashRows]] — skipping the hex/conv
-    * round-trip; this Column form remains for simhash's token stream.)
-    */
-  private def baseHashes(c: Column, portable: Boolean): (Column, Column) =
-    if (portable) {
-      val hex = md5(c)
-      (conv(substring(hex, 1, 15), 16, 10).cast("long"),
-        conv(substring(hex, 17, 15), 16, 10).cast("long"))
-    } else (xxhash64(c), xxhash64(lit(7), c))
 
   /** MinHash signature: for each row, `numHashes` min-hashes over its
     * word-k-shingle set, computed in ONE narrow typed pass — a document's
