@@ -42,7 +42,7 @@ object Dedup {
     * JIT-compiled closure per row. Locale.ROOT lowercase matches Spark's
     * locale-independent `lower`. Requires a long-castable id.
     */
-  private def shingleRows(
+  private[operators] def shingleRows(
       df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._

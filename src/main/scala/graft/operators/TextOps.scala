@@ -114,6 +114,35 @@ object TextOps {
       .distinct()
   }
 
+  /** Cross-corpus n-gram decontamination: training docs sharing at least
+    * `minShared` distinct word n-grams with any eval/benchmark document —
+    * the standard leakage check a training-data pipeline runs before
+    * shipping a corpus (e.g. drop docs overlapping an eval set on 13-grams;
+    * the n and threshold are the caller's contamination policy).
+    *
+    * Shape: distinct (doc, shingle) rows on both sides, one equi-join ON
+    * THE SHINGLE (shuffle by shingle, never all-pairs), then a pair-grain
+    * count. The eval side is benchmarks — thousands of docs against a
+    * 100 TB corpus — so Spark broadcasts it and the corpus side never
+    * shuffles at all; hot shingles (boilerplate phrases appearing across
+    * the whole corpus) cap out at |evals sharing it| per corpus row, so
+    * there is no m² bucket risk on the big side.
+    *
+    * @return (idCol, eval_id, shared_ngrams) — one row per contaminated
+    *         (training doc, eval doc) pair.
+    */
+  def contamination(
+      docs: DataFrame, evals: DataFrame, idCol: String, textCol: String,
+      n: Int = 13, minShared: Int = 1): DataFrame = {
+    val d = Dedup.shingleRows(docs, idCol, textCol, n)
+    val e = Dedup.shingleRows(evals, idCol, textCol, n)
+      .withColumnRenamed(idCol, "eval_id")
+    d.join(e, "_sh")
+      .groupBy(col(idCol), col("eval_id"))
+      .agg(count(lit(1)).as("shared_ngrams"))
+      .where(col("shared_ngrams") >= minShared)
+  }
+
   /** TF-IDF per (document, term): tf * ln(N / df). Two hash aggregates and
     * one broadcast-able join on term — the classic formulation, no ML-lib
     * state. docCount is passed in (a cheap count) so the plan stays a pure

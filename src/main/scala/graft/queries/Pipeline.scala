@@ -474,6 +474,29 @@ object Pipeline {
         |  round(CAST(tf.tf AS DOUBLE) * ln(CAST(n.n AS DOUBLE) / CAST(dfreq.df AS DOUBLE)), 6) AS tfidf
         |FROM tf JOIN dfreq USING (term) CROSS JOIN n""".stripMargin)),
 
+    // Decontamination: training docs sharing >= 2 distinct word-3-grams
+    // with any doc of a (stand-in) eval set — the benchmark-leakage check
+    // every corpus ships through (real policies run 8–13-grams; the
+    // synthetic docs are short, so 3-grams give the gate a real result
+    // surface — 86 contaminated pairs at sf0.01). Self-pairs excluded: the
+    // eval set here is a slice of the same table.
+    Q("t7_decontamination",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        TextOps.contamination(docs, docs.where(col("doc_id") < 20),
+            "doc_id", "text", n = 3, minShared = 2)
+          .where(col("doc_id") =!= col("eval_id"))
+      },
+      Some(s"""WITH $shingleCtes,
+        |she AS (
+        |  SELECT doc_id AS eval_id, sh FROM sh WHERE doc_id < 20
+        |)
+        |SELECT d.doc_id, e.eval_id, count(*) AS shared_ngrams
+        |FROM sh d JOIN she e ON d.sh = e.sh
+        |WHERE d.doc_id <> e.eval_id
+        |GROUP BY d.doc_id, e.eval_id
+        |HAVING count(*) >= 2""".stripMargin)),
+
     // ------------------------------------------------------------- multimodal
     // Real JPEG/PNG header decode over checked-in image-bytes fixtures (the
     // same bytes BlockFileSpec validates structurally): a spec-complete 5x3

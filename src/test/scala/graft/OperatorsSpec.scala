@@ -112,6 +112,29 @@ class OperatorsSpec extends SparkSpec {
     assert(lone == (1L to 6L).map(i => i -> i).toMap)
   }
 
+  test("contamination: planted n-gram overlap found, clean docs pass, self excluded by caller") {
+    import spark.implicits._
+    import graft.operators.TextOps
+    val evalSet = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog tonight"),
+      (101L, "completely unrelated benchmark question about physics")).toDF("doc_id", "text")
+    val corpus = Seq(
+      // verbatim 7-token run from eval 100 → many shared 4-grams
+      (1L, "noise before the quick brown fox jumps over the lazy and after"),
+      // only a 3-token run: zero shared 4-grams
+      (2L, "has quick brown fox but nothing longer than that run"),
+      (3L, "totally clean document with no overlap whatsoever here")).toDF("doc_id", "text")
+    val got = TextOps.contamination(corpus, evalSet, "doc_id", "text", n = 4, minShared = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // "the quick brown fox jumps over the lazy" shares five 4-grams
+    assert(got.keySet == Set((1L, 100L)), got)
+    assert(got((1L, 100L)) == 5L, got)
+    // at minShared = 1 the short run still misses (no shared 4-gram at all)
+    val loose = TextOps.contamination(corpus, evalSet, "doc_id", "text", n = 4, minShared = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(loose == Set((1L, 100L)), loose)
+  }
+
   test("winnowing: shared runs >= w+k-1 tokens share a fingerprint; selection is sparse") {
     import spark.implicits._
     val sharedRun = "quick brown fox jumps over the lazy dog tonight"  // 9 tokens
