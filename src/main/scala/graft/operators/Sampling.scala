@@ -68,6 +68,46 @@ object Sampling {
     df.withColumn("_rn", row_number().over(w)).where(col("_rn") <= k).drop("_rn")
   }
 
+  /** Deterministic train/val/test split: each row gets the label of the
+    * hash-key range it falls in — `splits` are (label, fraction) in order,
+    * fractions summing to 1 (the last label absorbs any floating remainder).
+    * Same three laws as [[stratifiedSample]]: reproducible, growth-stable
+    * (appending rows never moves an existing row between splits — the
+    * property that keeps eval sets honest as the corpus grows), and
+    * SQL-auditable. A pure narrow projection: zero shuffles at any size.
+    */
+  def splitAssign(df: DataFrame, idCol: String,
+      splits: Seq[(String, Double)]): DataFrame = {
+    val key = hashKey(col(idCol))
+    val label = splits.init.zip(splitCutKeys(splits))
+      .foldRight(lit(splits.last._1): Column) {
+        case (((l, _), cutKey), acc) => when(key < cutKey, lit(l)).otherwise(acc)
+      }
+    df.withColumn("split", label)
+  }
+
+  /** The exact long thresholds of [[splitAssign]]'s ranges (one per split
+    * label except the last, which absorbs the remainder), computed ONCE
+    * driver-side so an external auditor/oracle compares against literally
+    * the same numbers — re-deriving `0.9 + 0.05` in another engine can land
+    * on a different double than Scala's accumulation.
+    */
+  def splitCutKeys(splits: Seq[(String, Double)]): Seq[Long] = {
+    require(splits.nonEmpty && math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      s"split fractions must sum to 1: $splits")
+    splits.init.scanLeft(0.0) { case (acc, (_, f)) => acc + f }.tail
+      .map(c => math.floor(c * KeySpace.toDouble).toLong)
+  }
+
+  /** Deterministic output shard for training-data writes: pmod of the hash
+    * key — even shard sizes by uniformity, no global sort or row_number (a
+    * global ordering is a single-partition window; this stays narrow and
+    * embarrassingly parallel at any corpus size), and a doc keeps its shard
+    * forever, so downstream shard-level caches don't churn on corpus growth.
+    */
+  def shardAssign(df: DataFrame, idCol: String, numShards: Int): DataFrame =
+    df.withColumn("shard", pmod(hashKey(col(idCol)), lit(numShards.toLong)))
+
   /** Temperature resampling at alpha = 1/2: downsample each stratum so kept
     * counts are proportional to n_s^alpha — the multilingual rebalancing rule
     * of mC4/T5 and XLM-R (arXiv:1910.10683 §3.4.3, arXiv:1911.02116 §3) —

@@ -651,6 +651,34 @@ object Pipeline {
         |WHERE CAST(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS UBIGINT) AS BIGINT) <
         |  CAST(floor(rate * 1152921504606846976.0) AS BIGINT)""".stripMargin)),
 
+    // Deterministic train/val/test split + output shard: the corpus-freeze
+    // step of a training run. Hash-range splits are growth-stable (a doc
+    // never migrates between splits as the corpus grows — what keeps eval
+    // sets honest) and shard = pmod(key) needs no global sort. Both laws
+    // are row-level oracle-checked; the threshold longs are computed ONCE
+    // driver-side and embedded in both engines, so there is no
+    // double-accumulation drift to reconcile.
+    {
+      val splits = Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05)
+      val cuts = Sampling.splitCutKeys(splits)
+      Q("ds4_split_shard",
+        (s, d) => Sampling.shardAssign(
+          Sampling.splitAssign(Tables.documents(s, d), "doc_id", splits),
+          "doc_id", numShards = 8)
+          .select("doc_id", "lang", "split", "shard"),
+        Some(s"""WITH keyed AS (
+          |  SELECT doc_id, lang,
+          |    CAST(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS UBIGINT) AS BIGINT) AS k
+          |  FROM documents
+          |)
+          |SELECT doc_id, lang,
+          |  CASE WHEN k < ${cuts(0)} THEN 'train'
+          |       WHEN k < ${cuts(1)} THEN 'val'
+          |       ELSE 'test' END AS split,
+          |  k % 8 AS shard
+          |FROM keyed""".stripMargin))
+    },
+
     // Flagship curation pipeline from raw documents: exact dedup (keep the
     // min-id copy) → quality gate (token count + punctuation ratio) →
     // temperature rebalance across languages. The whole chain — including

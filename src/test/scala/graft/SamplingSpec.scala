@@ -98,6 +98,37 @@ class SamplingSpec extends SparkSpec {
     assert(out.select("id").collect().map(_.getLong(0)).sorted.sameElements(clean))
   }
 
+  test("splitAssign/shardAssign: exhaustive, proportional, growth-stable, narrow") {
+    import spark.implicits._
+    val corpus = (0 until 2000).map(i => (i.toLong, "x")).toDF("id", "lang")
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val out = Sampling.shardAssign(
+      Sampling.splitAssign(corpus, "id", splits), "id", numShards = 4)
+    val rows = out.select("id", "split", "shard").collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(rows.size == 2000) // every row labeled exactly once
+    val bySplit = rows.values.groupBy(_._1).view.mapValues(_.size).toMap
+    assert(bySplit.keySet == Set("train", "val", "test"))
+    // Bernoulli spread at n=2000: train ~1600 +- ~3 sigma(=54)
+    assert(bySplit("train") > 1450 && bySplit("train") < 1750, bySplit)
+    assert(bySplit("val") > 120 && bySplit("val") < 280, bySplit)
+    // shards roughly even: each ~500 of 2000
+    val byShard = rows.values.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(byShard.keySet == (0L to 3L).toSet)
+    byShard.values.foreach(n => assert(n > 380 && n < 620, byShard))
+    // growth stability: appending docs never moves an existing row's
+    // split OR shard (the law that keeps eval sets honest)
+    val grown = corpus.unionByName((5000 until 5500).map(i => (i.toLong, "x")).toDF("id", "lang"))
+    val rows2 = Sampling.shardAssign(
+      Sampling.splitAssign(grown, "id", splits), "id", numShards = 4)
+      .select("id", "split", "shard").collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    rows.foreach { case (id, v) => assert(rows2(id) == v, s"row $id migrated") }
+    // narrow: a pure projection, no exchange at any corpus size
+    val p = out.queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(!p.contains("Exchange"), p)
+  }
+
   test("plans: ds1 filter is a single narrow pass; ds2 pushes a window group limit") {
     val sf = "/root/testdata/sf0.001"
     val p1 = SparkEntry.queries("ds1_stratified_sample")(spark, sf)
