@@ -114,6 +114,50 @@ object TextOps {
       .distinct()
   }
 
+  /** Repetition metrics per document — the Gopher/MassiveText repetition
+    * rule family (Rae et al. 2021, arXiv:2112.11446 §A.1.1: drop docs whose
+    * most frequent word or 2-gram covers too much of the text, or whose
+    * duplicate n-grams do), emitted as EXACT COUNTS so the SQL oracle
+    * matches bit-for-bit and callers derive their own ratio thresholds:
+    *
+    *   n_tokens, n_distinct_tokens, top_token_count,
+    *   n_bigrams (= max(n_tokens−1, 0)), top_bigram_count,
+    *   dup_bigram_count (occurrences belonging to a bigram seen more than
+    *   once — the "fraction of characters in duplicated n-grams" numerator
+    *   at word grain).
+    *
+    * One narrow typed pass (same shape as the signature operators): every
+    * metric of a document derives from its own row, so there is no
+    * explode → (doc, token)-grain shuffle at any corpus size.
+    */
+  def repetitionMetrics(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(textCol).cast("string"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val toks = text.trim.toLowerCase(java.util.Locale.ROOT).split("\\s+")
+          val tc = scala.collection.mutable.HashMap.empty[String, Long]
+          toks.foreach(t => tc.update(t, tc.getOrElse(t, 0L) + 1L))
+          val bc = scala.collection.mutable.HashMap.empty[String, Long]
+          var i = 0
+          while (i < toks.length - 1) {
+            val bg = toks(i) + " " + toks(i + 1)
+            bc.update(bg, bc.getOrElse(bg, 0L) + 1L)
+            i += 1
+          }
+          (id, toks.length.toLong, tc.size.toLong,
+            if (tc.isEmpty) 0L else tc.valuesIterator.max,
+            math.max(toks.length - 1, 0).toLong,
+            if (bc.isEmpty) 0L else bc.valuesIterator.max,
+            bc.valuesIterator.filter(_ > 1L).sum)
+        }
+      }
+      .toDF(idCol, "n_tokens", "n_distinct_tokens", "top_token_count",
+        "n_bigrams", "top_bigram_count", "dup_bigram_count")
+  }
+
   /** Cross-corpus n-gram decontamination: training docs sharing at least
     * `minShared` distinct word n-grams with any eval/benchmark document —
     * the standard leakage check a training-data pipeline runs before

@@ -651,6 +651,39 @@ object Pipeline {
         |WHERE CAST(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS UBIGINT) AS BIGINT) <
         |  CAST(floor(rate * 1152921504606846976.0) AS BIGINT)""".stripMargin)),
 
+    // Gopher-style repetition counts (top token / top 2-gram / duplicated
+    // 2-gram mass) — the repetition-rule quality gate, as exact counts.
+    Q("t8_repetition",
+      (s, d) => TextOps.repetitionMetrics(Tables.documents(s, d), "doc_id", "text"),
+      Some("""WITH toks AS (
+        |  SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
+        |  FROM documents
+        |), tcnt AS (
+        |  SELECT doc_id, tok, count(*) AS c
+        |  FROM (SELECT doc_id, unnest(t) AS tok FROM toks) GROUP BY 1, 2
+        |), tagg AS (
+        |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |    CAST(count(*) AS BIGINT) AS n_distinct_tokens,
+        |    CAST(max(c) AS BIGINT) AS top_token_count
+        |  FROM tcnt GROUP BY 1
+        |), bcnt AS (
+        |  SELECT doc_id, bg, count(*) AS c FROM (
+        |    SELECT doc_id, t[i] || ' ' || t[i+1] AS bg
+        |    FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i
+        |          FROM toks WHERE len(t) >= 2)
+        |  ) GROUP BY 1, 2
+        |), bagg AS (
+        |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+        |    CAST(max(c) AS BIGINT) AS top_bigram_count,
+        |    CAST(coalesce(sum(CASE WHEN c > 1 THEN c END), 0) AS BIGINT) AS dup_bigram_count
+        |  FROM bcnt GROUP BY 1
+        |)
+        |SELECT t.doc_id, t.n_tokens, t.n_distinct_tokens, t.top_token_count,
+        |  CAST(coalesce(b.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+        |  CAST(coalesce(b.top_bigram_count, 0) AS BIGINT) AS top_bigram_count,
+        |  CAST(coalesce(b.dup_bigram_count, 0) AS BIGINT) AS dup_bigram_count
+        |FROM tagg t LEFT JOIN bagg b USING (doc_id)""".stripMargin)),
+
     // Deterministic train/val/test split + output shard: the corpus-freeze
     // step of a training run. Hash-range splits are growth-stable (a doc
     // never migrates between splits as the corpus grows — what keeps eval

@@ -135,6 +135,22 @@ class OperatorsSpec extends SparkSpec {
     assert(loose == Set((1L, 100L)), loose)
   }
 
+  test("repetitionMetrics: hand-computed counts on planted repetition") {
+    import spark.implicits._
+    import graft.operators.TextOps
+    val docs = Seq(
+      (1L, "a b a b a"),     // tokens: a×3 b×2; bigrams: "a b"×2, "b a"×2
+      (2L, "x y z"),          // all unique
+      (3L, "w"),              // single token: no bigrams
+      (4L, "")).toDF("doc_id", "text") // empty -> one "" token
+    val got = TextOps.repetitionMetrics(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.toSeq.tail.map(_.asInstanceOf[Long])).toMap
+    assert(got(1L) == Seq(5L, 2L, 3L, 4L, 2L, 4L), got(1L))
+    assert(got(2L) == Seq(3L, 3L, 1L, 2L, 1L, 0L), got(2L))
+    assert(got(3L) == Seq(1L, 1L, 1L, 0L, 0L, 0L), got(3L))
+    assert(got(4L) == Seq(1L, 1L, 1L, 0L, 0L, 0L), got(4L))
+  }
+
   test("winnowing: shared runs >= w+k-1 tokens share a fingerprint; selection is sparse") {
     import spark.implicits._
     val sharedRun = "quick brown fox jumps over the lazy dog tonight"  // 9 tokens
