@@ -108,6 +108,36 @@ object Sampling {
   def shardAssign(df: DataFrame, idCol: String, numShards: Int): DataFrame =
     df.withColumn("shard", pmod(hashKey(col(idCol)), lit(numShards.toLong)))
 
+  /** GPT-style sequence packing layout: concatenate documents into
+    * fixed-`seqLen`-token training sequences and report where each doc
+    * lands. Docs are laid out in deterministic hash order WITHIN their
+    * [[shardAssign]] shard and the token stream is cut every seqLen tokens
+    * (docs may straddle a cut — the standard concat-and-chunk packing).
+    * Emits (id, shard, n_tokens, pack_id, pack_offset): the pack of the
+    * doc's first token and its offset inside that pack — everything a
+    * writer needs to materialize the packed sequences.
+    *
+    * Scale shape: the prefix sum runs PER SHARD (one window per shard
+    * partition) — the distributed form of the global running total; a
+    * single global ordering would be a one-partition window. Determinism,
+    * growth-stability of shard membership, and integer-only arithmetic make
+    * the whole layout reproducible and SQL-auditable.
+    */
+  def packSequences(df: DataFrame, idCol: String, textCol: String,
+      numShards: Int, seqLen: Int): DataFrame = {
+    val nTok = size(split(lower(trim(col(textCol))), "\\s+"))
+    val w = Window.partitionBy("shard")
+      .orderBy(hashKey(col(idCol)).asc, col(idCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    shardAssign(df, idCol, numShards)
+      .withColumn("n_tokens", nTok.cast("long"))
+      .withColumn("_cum_end", sum(col("n_tokens")).over(w))
+      .select(
+        col(idCol), col("shard"), col("n_tokens"),
+        floor((col("_cum_end") - col("n_tokens")) / seqLen).cast("long").as("pack_id"),
+        ((col("_cum_end") - col("n_tokens")) % seqLen).cast("long").as("pack_offset"))
+  }
+
   /** Temperature resampling at alpha = 1/2: downsample each stratum so kept
     * counts are proportional to n_s^alpha — the multilingual rebalancing rule
     * of mC4/T5 and XLM-R (arXiv:1910.10683 §3.4.3, arXiv:1911.02116 §3) —

@@ -712,6 +712,28 @@ object Pipeline {
           |FROM keyed""".stripMargin))
     },
 
+    // Sequence-packing layout: concat-and-chunk docs into 512-token training
+    // sequences, per shard in deterministic hash order. Integer-only window
+    // arithmetic — full row-level oracle.
+    Q("ds5_pack_sequences",
+      (s, d) => Sampling.packSequences(Tables.documents(s, d), "doc_id", "text",
+        numShards = 4, seqLen = 512),
+      Some("""WITH keyed AS (
+        |  SELECT doc_id,
+        |    CAST(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS UBIGINT) AS BIGINT) AS k,
+        |    CAST(len(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents
+        |), laid AS (
+        |  SELECT doc_id, k % 4 AS shard, n_tokens,
+        |    sum(n_tokens) OVER (PARTITION BY k % 4 ORDER BY k, doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS cum_end
+        |  FROM keyed
+        |)
+        |SELECT doc_id, shard, n_tokens,
+        |  CAST((cum_end - n_tokens) // 512 AS BIGINT) AS pack_id,
+        |  CAST((cum_end - n_tokens) % 512 AS BIGINT) AS pack_offset
+        |FROM laid""".stripMargin)),
+
     // Flagship curation pipeline from raw documents: exact dedup (keep the
     // min-id copy) → quality gate (token count + punctuation ratio) →
     // temperature rebalance across languages. The whole chain — including

@@ -129,6 +129,32 @@ class SamplingSpec extends SparkSpec {
     assert(!p.contains("Exchange"), p)
   }
 
+  test("packSequences: contiguous per-shard layout, every token accounted once") {
+    import spark.implicits._
+    val corpus = (0 until 300).map(i => (i.toLong, ("tok " * (1 + i % 40)).trim))
+      .toDF("id", "text")
+    val out = Sampling.packSequences(corpus, "id", "text", numShards = 2, seqLen = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.length == 300)
+    out.foreach { case (_, shard, n, pack, off) =>
+      assert(shard >= 0 && shard < 2 && n >= 1 && pack >= 0 && off >= 0 && off < 100)
+    }
+    // within a shard, laying the docs end-to-end in (pack, offset) order must
+    // tile the token stream with no gaps or overlaps
+    out.groupBy(_._2).foreach { case (_, docs) =>
+      val ordered = docs.sortBy(d => (d._4, d._5)) // by (pack_id, pack_offset)
+      var cum = 0L
+      ordered.foreach { case (_, _, n, pack, off) =>
+        assert(pack == cum / 100 && off == cum % 100, s"gap at cum=$cum: $ordered")
+        cum += n
+      }
+    }
+    // deterministic across runs
+    val again = Sampling.packSequences(corpus, "id", "text", numShards = 2, seqLen = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(3), r.getLong(4))).sortBy(_._1)
+    assert(again.sameElements(out.map(t => (t._1, t._4, t._5)).sortBy(_._1)))
+  }
+
   test("plans: ds1 filter is a single narrow pass; ds2 pushes a window group limit") {
     val sf = "/root/testdata/sf0.001"
     val p1 = SparkEntry.queries("ds1_stratified_sample")(spark, sf)
