@@ -769,6 +769,63 @@ object Pipeline {
         |WHERE CAST(CAST(('0x' || substring(md5(CAST(q.doc_id AS VARCHAR)), 1, 15)) AS UBIGINT) AS BIGINT) <
         |  CAST(floor(rate * 1152921504606846976.0) AS BIGINT)""".stripMargin)),
 
+    // The complete corpus FREEZE, end-to-end: p0's curation (dedup →
+    // quality gate → temperature rebalance) → train/val/test split → the
+    // train split's packed-sequence layout. Every stage is deterministic,
+    // so the final row-level layout — which pack of which shard each
+    // surviving train doc's tokens land in — carries a full oracle. This is
+    // the whole §2.11 pipeline composed into the artifact a training job
+    // actually consumes.
+    {
+      val splits = Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05)
+      val cut0 = Sampling.splitCutKeys(splits).head
+      Q("p2_corpus_freeze",
+        (s, d) => {
+          val docs = Tables.documents(s, d)
+          val keep = docs.groupBy(md5(col("text")).as("_fp"))
+            .agg(min("doc_id").as("doc_id"))
+          val surviving = docs.join(keep.select("doc_id"), Seq("doc_id"), "left_semi")
+          val quality = surviving.join(
+            TextOps.qualityMetrics(surviving, "doc_id", "text")
+              .where(col("n_tokens") >= 5 && col("punct_ratio") <= 0.2)
+              .select("doc_id"),
+            Seq("doc_id"), "left_semi")
+          val curated = Sampling.temperatureResample(quality, "doc_id", "lang")
+          val train = Sampling.splitAssign(curated, "doc_id", splits)
+            .where(col("split") === "train")
+          Sampling.packSequences(train, "doc_id", "text", numShards = 4, seqLen = 512)
+        },
+        Some(s"""WITH keep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+          |s AS (SELECT d.* FROM documents d JOIN keep USING (doc_id)),
+          |q AS (
+          |  SELECT doc_id, lang, text FROM s
+          |  WHERE len(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) >= 5
+          |    AND CAST(length(text) - length(regexp_replace(text, '[!-/:-@\\[-`{-~]', '', 'g')) AS DOUBLE)
+          |        / length(text) <= 0.2
+          |), c AS (SELECT lang, count(*) AS n FROM q WHERE lang IS NOT NULL GROUP BY lang),
+          |r AS (SELECT lang, sqrt(CAST((SELECT min(n) FROM c) AS DOUBLE) / n) AS rate FROM c),
+          |keyed AS (
+          |  SELECT q.doc_id, q.text,
+          |    CAST(CAST(('0x' || substring(md5(CAST(q.doc_id AS VARCHAR)), 1, 15)) AS UBIGINT) AS BIGINT) AS k
+          |  FROM q JOIN r USING (lang)
+          |  WHERE CAST(CAST(('0x' || substring(md5(CAST(q.doc_id AS VARCHAR)), 1, 15)) AS UBIGINT) AS BIGINT) <
+          |    CAST(floor(rate * 1152921504606846976.0) AS BIGINT)
+          |), train AS (
+          |  SELECT doc_id, k,
+          |    CAST(len(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS BIGINT) AS n_tokens
+          |  FROM keyed WHERE k < $cut0
+          |), laid AS (
+          |  SELECT doc_id, k % 4 AS shard, n_tokens,
+          |    sum(n_tokens) OVER (PARTITION BY k % 4 ORDER BY k, doc_id
+          |      ROWS UNBOUNDED PRECEDING) AS cum_end
+          |  FROM train
+          |)
+          |SELECT doc_id, shard, n_tokens,
+          |  CAST((cum_end - n_tokens) // 512 AS BIGINT) AS pack_id,
+          |  CAST((cum_end - n_tokens) % 512 AS BIGINT) AS pack_offset
+          |FROM laid""".stripMargin))
+    },
+
     // Multimodal → ANN end-to-end: opaque blobs → content embedding
     // (byte-histogram × fixed JL sign projection, the declared model-stub
     // boundary) → IVF approximate top-k. The whole chain is deterministic
