@@ -19,8 +19,8 @@ object Bench {
     "o1_topk", "e1_tumbling_counts", "e3_session_window",
     "d1_exact_dedup", "d2_fingerprint_dedup", "d3b_ngram_jaccard_capped",
     "d4_minhash_pairs", "d7_neardup_clusters",
-    "t1_token_stats", "t5_tfidf", "t6_winnow_fingerprint",
-    "ds3_temperature_resample", "p0_curation_pipeline",
+    "t1_token_stats", "t5_tfidf", "t6_winnow_fingerprint", "t7_decontamination",
+    "ds3_temperature_resample", "p0_curation_pipeline", "p2_corpus_freeze",
     "sim1_cosine_topk", "sim2_lsh_topk", "sim5_ivf_topk",
     "bc5_block_stats",
     // bk5 (corpus-scale clustering), not bc7: the 7-row fixture's time is
