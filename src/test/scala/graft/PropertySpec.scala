@@ -150,6 +150,34 @@ class PropertySpec extends SparkSpec {
     finally sys.props.remove("graft.broadcastMaxRows")
   }
 
+  test("union-find components match a brute-force closure on random edge lists") {
+    // the driver leg of the adaptive CC route (WalletCluster/nearDupClusters)
+    // vs an O(V·E) fixpoint reference: same partition, same min labels
+    val edgesGen: Gen[List[(Int, Int)]] = for {
+      n <- Gen.choose(1, 30)
+      m <- Gen.choose(0, 60)
+      es <- Gen.listOfN(m, for {
+        a <- Gen.choose(0, n - 1); b <- Gen.choose(0, n - 1)
+      } yield (a, b))
+    } yield es
+    forAllSeeded(edgesGen, 60) { edges =>
+      val got = graft.operators.UnionFind.components(edges.iterator)
+      // reference: iterate label = min(label, neighbors' labels) to fixpoint
+      val verts = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      var label = verts.map(v => v -> v).toMap
+      var changed = true
+      while (changed) {
+        changed = false
+        edges.foreach { case (a, b) =>
+          val m = math.min(label(a), label(b))
+          if (label(a) != m) { label = label.updated(a, m); changed = true }
+          if (label(b) != m) { label = label.updated(b, m); changed = true }
+        }
+      }
+      assert(got == label, s"edges=$edges")
+    }
+  }
+
   test("best chain is a connected path from a root to the max-height tip") {
     import spark.implicits._
     forAllSeeded(forestGen, 10) { nodes =>
