@@ -12,9 +12,9 @@ package graft
   * suite vs 7.5s isolated, purely from retained-cache pressure).
   *
   * [[releaseCaches]] drains every register: BestChain's annotation,
-  * Dedup's tagged-bucket / shingle / cluster caches, WalletCluster's
-  * clustering, ChainOps' Pregel depths, GraphAnalytics' PageRank,
-  * BlkScale's pipeline scratch, and the IVF index memo. Call it between
+  * Dedup's shingle / cluster caches, WalletCluster's clustering, ChainOps'
+  * Pregel depths, GraphAnalytics' PageRank, BlkScale's pipeline scratch,
+  * and the IVF index memo. Call it between
   * unrelated workloads (the bench harness calls it between queries) or
   * whenever a long-lived session wants to return to a cold-cache baseline.
   * It never touches caches the CALLER persisted — only the engine's own

@@ -66,33 +66,41 @@ object WalletCluster {
       .where(col("address") =!= col("hub"))
       .select(col("address").as("src"), col("hub").as("dst"))
       .distinct()
-    // Materialize ONCE: the route decision needs the count, and both routes
-    // re-read the edges (collect / vid joins + GraphX's internal scans).
-    val (edgeDf, edgeRdd) = ChainOps.rebase(edgeRows)
+    // Materialize ONCE: the route decision needs the count (returned by the
+    // same pass), and both routes re-read the edges (collect / vid joins +
+    // GraphX's internal scans).
+    val (edgeDf, edgeRdd, nEdges) = ChainOps.rebaseCounted(edgeRows)
     val envelope = math.min(ChainOps.BroadcastMaxRows, (Int.MaxValue - 1).toLong)
 
-    if (edgeRdd.count() <= envelope) {
+    if (nEdges <= envelope) {
       val labels = UnionFind.components(
         edgeDf.collect().iterator.map(r => (r.getString(0), r.getString(1))))
       edgeRdd.unpersist(blocking = false)
+      // the in-memory route holds NO persisted state of its own — but it
+      // must still drain the register a previous DISTRIBUTED run filled, or
+      // that stale clustering stays cached for the rest of the session
+      Option(lastResult.getAndSet(null)).foreach(_.unpersist(blocking = false))
       val labelDf = labels.toSeq.toDF("address", "wallet_id")
-      // the in-memory route holds NO persisted state — broadcast the tiny
-      // label table against the universe and swap nothing
       return universe
         .join(broadcast(labelDf), Seq("address"), "left")
         .select(col("address"), coalesce(col("wallet_id"), col("address")).as("wallet_id"))
     }
 
     // Dense unique vertex ids (no hash-collision risk at 100 TB).
+    // zipWithUniqueId over a shuffle output is NOT stable across
+    // re-evaluations (fetch order varies), so the assignment is materialized
+    // ONCE (persist + count) and every consumer — the edge joins AND the
+    // graph's vertex set — reads the cached vdf, never the raw lineage.
     val funderAddrs = funders.select("address").distinct()
-    val vertices = funderAddrs.rdd.map(_.getString(0)).zipWithUniqueId()
-    val vdf = vertices.toDF("address", "vid").persist(StorageLevel.MEMORY_AND_DISK)
+    val vdf = funderAddrs.rdd.map(_.getString(0)).zipWithUniqueId()
+      .toDF("address", "vid").persist(StorageLevel.MEMORY_AND_DISK)
+    vdf.count()
     val edgeVids = edgeDf
       .join(vdf.select(col("address").as("src"), col("vid").as("src_vid")), "src")
       .join(vdf.select(col("address").as("dst"), col("vid").as("dst_vid")), "dst")
       .select("src_vid", "dst_vid")
     val edges = edgeVids.rdd.map(r => Edge(r.getLong(0), r.getLong(1), ()))
-    val graph = Graph(vertices.map { case (_, vid) => (vid, ()) }, edges)
+    val graph = Graph(vdf.select("vid").rdd.map(r => (r.getLong(0), ())), edges)
     val ccGraph = graph.connectedComponents()
     val cc = ccGraph.vertices.toDF("vid", "cc")
 

@@ -52,16 +52,20 @@ object GraphAnalytics {
     import spark.implicits._
     val sc = spark.sparkContext
     val before = sc.getPersistentRDDs.keySet
-    val verts = edges.select(col("src").as("address"))
+    // zipWithUniqueId over a shuffle output is not stable across
+    // re-evaluations — materialize the assignment once and derive BOTH the
+    // edge joins and the graph vertex set from the cached vdf.
+    val vdf = edges.select(col("src").as("address"))
       .union(edges.select(col("dst").as("address"))).distinct()
       .rdd.map(_.getString(0)).zipWithUniqueId()
-    val vdf = verts.toDF("address", "vid").persist(StorageLevel.MEMORY_AND_DISK)
+      .toDF("address", "vid").persist(StorageLevel.MEMORY_AND_DISK)
+    vdf.count()
     val e = edges
       .join(vdf.select(col("address").as("src"), col("vid").as("src_vid")), "src")
       .join(vdf.select(col("address").as("dst"), col("vid").as("dst_vid")), "dst")
       .select("src_vid", "dst_vid")
       .rdd.map(r => Edge(r.getLong(0), r.getLong(1), 1.0))
-    val graph = Graph(verts.map { case (_, vid) => (vid, ()) }, e)
+    val graph = Graph(vdf.select("vid").rdd.map(r => (r.getLong(0), ())), e)
     val rankGraph = graph.staticPageRank(iterations, resetProb)
     val ranks = rankGraph.vertices.toDF("vid", "rank")
     val out = vdf.join(ranks, "vid").select("address", "rank")

@@ -60,10 +60,20 @@ object ChainOps {
     * its backing RDD so callers can unpersist the previous round.
     */
   private[graft] def rebase(df: DataFrame): (DataFrame, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]) = {
+    val (out, rdd, _) = rebaseCounted(df)
+    (out, rdd)
+  }
+
+  /** [[rebase]] that also returns the row count its materialization pass
+    * already computed — callers making a size-routed decision (the CC
+    * envelope routes) must not pay a second count job to recover it.
+    */
+  private[graft] def rebaseCounted(df: DataFrame)
+      : (DataFrame, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row], Long) = {
     val rdd = df.rdd
     rdd.persist(StorageLevel.MEMORY_AND_DISK)
-    rdd.count() // materialize now so the previous round can be dropped
-    (df.sparkSession.createDataFrame(rdd, df.schema), rdd)
+    val n = rdd.count() // materialize now so the previous round can be dropped
+    (df.sparkSession.createDataFrame(rdd, df.schema), rdd, n)
   }
 
   /** [[rebase]] fused with the loop's bookkeeping: the total row count AND
@@ -215,6 +225,9 @@ object ChainOps {
     val base = nodes.select(col(idCol).as("id"), col(parentCol).as("parent"))
     val vdf = base.select("id").rdd.map(_.getString(0)).zipWithUniqueId()
       .toDF("id", "vid").persist(StorageLevel.MEMORY_AND_DISK)
+    // materialize the id assignment ONCE before the two vdf-joins below —
+    // zipWithUniqueId recomputation is not order-stable
+    vdf.count()
     val withIds = base.join(vdf, "id")
       .join(vdf.select(col("id").as("parent"), col("vid").as("parent_vid")),
         Seq("parent"), "left") // dangling parent (orphan) → null = root

@@ -40,13 +40,16 @@ object Dedup {
     * to `explode(shingles(...))` but ~7x faster: the higher-order
     * transform/slice lambdas are interpreted per element, while this is one
     * JIT-compiled closure per row. Locale.ROOT lowercase matches Spark's
-    * locale-independent `lower`. Requires a long-castable id.
+    * locale-independent `lower`. Requires a long-castable id. Null-text
+    * rows are dropped — the SQL form's explode/unnest of a null token
+    * array emits nothing, and `null.trim` would kill the task.
     */
   private[operators] def shingleRows(
       df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col(idCol).cast("long"), col(textCol).cast("string"))
+      .where(col(textCol).isNotNull)
       .as[(Long, String)]
       .flatMap { t =>
         val toks = t._2.trim.toLowerCase(java.util.Locale.ROOT).split("\\s+")
@@ -113,7 +116,8 @@ object Dedup {
     * bit-identical to the previous SQL columns). Clearing bit 63 makes
     * min() order-agree between signed and unsigned engines, which the
     * portable oracle relies on. Default is 32 hashes / 8 bands of 4 — the
-    * common near-dup setting.
+    * common near-dup setting. Null-text rows are dropped (no shingles, no
+    * signature — same as the SQL form's explode of a null array).
     */
   def minhashSignatures(
       df: DataFrame, idCol: String, textCol: String,
@@ -123,6 +127,7 @@ object Dedup {
     import spark.implicits._
     val k = shingleK
     df.select(col(idCol).cast("long"), col(textCol).cast("string"))
+      .where(col(textCol).isNotNull)
       .as[(Long, String)]
       .mapPartitions { it =>
         val md = if (portable) java.security.MessageDigest.getInstance("MD5") else null
@@ -288,7 +293,7 @@ object Dedup {
     // count, and vertex derivation, edge construction and GraphX's own
     // internal scans would otherwise each re-run the (expensive)
     // pair-generation plan.
-    val (p, pRdd) = ChainOps.rebase(pairs
+    val (p, pRdd, nPairs) = ChainOps.rebaseCounted(pairs
       .select(col(pairs.columns.head).cast("long").as("id1"),
         col(pairs.columns(1)).cast("long").as("id2")))
     // Envelope route (mirror of WalletCluster/BestChain): after
@@ -298,10 +303,13 @@ object Dedup {
     // ~6 jobs of fixed Pregel latency; the distributed path remains for
     // genuinely large pair sets.
     val envelope = math.min(ChainOps.BroadcastMaxRows, (Int.MaxValue - 1).toLong)
-    if (pRdd.count() <= envelope) {
+    if (nPairs <= envelope) {
       val labels = UnionFind.components(
         p.collect().iterator.map(r => (r.getLong(0), r.getLong(1))))
       pRdd.unpersist(blocking = false)
+      // drain the register a previous DISTRIBUTED run filled — this route
+      // holds no persisted state, but the stale clustering must not linger
+      Option(lastClusters.getAndSet(null)).foreach(_.unpersist(blocking = false))
       val labelDf = labels.toSeq.toDF("doc_id", "cluster_id")
       return universe
         .join(broadcast(labelDf), Seq("doc_id"), "left")

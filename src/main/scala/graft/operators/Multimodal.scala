@@ -332,15 +332,18 @@ object Multimodal {
         val bytes = r.getAs[Array[Byte]](1)
         val vec = new Array[Float](dim)
         if (bytes != null && bytes.length > 0) {
-          val hist = new Array[Float](256)
+          // count in Long: a float histogram saturates at 2^24 (adding 1f
+          // to 16777216f is a no-op), silently skewing embeddings of blobs
+          // over ~16 MB with a dominant byte value
+          val hist = new Array[Long](256)
           var i = 0
-          while (i < bytes.length) { hist(bytes(i) & 0xFF) += 1f; i += 1 }
-          val inv = 1f / bytes.length
+          while (i < bytes.length) { hist(bytes(i) & 0xFF) += 1L; i += 1 }
+          val inv = 1.0f / bytes.length
           var d = 0
           while (d < dim) {
             val row = proj(d)
             var s = 0f; var b = 0
-            while (b < 256) { s += row(b) * hist(b) * inv; b += 1 }
+            while (b < 256) { s += row(b) * (hist(b) * inv); b += 1 }
             vec(d) = s
             d += 1
           }

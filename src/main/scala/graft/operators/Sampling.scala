@@ -75,10 +75,17 @@ object Sampling {
     * (appending rows never moves an existing row between splits — the
     * property that keeps eval sets honest as the corpus grows), and
     * SQL-auditable. A pure narrow projection: zero shuffles at any size.
+    *
+    * The range key is SALTED (`md5(id || ":split")`), making it independent
+    * of the bare-id key every keep/drop sampler uses. Without the salt,
+    * composing a sampler with the split is fully correlated: rows surviving
+    * `key < rate·2^60` would ALL land below a 0.9 train cut, silently
+    * emptying val/test for every stratum with keep-rate ≤ 0.9
+    * (spec-gated: the composition test in SamplingSpec).
     */
   def splitAssign(df: DataFrame, idCol: String,
       splits: Seq[(String, Double)]): DataFrame = {
-    val key = hashKey(col(idCol))
+    val key = hashKey(concat(col(idCol).cast("string"), lit(":split")))
     val label = splits.init.zip(splitCutKeys(splits))
       .foldRight(lit(splits.last._1): Column) {
         case (((l, _), cutKey), acc) => when(key < cutKey, lit(l)).otherwise(acc)

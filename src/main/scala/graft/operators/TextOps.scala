@@ -133,7 +133,10 @@ object TextOps {
   def repetitionMetrics(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    // null-text rows dropped: the SQL form's unnest of a null token array
+    // emits nothing for the doc, and null.trim would kill the task
     df.select(col(idCol).cast("long"), col(textCol).cast("string"))
+      .where(col(textCol).isNotNull)
       .as[(Long, String)]
       .mapPartitions { it =>
         it.map { case (id, text) =>
@@ -179,8 +182,13 @@ object TextOps {
       docs: DataFrame, evals: DataFrame, idCol: String, textCol: String,
       n: Int = 13, minShared: Int = 1): DataFrame = {
     val d = Dedup.shingleRows(docs, idCol, textCol, n)
-    val e = Dedup.shingleRows(evals, idCol, textCol, n)
-      .withColumnRenamed(idCol, "eval_id")
+    // The broadcast is a HINT in the contract sense but must be explicit:
+    // the eval side's size estimate derives from its full base-table scan
+    // (filters don't shrink sizeInBytes without CBO), so Catalyst would
+    // otherwise plan a sort-merge join that shuffles the entire corpus
+    // shingle stream — the exact exchange this operator exists to avoid.
+    val e = broadcast(Dedup.shingleRows(evals, idCol, textCol, n)
+      .withColumnRenamed(idCol, "eval_id"))
     d.join(e, "_sh")
       .groupBy(col(idCol), col("eval_id"))
       .agg(count(lit(1)).as("shared_ngrams"))

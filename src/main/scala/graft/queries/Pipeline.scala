@@ -701,12 +701,13 @@ object Pipeline {
           .select("doc_id", "lang", "split", "shard"),
         Some(s"""WITH keyed AS (
           |  SELECT doc_id, lang,
-          |    CAST(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS UBIGINT) AS BIGINT) AS k
+          |    CAST(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS UBIGINT) AS BIGINT) AS k,
+          |    CAST(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':split'), 1, 15)) AS UBIGINT) AS BIGINT) AS ks
           |  FROM documents
           |)
           |SELECT doc_id, lang,
-          |  CASE WHEN k < ${cuts(0)} THEN 'train'
-          |       WHEN k < ${cuts(1)} THEN 'val'
+          |  CASE WHEN ks < ${cuts(0)} THEN 'train'
+          |       WHEN ks < ${cuts(1)} THEN 'val'
           |       ELSE 'test' END AS split,
           |  k % 8 AS shard
           |FROM keyed""".stripMargin))
@@ -806,14 +807,15 @@ object Pipeline {
           |r AS (SELECT lang, sqrt(CAST((SELECT min(n) FROM c) AS DOUBLE) / n) AS rate FROM c),
           |keyed AS (
           |  SELECT q.doc_id, q.text,
-          |    CAST(CAST(('0x' || substring(md5(CAST(q.doc_id AS VARCHAR)), 1, 15)) AS UBIGINT) AS BIGINT) AS k
+          |    CAST(CAST(('0x' || substring(md5(CAST(q.doc_id AS VARCHAR)), 1, 15)) AS UBIGINT) AS BIGINT) AS k,
+          |    CAST(CAST(('0x' || substring(md5(CAST(q.doc_id AS VARCHAR) || ':split'), 1, 15)) AS UBIGINT) AS BIGINT) AS ks
           |  FROM q JOIN r USING (lang)
           |  WHERE CAST(CAST(('0x' || substring(md5(CAST(q.doc_id AS VARCHAR)), 1, 15)) AS UBIGINT) AS BIGINT) <
           |    CAST(floor(rate * 1152921504606846976.0) AS BIGINT)
           |), train AS (
           |  SELECT doc_id, k,
           |    CAST(len(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS BIGINT) AS n_tokens
-          |  FROM keyed WHERE k < $cut0
+          |  FROM keyed WHERE ks < $cut0
           |), laid AS (
           |  SELECT doc_id, k % 4 AS shard, n_tokens,
           |    sum(n_tokens) OVER (PARTITION BY k % 4 ORDER BY k, doc_id

@@ -129,6 +129,27 @@ class SamplingSpec extends SparkSpec {
     assert(!p.contains("Exchange"), p)
   }
 
+  test("splitAssign composes with keep-samplers: val/test survive in downsampled strata") {
+    // THE correlation trap: a keep-filter selects key < rate*2^60 and an
+    // unsalted range split would label 'train' exactly when key < 0.9*2^60 —
+    // every survivor of a stratum with keep-rate <= 0.9 would be 'train' and
+    // the eval splits silently empty. The salted split key must keep the two
+    // decisions independent: the heavily-downsampled stratum must still land
+    // val/test members.
+    val resampled = Sampling.temperatureResample(docs, "id", "lang")
+    val out = Sampling.splitAssign(resampled, "id",
+      Seq("train" -> 0.5, "val" -> 0.25, "test" -> 0.25))
+    val bigSplits = out.where(col("lang") === "big")
+      .groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // "big" keeps ~40 of 160 (keep-rate 0.25 << any train cut): with an
+    // independent split key, ~20/10/10 land per split — P(zero val AND zero
+    // test) under independence is ~1e-10, while the correlated bug gives
+    // exactly zero in both.
+    assert(bigSplits.getOrElse("val", 0L) + bigSplits.getOrElse("test", 0L) > 0,
+      s"downsampled stratum lost its eval members: $bigSplits")
+  }
+
   test("packSequences: contiguous per-shard layout, every token accounted once") {
     import spark.implicits._
     val corpus = (0 until 300).map(i => (i.toLong, ("tok " * (1 + i % 40)).trim))
