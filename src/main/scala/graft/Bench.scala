@@ -83,6 +83,15 @@ object Bench {
       name -> (samples(samples.length / 2), samples.last - samples.head)
     }
     failures.foreach(n => System.err.println(s"[bench] WARNING: $n time is a failure, not a run"))
+    // Self-diagnose protocol problems: a spread comparable to the median
+    // means the samples measure session state (cache eviction, GC pressure),
+    // not the query — exactly how round 7's retained-cache contamination
+    // showed up (bk0 spread 42.9s on a 70.3s median) before anyone read the
+    // numbers. Loud, not fatal: the medians still ship.
+    results.foreach { case (name, (m, s)) =>
+      if (s > math.max(m * 0.5, 0.5))
+        System.err.println(f"[bench] WARNING: $name spread $s%.2fs vs median $m%.2fs — samples unstable")
+    }
     val qs = results.map { case (k, (m, _)) => "\"" + k + "\":" + m }
       .mkString("{", ",", "}")
     val spread = results.map { case (k, (_, s)) => "\"" + k + "\":" + s }
