@@ -44,6 +44,45 @@ object GraphAnalytics {
         coalesce(col("in_value"), lit(0L)).as("in_value"))
   }
 
+  /** Per-address triangle participation counts over the UNDIRECTED flow
+    * graph — the local-clustering signal (mixing services and exchange
+    * hot wallets sit in dense triangle neighborhoods; pass-through chains
+    * have none).
+    *
+    * Degree-oriented node-iterator as pure dataflow: canonicalize to
+    * distinct undirected edges, orient every edge from its lower
+    * (degree, id) endpoint to the higher, enumerate wedges at each source,
+    * and close them against the oriented edge set. Orientation bounds every
+    * vertex's oriented out-degree by O(sqrt(m)) — the hub address with a
+    * million neighbors contributes wedges only from the edges it RECEIVES,
+    * so the wedge join cannot go quadratic on skew (Suri & Vassilvitskii,
+    * WWW '11). Three shuffles total (degree agg, wedge self-join, closure
+    * join), no driver state, no iteration — one fixed dataflow at any scale.
+    */
+  def triangleCounts(edges: DataFrame): DataFrame = {
+    val und = edges
+      .select(least(col("src"), col("dst")).as("u"), greatest(col("src"), col("dst")).as("v"))
+      .where(col("u") =!= col("v")).distinct()
+    val deg = und.select(col("u").as("x")).union(und.select(col("v").as("x")))
+      .groupBy("x").agg(count(lit(1)).as("d"))
+    val lower = col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v"))
+    val o = und
+      .join(deg.select(col("x").as("u"), col("d").as("du")), "u")
+      .join(deg.select(col("x").as("v"), col("d").as("dv")), "v")
+      .select(
+        when(lower, col("u")).otherwise(col("v")).as("s"),
+        when(lower, col("v")).otherwise(col("u")).as("t"))
+    // Each triangle {x,y,z} (orientation order x<y<z) appears exactly once:
+    // the wedge pair at x emits both (y,z) and (z,y), but only y→z exists
+    // in the oriented set, so the closure join keeps one.
+    val tris = o.select(col("s"), col("t").as("a"))
+      .join(o.select(col("s"), col("t").as("b")), "s")
+      .where(col("a") =!= col("b"))
+      .join(o.select(col("s").as("a"), col("t").as("b")), Seq("a", "b"))
+    tris.select(explode(array(col("s"), col("a"), col("b"))).as("address"))
+      .groupBy("address").agg(count(lit(1)).as("triangles"))
+  }
+
   /** PageRank over the flow graph: influence ranking of addresses.
     * Returns (address, rank) — GraphX Pregel under the hood.
     */

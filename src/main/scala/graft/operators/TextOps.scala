@@ -195,6 +195,81 @@ object TextOps {
       .where(col("shared_ngrams") >= minShared)
   }
 
+  /** PII patterns shared by [[piiMetrics]] and [[piiRedact]]. Restricted to
+    * the regex subset that means the same thing in Java regex and RE2
+    * (no backreferences, no lookaround) so a SQL oracle reproduces the scrub
+    * bit-for-bit. Ordered: the email pattern must run before IPv4 (a
+    * dotted-quad inside a redacted email no longer exists to double-match).
+    */
+  val PiiPatterns: Seq[(String, String)] = Seq(
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
+    "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b" -> "<IP>",
+    "\\b\\d{3}-\\d{3}-\\d{4}\\b" -> "<PHONE>")
+
+  /** Per-document PII hit counts (emails, IPv4 addresses, dashed phone
+    * numbers) — the detect side of the scrub a corpus runs before release.
+    * One narrow codegen'd pass; `regexp_count` never materializes matches.
+    */
+  def piiMetrics(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(
+      col(idCol),
+      regexp_count(col(textCol), lit(PiiPatterns(0)._1)).cast("long").as("n_emails"),
+      regexp_count(col(textCol), lit(PiiPatterns(1)._1)).cast("long").as("n_ipv4"),
+      regexp_count(col(textCol), lit(PiiPatterns(2)._1)).cast("long").as("n_phones"))
+
+  /** Text with every [[PiiPatterns]] match replaced by its placeholder.
+    * Leftmost non-overlapping global replace — identical semantics in Java
+    * and RE2, hence oracle-exact.
+    */
+  def piiRedact(textCol: Column): Column =
+    PiiPatterns.foldLeft(textCol) { case (c, (pat, repl)) =>
+      regexp_replace(c, pat, repl)
+    }
+
+  /** Fixed-size overlapping token windows — the doc → training-example
+    * chunking step (RAG indexing, long-doc splitting). Chunk i covers tokens
+    * [i*stride, i*stride + chunkSize); the last chunk may be short; a doc
+    * never emits an empty chunk (every start < n_tokens). Pure built-ins —
+    * one `sequence` + `posexplode`, no shuffle: chunking a 100 TB corpus is
+    * a map-only job.
+    *
+    * @return (idCol, chunk_id, n_tokens, chunk_text)
+    */
+  def chunkDocuments(df: DataFrame, idCol: String, textCol: String,
+      chunkSize: Int = 32, stride: Int = 24): DataFrame = {
+    require(stride > 0 && chunkSize >= stride,
+      s"need 0 < stride <= chunkSize, got stride=$stride chunkSize=$chunkSize")
+    val t = tokens(col(textCol))
+    val n = size(t)
+    // last chunk start = floor((n-1)/stride)*stride, so every start < n.
+    val starts = sequence(lit(0), floor((n - 1).cast("double") / stride).cast("int") * stride, lit(stride))
+    df.select(col(idCol), posexplode(starts).as(Seq("chunk_id", "_s")), t.as("_t"))
+      .select(
+        col(idCol), col("chunk_id"),
+        size(slice(col("_t"), col("_s") + 1, chunkSize)).as("n_tokens"),
+        array_join(slice(col("_t"), col("_s") + 1, chunkSize), " ").as("chunk_text"))
+  }
+
+  /** Line-level quality filter (the C4 cleaning family, Raffel et al. 2020
+    * arXiv:1910.10683 §2.2): keep only lines with at least `minWords`
+    * whitespace words that end in terminal punctuation, and re-join the
+    * survivors. Higher-order array ops on the line array — no explode, no
+    * shuffle, one codegen'd map pass.
+    *
+    * @return (idCol, total_lines, kept_lines, filtered_text)
+    */
+  def filterLines(df: DataFrame, idCol: String, textCol: String,
+      minWords: Int = 5): DataFrame = {
+    val ls = split(col(textCol), "\n")
+    val keptCol = filter(ls, l =>
+      l.rlike("[.!?]$") && size(split(trim(l), "\\s+")) >= minWords)
+    df.select(
+      col(idCol),
+      size(ls).as("total_lines"),
+      size(keptCol).as("kept_lines"),
+      array_join(keptCol, "\n").as("filtered_text"))
+  }
+
   /** TF-IDF per (document, term): tf * ln(N / df). Two hash aggregates and
     * one broadcast-able join on term — the classic formulation, no ML-lib
     * state. docCount is passed in (a cheap count) so the plan stays a pure

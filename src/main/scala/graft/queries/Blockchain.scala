@@ -277,6 +277,47 @@ object Blockchain {
            |FROM pr10 p, norm""".stripMargin
       }),
 
+    // Triangle participation counts — local clustering structure of the
+    // flow graph, as one fixed dataflow (degree-oriented node-iterator;
+    // see GraphAnalytics.triangleCounts for the skew bound). The oracle
+    // re-derives the same orientation and closure in plain SQL.
+    Q("g3_triangles",
+      (s, _) => {
+        val ann = BestChain.annotate(F.blocksDf(s))
+        val cTxs = GoldStats.chainTxs(F.transactionsDf(s), ann)
+        val rin = Enrich.resolvedInputs(F.txInputsDf(s), F.txOutputsDf(s))
+          .join(cTxs.select("tx_hash"), Seq("tx_hash"), "left_semi")
+        val outs = F.txOutputsDf(s).join(cTxs.select("tx_hash"), Seq("tx_hash"), "left_semi")
+        graft.graph.GraphAnalytics.triangleCounts(
+          graft.graph.GraphAnalytics.flowEdges(rin, outs))
+      },
+      Some(s"""WITH RECURSIVE ${chainCte.stripPrefix("WITH ")},
+         |edges AS (
+         |  SELECT DISTINCT f.src, o.address AS dst
+         |  FROM (SELECT DISTINCT tx_hash, src_address AS src FROM rin) f
+         |  JOIN outs o ON f.tx_hash = o.tx_hash
+         |), und AS (
+         |  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+         |  FROM edges WHERE src <> dst
+         |), deg AS (
+         |  SELECT x, count(*) AS d FROM (
+         |    SELECT u AS x FROM und UNION ALL SELECT v FROM und)
+         |  GROUP BY x
+         |), ore AS (
+         |  SELECT CASE WHEN du.d < dv.d OR (du.d = dv.d AND u < v) THEN u ELSE v END AS s,
+         |         CASE WHEN du.d < dv.d OR (du.d = dv.d AND u < v) THEN v ELSE u END AS t
+         |  FROM und JOIN deg du ON und.u = du.x JOIN deg dv ON und.v = dv.x
+         |), tri AS (
+         |  SELECT w1.s, w1.t AS a, w2.t AS b
+         |  FROM ore w1 JOIN ore w2 ON w1.s = w2.s AND w1.t <> w2.t
+         |  JOIN ore e ON e.s = w1.t AND e.t = w2.t
+         |)
+         |SELECT address, CAST(count(*) AS BIGINT) AS triangles FROM (
+         |  SELECT s AS address FROM tri
+         |  UNION ALL SELECT a FROM tri
+         |  UNION ALL SELECT b FROM tri)
+         |GROUP BY address""".stripMargin)),
+
     Q("bc8_script_decode",
       (s, _) => {
         import s.implicits._
