@@ -10,6 +10,9 @@ libraryDependencies ++= Seq(
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
 )
 Test / fork := true
+// Per-test durations in the report: the suite's wall time is a standing
+// complaint (33 min at r8) — you cannot trim what you cannot see.
+Test / testOptions += Tests.Argument("-oD")
 run / fork := true
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches

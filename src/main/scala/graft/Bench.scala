@@ -20,6 +20,7 @@ object Bench {
     "d1_exact_dedup", "d2_fingerprint_dedup", "d3b_ngram_jaccard_capped",
     "d4_minhash_pairs", "d7_neardup_clusters",
     "t1_token_stats", "t5_tfidf", "t6_winnow_fingerprint", "t7_decontamination",
+    "t9_pii_metrics", "t11_chunk_documents",
     "ds3_temperature_resample", "p0_curation_pipeline", "p2_corpus_freeze",
     "sim1_cosine_topk", "sim2_lsh_topk", "sim5_ivf_topk",
     "bc5_block_stats",
@@ -79,7 +80,13 @@ object Bench {
         (System.nanoTime() - t0) / 1e9
       }
       once() // warm
-      val samples = Seq.fill(runs)(once()).sorted
+      val ordered = Seq.fill(runs)(once())
+      // Execution-order samples are the drift diagnostic: monotone growth
+      // means within-session accumulation (heap aging, lineage, shuffle
+      // files), not noise — the sorted median alone cannot distinguish them.
+      System.err.println(f"[bench] $name samples: " +
+        ordered.map(s => f"$s%.2f").mkString(", "))
+      val samples = ordered.sorted
       name -> (samples(samples.length / 2), samples.last - samples.head)
     }
     failures.foreach(n => System.err.println(s"[bench] WARNING: $n time is a failure, not a run"))

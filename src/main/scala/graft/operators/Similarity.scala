@@ -204,9 +204,14 @@ object Similarity {
     import spark.implicits._
     val typed = corpus.select(col(idCol).cast("long"), col(vecCol))
       .as[(Long, Array[Float])]
-    // deterministic sample: first nlist*20 ids (embeddings carry no order
-    // bias; swap in .sample() for adversarially ordered corpora)
-    val sample = typed.orderBy(col(idCol)).limit(nlist * 20).collect().map(_._2)
+    // deterministic yet order-UNcorrelated sample: the nlist*20 smallest
+    // md5(id) rows. Ids are usually assigned by crawl/ingest order, so a
+    // plain first-N sample trains centroids on one temporal corner of the
+    // corpus; hash order is a uniform draw that still needs no RNG state.
+    // Same plan shape either way: TakeOrdered(N) — no extra shuffle.
+    val sample = typed
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+      .limit(nlist * 20).collect().map(_._2)
     val centroids = trainCentroids(sample, nlist, maxIter)
     val bc = spark.sparkContext.broadcast(centroids)
     val cells = typed

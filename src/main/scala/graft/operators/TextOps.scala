@@ -208,14 +208,22 @@ object TextOps {
 
   /** Per-document PII hit counts (emails, IPv4 addresses, dashed phone
     * numbers) — the detect side of the scrub a corpus runs before release.
-    * One narrow codegen'd pass; `regexp_count` never materializes matches.
+    * Each pattern counts on the PROGRESSIVELY-REDACTED text (emails first,
+    * then IPv4 on the email-scrubbed text, then phones), so a dotted-quad
+    * inside an email local part is counted once as an email, never again as
+    * an IP — counts equal exactly what [[piiRedact]] replaces. One narrow
+    * codegen'd pass; `regexp_count` never materializes matches.
     */
-  def piiMetrics(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(
-      col(idCol),
-      regexp_count(col(textCol), lit(PiiPatterns(0)._1)).cast("long").as("n_emails"),
-      regexp_count(col(textCol), lit(PiiPatterns(1)._1)).cast("long").as("n_ipv4"),
-      regexp_count(col(textCol), lit(PiiPatterns(2)._1)).cast("long").as("n_phones"))
+  def piiMetrics(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val names = Seq("n_emails", "n_ipv4", "n_phones")
+    val (counts, _) = PiiPatterns.zip(names).foldLeft(
+        (Seq.empty[Column], col(textCol))) {
+      case ((acc, text), ((pat, repl), name)) =>
+        (acc :+ regexp_count(text, lit(pat)).cast("long").as(name),
+          regexp_replace(text, pat, repl))
+    }
+    df.select(col(idCol) +: counts: _*)
+  }
 
   /** Text with every [[PiiPatterns]] match replaced by its placeholder.
     * Leftmost non-overlapping global replace — identical semantics in Java
@@ -240,14 +248,18 @@ object TextOps {
     require(stride > 0 && chunkSize >= stride,
       s"need 0 < stride <= chunkSize, got stride=$stride chunkSize=$chunkSize")
     val t = tokens(col(textCol))
-    val n = size(t)
+    // null text → 0 tokens, dropped by the n > 0 filter below — explicit in
+    // both ANSI modes (legacy sizeOfNull=-1 would otherwise make `sequence`
+    // throw on negative boundaries; ANSI-null would silently drop the row).
+    val n = coalesce(size(t), lit(0))
     // last chunk start = floor((n-1)/stride)*stride, so every start < n.
     val starts = sequence(lit(0), floor((n - 1).cast("double") / stride).cast("int") * stride, lit(stride))
-    df.select(col(idCol), posexplode(starts).as(Seq("chunk_id", "_s")), t.as("_t"))
+    df.where(n > 0)
+      .select(col(idCol), posexplode(starts).as(Seq("chunk_id", "_s")), t.as("_t"))
       .select(
         col(idCol), col("chunk_id"),
-        size(slice(col("_t"), col("_s") + 1, chunkSize)).as("n_tokens"),
-        array_join(slice(col("_t"), col("_s") + 1, chunkSize), " ").as("chunk_text"))
+        size(slice(col("_t"), col("_s") + 1, lit(chunkSize))).as("n_tokens"),
+        array_join(slice(col("_t"), col("_s") + 1, lit(chunkSize)), " ").as("chunk_text"))
   }
 
   /** Line-level quality filter (the C4 cleaning family, Raffel et al. 2020
@@ -261,8 +273,11 @@ object TextOps {
   def filterLines(df: DataFrame, idCol: String, textCol: String,
       minWords: Int = 5): DataFrame = {
     val ls = split(col(textCol), "\n")
+    // Both predicates see the same trimmed string: terminal punctuation is
+    // checked on rtrim(l) (trailing spaces don't hide the terminator), and
+    // C4's heuristic also accepts a closing quote after the punctuation.
     val keptCol = filter(ls, l =>
-      l.rlike("[.!?]$") && size(split(trim(l), "\\s+")) >= minWords)
+      rtrim(l).rlike("[.!?\"']$") && size(split(trim(l), "\\s+")) >= minWords)
     df.select(
       col(idCol),
       size(ls).as("total_lines"),

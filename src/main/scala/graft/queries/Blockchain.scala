@@ -278,9 +278,14 @@ object Blockchain {
       }),
 
     // Triangle participation counts — local clustering structure of the
-    // flow graph, as one fixed dataflow (degree-oriented node-iterator;
-    // see GraphAnalytics.triangleCounts for the skew bound). The oracle
-    // re-derives the same orientation and closure in plain SQL.
+    // counterparty graph (flow edges UNION co-spend edges: addresses that
+    // fund the same tx are linked, the wallet-clustering signal), as one
+    // fixed dataflow (degree-oriented node-iterator; see
+    // GraphAnalytics.triangleCounts for the skew bound). Pure flow edges on
+    // a payment chain are triangle-free almost everywhere; the co-spend
+    // union is what gives the clustering coefficient its subject matter
+    // (co-funders A,B both paying F close the {A,B,F} triangle). The
+    // oracle re-derives the same union, orientation and closure in SQL.
     Q("g3_triangles",
       (s, _) => {
         val ann = BestChain.annotate(F.blocksDf(s))
@@ -288,14 +293,24 @@ object Blockchain {
         val rin = Enrich.resolvedInputs(F.txInputsDf(s), F.txOutputsDf(s))
           .join(cTxs.select("tx_hash"), Seq("tx_hash"), "left_semi")
         val outs = F.txOutputsDf(s).join(cTxs.select("tx_hash"), Seq("tx_hash"), "left_semi")
+        val funders = rin.select(col("tx_hash"), col("src_address")).distinct()
+        val cospend = funders
+          .join(funders.select(col("tx_hash"), col("src_address").as("dst_address")), "tx_hash")
+          .where(col("src_address") < col("dst_address"))
+          .select(col("src_address").as("src"), col("dst_address").as("dst"),
+            lit(0L).as("value"))
         graft.graph.GraphAnalytics.triangleCounts(
-          graft.graph.GraphAnalytics.flowEdges(rin, outs))
+          graft.graph.GraphAnalytics.flowEdges(rin, outs).unionByName(cospend))
       },
       Some(s"""WITH RECURSIVE ${chainCte.stripPrefix("WITH ")},
+         |fund AS (SELECT DISTINCT tx_hash, src_address AS src FROM rin),
          |edges AS (
          |  SELECT DISTINCT f.src, o.address AS dst
-         |  FROM (SELECT DISTINCT tx_hash, src_address AS src FROM rin) f
+         |  FROM fund f
          |  JOIN outs o ON f.tx_hash = o.tx_hash
+         |  UNION
+         |  SELECT a.src, b.src AS dst
+         |  FROM fund a JOIN fund b ON a.tx_hash = b.tx_hash AND a.src < b.src
          |), und AS (
          |  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
          |  FROM edges WHERE src <> dst

@@ -28,6 +28,28 @@ object Pipeline {
       |  SELECT DISTINCT doc_id, sh FROM sh0
       |)""".stripMargin
 
+  /** doc_id-derived PII suffix for t9/t10 (the corpus itself is PII-free):
+    * doc_id%3==0 gets an email whose local part embeds a dotted-quad plus a
+    * phone; ==1 gets an IPv4; ==2 is untouched. [[piiAugmentSql]] is the
+    * bit-identical DuckDB twin.
+    */
+  private def piiAugmented: org.apache.spark.sql.Column =
+    concat(col("text"),
+      when(col("doc_id") % 3 === 0,
+        lit(" ping 1.2.3.4@example.com or 555-123-4567"))
+      .when(col("doc_id") % 3 === 1,
+        concat(lit(" from host 10.2."), (col("doc_id") % 256).cast("string"),
+          lit(".9 port 80")))
+      .otherwise(lit("")))
+
+  private val piiAugmentSql: String =
+    """SELECT doc_id, text ||
+      |    CASE doc_id % 3
+      |      WHEN 0 THEN ' ping 1.2.3.4@example.com or 555-123-4567'
+      |      WHEN 1 THEN ' from host 10.2.' || CAST(doc_id % 256 AS VARCHAR) || '.9 port 80'
+      |      ELSE '' END AS text
+      |  FROM documents""".stripMargin
+
   /** DuckDB twin of Dedup's portable XOR-rotate hash slot i. The JVM's
     * 64-bit rotation wraps; DuckDB raises on any left shift past 2^63 (even
     * on UBIGINT), so the rotation runs in HUGEINT — shift, take mod 2^64,
@@ -683,6 +705,90 @@ object Pipeline {
         |  CAST(coalesce(b.top_bigram_count, 0) AS BIGINT) AS top_bigram_count,
         |  CAST(coalesce(b.dup_bigram_count, 0) AS BIGINT) AS dup_bigram_count
         |FROM tagg t LEFT JOIN bagg b USING (doc_id)""".stripMargin)),
+
+    // PII detect/scrub (t9/t10): the synthetic corpus carries no PII, so the
+    // queries append a DETERMINISTIC doc_id-derived suffix (an email whose
+    // local part embeds a dotted-quad — the overlap case — a phone, an IPv4)
+    // before detecting/redacting; the oracle replays the same concat. t9
+    // counts on the progressively-redacted text, so the embedded quad counts
+    // as part of the email and never as an IP — counts equal exactly what
+    // the redaction replaces.
+    Q("t9_pii_metrics",
+      (s, d) => TextOps.piiMetrics(
+        Tables.documents(s, d).withColumn("text", piiAugmented),
+        "doc_id", "text"),
+      Some {
+        val Seq((eP, eR), (iP, iR), (pP, _)) = TextOps.PiiPatterns
+        s"""WITH aug AS ($piiAugmentSql),
+           |r AS (
+           |  SELECT doc_id, text AS t0,
+           |    regexp_replace(text, '$eP', '$eR', 'g') AS t1,
+           |    regexp_replace(regexp_replace(text, '$eP', '$eR', 'g'), '$iP', '$iR', 'g') AS t2
+           |  FROM aug
+           |)
+           |SELECT doc_id,
+           |  CAST(len(regexp_extract_all(t0, '$eP')) AS BIGINT) AS n_emails,
+           |  CAST(len(regexp_extract_all(t1, '$iP')) AS BIGINT) AS n_ipv4,
+           |  CAST(len(regexp_extract_all(t2, '$pP')) AS BIGINT) AS n_phones
+           |FROM r""".stripMargin
+      }),
+
+    Q("t10_pii_redact",
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"), TextOps.piiRedact(piiAugmented).as("redacted")),
+      Some {
+        val folded = TextOps.PiiPatterns.foldLeft("text") {
+          case (c, (pat, repl)) => s"regexp_replace($c, '$pat', '$repl', 'g')"
+        }
+        s"WITH aug AS ($piiAugmentSql)\nSELECT doc_id, $folded AS redacted FROM aug"
+      }),
+
+    // Fixed-size overlapping token chunks (32-token windows, stride 24) —
+    // the doc → training-example splitter. chunk_id = start/stride since
+    // starts are exactly the stride multiples below n_tokens.
+    Q("t11_chunk_documents",
+      (s, d) => TextOps.chunkDocuments(Tables.documents(s, d), "doc_id", "text"),
+      Some("""WITH toks AS (
+        |  SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
+        |  FROM documents WHERE text IS NOT NULL
+        |), st AS (
+        |  SELECT doc_id, t,
+        |    unnest(generate_series(0, CAST(floor(CAST(len(t) - 1 AS DOUBLE) / 24) AS BIGINT) * 24, 24)) AS s
+        |  FROM toks WHERE len(t) > 0
+        |)
+        |SELECT doc_id, CAST(s // 24 AS INT) AS chunk_id,
+        |  CAST(len(t[s+1:s+32]) AS INT) AS n_tokens,
+        |  array_to_string(t[s+1:s+32], ' ') AS chunk_text
+        |FROM st""".stripMargin)),
+
+    // C4-style line filter: the corpus is single-line, so the query first
+    // line-ifies it deterministically (literal replaces shared with the
+    // oracle: ' query ' → sentence break, ' table ' → '? ' + newline — the
+    // trailing-space case the rtrim fix exists for), then keeps lines with
+    // >= 5 words ending in terminal punctuation.
+    Q("t12_filter_lines",
+      (s, d) => TextOps.filterLines(
+        Tables.documents(s, d).withColumn("text",
+          replace(replace(col("text"), lit(" query "), lit(".\n")),
+            lit(" table "), lit("? \n"))),
+        "doc_id", "text"),
+      Some("""WITH aug AS (
+        |  SELECT doc_id,
+        |    replace(replace(text, ' query ', '.' || chr(10)), ' table ', '? ' || chr(10)) AS text
+        |  FROM documents
+        |), ls AS (
+        |  SELECT doc_id, string_split(text, chr(10)) AS lines FROM aug
+        |), kept AS (
+        |  SELECT doc_id, lines,
+        |    list_filter(lines, l -> regexp_matches(rtrim(l), '[.!?"'']$')
+        |      AND len(string_split_regex(trim(l), '\s+')) >= 5) AS k
+        |  FROM ls
+        |)
+        |SELECT doc_id, CAST(len(lines) AS INT) AS total_lines,
+        |  CAST(len(k) AS INT) AS kept_lines,
+        |  CASE WHEN lines IS NULL THEN NULL
+        |       ELSE coalesce(array_to_string(k, chr(10)), '') END AS filtered_text
+        |FROM kept""".stripMargin)),
 
     // Deterministic train/val/test split + output shard: the corpus-freeze
     // step of a training run. Hash-range splits are growth-stable (a doc

@@ -1,0 +1,126 @@
+package graft.streaming
+
+import java.io.{BufferedReader, BufferedWriter, InputStreamReader}
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+
+/** Node-subprocess lifecycle — the ops glue around the reference's
+  * `synchronizeDatabase` loop (BlockchainToGraph.java:119–165: spawn
+  * `bitcoind`, read its stdout line-by-line on the driver, `destroy()` on
+  * exit, `waitFor` at stream end).
+  *
+  * The Spark-first shape deliberately differs: the reference PARSES inside
+  * the driver-side read loop, single-threaded, so ingest is bounded by one
+  * thread's regex throughput. Here the subprocess's stdout is only PUMPED to
+  * rolling immutable log files (cheap byte copy, no parsing), and parsing
+  * happens in a Structured Streaming file source over those files
+  * ([[tipEvents]] → [[ChainStream.parseUpdateTips]], fully codegen'd and
+  * parallel across executors). The file-source checkpoint is the resume
+  * cursor — kill the session mid-stream and the next one continues from the
+  * last committed file, which the reference re-derives by walking from
+  * genesis (BlockchainToGraph.java:38–49).
+  *
+  * Files roll by line count and are made visible ATOMICALLY (written as
+  * `.inprogress`, renamed on roll): a file source must never observe a
+  * half-written file, because files are read exactly once per name.
+  */
+object NodeProcess {
+
+  final class NodeHandle private[streaming] (
+      proc: Process, pump: Thread, exitCodeRef: AtomicInteger) {
+
+    def isAlive: Boolean = proc.isAlive
+
+    /** Exit code, if the process has exited AND the pump drained stdout. */
+    def exitCode: Option[Int] = {
+      val c = exitCodeRef.get()
+      if (c == Int.MinValue) None else Some(c)
+    }
+
+    /** Graceful shutdown, the reference's `p.destroy()` with an actual
+      * contract: SIGTERM, wait up to `graceMs` for the node to flush and
+      * exit, only then SIGKILL. Returns the exit code. Idempotent — stopping
+      * an exited process just joins the pump.
+      */
+    def stop(graceMs: Long = 10000): Int = {
+      if (proc.isAlive) {
+        proc.destroy()
+        if (!proc.waitFor(graceMs, java.util.concurrent.TimeUnit.MILLISECONDS))
+          proc.destroyForcibly()
+      }
+      proc.waitFor()
+      pump.join(graceMs)
+      exitCodeRef.compareAndSet(Int.MinValue, proc.exitValue())
+      proc.exitValue()
+    }
+  }
+
+  /** Spawn `command` and pump its stdout (+ merged stderr — bitcoind logs
+    * there) into `logDir/node-NNNNN.log`, rolling every `rollLines` lines.
+    * The partial tail file stays `.inprogress` until rolled or the process
+    * exits, so consumers only ever list complete files.
+    */
+  def start(command: Seq[String], logDir: String, rollLines: Int = 10000): NodeHandle = {
+    require(rollLines > 0, s"rollLines must be positive, got $rollLines")
+    val dir = Paths.get(logDir)
+    Files.createDirectories(dir)
+    val proc = new ProcessBuilder(command: _*).redirectErrorStream(true).start()
+    val exitCodeRef = new AtomicInteger(Int.MinValue)
+    val pump = new Thread(() => {
+      val reader = new BufferedReader(new InputStreamReader(
+        proc.getInputStream, StandardCharsets.UTF_8))
+      var fileNo = 0
+      var lineNo = 0
+      var writer: BufferedWriter = null
+      var current: Path = null
+      def roll(): Unit = if (writer != null) {
+        writer.close()
+        Files.move(current, finalName(dir, fileNo),
+          StandardCopyOption.ATOMIC_MOVE)
+        writer = null; fileNo += 1; lineNo = 0
+      }
+      try {
+        var line = reader.readLine()
+        while (line != null) {
+          if (writer == null) {
+            current = dir.resolve(f"node-$fileNo%05d.log.inprogress")
+            writer = Files.newBufferedWriter(current, StandardCharsets.UTF_8)
+          }
+          writer.write(line); writer.newLine()
+          lineNo += 1
+          if (lineNo >= rollLines) roll()
+          line = reader.readLine()
+        }
+      } finally {
+        roll() // stdout EOF: the process is gone — publish the tail
+        reader.close()
+        proc.waitFor()
+        exitCodeRef.set(proc.exitValue())
+      }
+    }, s"node-pump-$logDir")
+    pump.setDaemon(true)
+    pump.start()
+    new NodeHandle(proc, pump, exitCodeRef)
+  }
+
+  private def finalName(dir: Path, n: Int): Path = dir.resolve(f"node-$n%05d.log")
+
+  /** Unbounded stream of the node's log lines (column `line`) — S3, with the
+    * checkpoint as cursor.
+    */
+  def logStream(spark: SparkSession, logDir: String): DataFrame =
+    spark.readStream
+      .option("pathGlobFilter", "node-*.log")
+      .text(logDir)
+      .select(col("value").as("line"))
+
+  /** UpdateTip events (hash, height) from a managed node's logs — the
+    * reference's stream filter+extract (S4) over [[start]]'s rolling files.
+    */
+  def tipEvents(spark: SparkSession, logDir: String): DataFrame =
+    ChainStream.parseUpdateTips(logStream(spark, logDir))
+}

@@ -26,6 +26,22 @@ class CacheDisciplineSpec extends SparkSpec {
     ok
   }
 
+  /** Sample cachedCount only once async unpersists have DRAINED: the value
+    * must hold steady across several consecutive polls before it can serve
+    * as a baseline (a single read can catch a count that is still falling).
+    */
+  private def quiescedCount(timeoutMs: Long = 10000): Int = {
+    val deadline = System.nanoTime() + timeoutMs * 1000000L
+    var last = cachedCount
+    var stable = 0
+    while (stable < 5 && System.nanoTime() < deadline) {
+      Thread.sleep(50)
+      val now = cachedCount
+      if (now == last) stable += 1 else { stable = 0; last = now }
+    }
+    last
+  }
+
   test("WalletCluster.clusters: repeated calls hold constant cached state") {
     import spark.implicits._
     val addrs = (1 to 60).map(i => s"a$i").toDF("address")
@@ -95,7 +111,10 @@ class CacheDisciplineSpec extends SparkSpec {
     Graft.releaseCaches()
     assert(eventually(cachedCount <= baseline),
       s"release did not return to the $baseline-cache baseline: $cachedCount")
-    val afterRelease = cachedCount
+    // baseline for the refill check must be a QUIESCED floor — sampling
+    // while an async unpersist is still draining reads a count that later
+    // falls, and the refill delta assertion below then fails spuriously.
+    val afterRelease = quiescedCount()
     assert(operators.Similarity.ivfCacheEntries == 0)
     // the operators still work afterwards (registers just refill; the
     // shingle cache is register-backed on every route, unlike clusters,

@@ -47,6 +47,49 @@ class GraphSpec extends SparkSpec {
     assert(ranks("F") > ranks("B"))
   }
 
+  test("triangleCounts: hub fixture — degree orientation, once per member") {
+    import spark.implicits._
+    val edges = Seq(
+      // hub H star to a..e, with reversed-duplicate and self-loop noise the
+      // canonicalization must absorb
+      ("H", "a"), ("a", "H"), ("H", "b"), ("H", "c"), ("H", "d"), ("H", "e"),
+      ("H", "H"),
+      // close two wedges at the hub (the high-degree vertex: orientation
+      // must enumerate these wedges at the LOW-degree endpoints)
+      ("a", "b"), ("c", "d"),
+      // an off-hub triangle
+      ("x", "y"), ("y", "z"), ("z", "x")
+    ).toDF("src", "dst")
+    val got = GraphAnalytics.triangleCounts(edges).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // {H,a,b}, {H,c,d}, {x,y,z}: H in 2, each other member in 1; e in none
+    // (and absent — only triangle members are emitted)
+    assert(got == Map("H" -> 2L, "a" -> 1L, "b" -> 1L, "c" -> 1L, "d" -> 1L,
+      "x" -> 1L, "y" -> 1L, "z" -> 1L))
+    assert(got.values.sum == 3L * 3L, "each triangle must count once per member")
+  }
+
+  test("triangleCounts: matches brute-force enumeration on a random graph") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val n = 14
+    val raw = Seq.fill(60)((s"v${rnd.nextInt(n)}", s"v${rnd.nextInt(n)}")).distinct
+    val und = raw.map { case (a, b) => if (a < b) (a, b) else (b, a) }
+      .filter(e => e._1 != e._2).distinct
+    val adj = und.flatMap(e => Seq(e, e.swap)).groupBy(_._1)
+      .map { case (k, v) => k -> v.map(_._2).toSet }
+    val expected = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    for {
+      c <- adj.keys.toSeq.sorted.combinations(3)
+      Seq(x, y, z) = c
+      if adj(x)(y) && adj(y)(z) && adj(x)(z)
+    } { expected(x) += 1; expected(y) += 1; expected(z) += 1 }
+    assert(expected.nonEmpty, "fixture must actually contain triangles")
+    val got = GraphAnalytics.triangleCounts(raw.toDF("src", "dst")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == expected.toMap)
+  }
+
   test("pagerank semantics pin: 10 iterations from r0=1 then normalize to sum=|V|") {
     // The g2 DuckDB oracle re-derives GraphX staticPageRank in SQL on the
     // closed-form contract asserted here: r' = 0.15 + 0.85 * sum(in r/outdeg)

@@ -109,6 +109,23 @@ class PlanSpec extends SparkSpec {
     assert(reused >= 2, s"expected >=2 ReusedExchange (one per extra consumer), got $reused\n${p.take(3000)}")
   }
 
+  test("text curation ops are map-only: no exchange, no join in the plan") {
+    // chunking / PII scrub / line filter of a 100 TB corpus must be a pure
+    // map job — any Exchange here multiplies the corpus over the network.
+    Seq("t9_pii_metrics", "t10_pii_redact", "t11_chunk_documents",
+        "t12_filter_lines").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("Exchange"), s"$q shuffles:\n${p.take(2000)}")
+      assert(!p.contains("Join"), s"$q joins:\n${p.take(2000)}")
+    }
+  }
+
+  test("decontamination broadcasts the eval side; corpus never shuffles") {
+    val p = plan("t7_decontamination")
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+  }
+
   test("near-dup default path is the band equi-join, never a quadratic join") {
     import org.apache.spark.sql.functions.col
     val emb = graft.tables.Tables.embeddings(spark, sf).where(col("vec_id") < 100)
