@@ -323,4 +323,62 @@ class OperatorsSpec extends SparkSpec {
     assert(math.abs(r.getAs[Double]("stopword_ratio") - 1.0 / 3) < 1e-9)
     assert(math.abs(r.getAs[Double]("punct_ratio") - 1.0 / 12) < 1e-9)
   }
+
+  test("piiMetrics: progressive counting — embedded quad counts as email only") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "mail 1.2.3.4@example.com and host 5.6.7.8 call 555-123-4567"),
+      (2L, "no pii here"),
+      (3L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val got = TextOps.piiMetrics(df, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> (Option(r.get(1)), Option(r.get(2)), Option(r.get(3)))).toMap
+    // the dotted quad INSIDE the email local part is consumed by the email
+    // redaction and never double-counted as an IP; the free-standing one is
+    assert(got(1L) == ((Some(1L), Some(1L), Some(1L))))
+    assert(got(2L) == ((Some(0L), Some(0L), Some(0L))))
+    assert(got(3L) == ((None, None, None))) // null text -> null counts
+    // detect counts equal what the scrub actually replaces
+    val red = df.where($"doc_id" === 1L)
+      .select(TextOps.piiRedact(col("text"))).collect().head.getString(0)
+    assert(red == "mail <EMAIL> and host <IP> call <PHONE>")
+  }
+
+  test("chunkDocuments: boundaries, short tails, null/empty docs") {
+    import spark.implicits._
+    val words33 = (1 to 33).map(i => s"w$i").mkString(" ")
+    val words32 = (1 to 32).map(i => s"w$i").mkString(" ")
+    val df = Seq(
+      (1L, words33),            // 33 tokens: chunks at 0 (32 toks) and 24 (9 toks)
+      (2L, words32),            // 32 tokens: full chunk + the stride-24 overlap tail
+      (3L, "solo"),             // single token -> one 1-token chunk
+      (4L, null.asInstanceOf[String])) // null -> dropped, never an error
+      .toDF("doc_id", "text")
+    val got = TextOps.chunkDocuments(df, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getInt(2)).toMap
+    assert(got == Map(
+      (1L, 0) -> 32, (1L, 1) -> 9,
+      (2L, 0) -> 32, (2L, 1) -> 8, // every stride multiple < n emits, even subsumed
+      (3L, 0) -> 1))
+    // chunk text round-trips the token windows
+    val texts = TextOps.chunkDocuments(df.where($"doc_id" === 1L), "doc_id", "text")
+      .orderBy("chunk_id").collect().map(_.getString(3))
+    assert(texts(0) == (1 to 32).map(i => s"w$i").mkString(" "))
+    assert(texts(1) == (25 to 33).map(i => s"w$i").mkString(" "))
+  }
+
+  test("filterLines: rtrim'd terminal punctuation, word floor, empty survivors") {
+    import spark.implicits._
+    val doc =
+      "this line has exactly five words.\n" + // kept
+      "this one ends with trailing spaces after punctuation.   \n" + // kept (rtrim)
+      "too short.\n" + // dropped: < 5 words
+      "five whole words but no terminator\n" + // dropped: no [.!?"']
+      "a quoted line of five words.\"" // kept: closing quote after period
+    val df = Seq((1L, doc), (2L, "no keepers here")).toDF("doc_id", "text")
+    val got = TextOps.filterLines(df, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getString(3)))).toMap
+    assert(got(1L)._1 == 5 && got(1L)._2 == 3)
+    assert(got(1L)._3.split("\n").length == 3)
+    assert(got(2L) == ((1, 0, ""))) // zero survivors -> empty text, not null
+  }
 }
