@@ -145,6 +145,38 @@ object Sampling {
         ((col("_cum_end") - col("n_tokens")) % seqLen).cast("long").as("pack_offset"))
   }
 
+  /** Token-budget freeze: keep, per output shard, the greedy prefix of docs
+    * (in the same deterministic hash order [[packSequences]] lays them out
+    * in) whose token stream starts inside `budgetPerShard` — "train on N
+    * tokens" as an exact, auditable selection. The doc straddling the
+    * boundary is KEPT (its first token is within budget), mirroring how a
+    * packed-sequence writer cuts: every kept doc's tokens_before is exactly
+    * where its tokens land in the shard's stream.
+    *
+    * Scale shape: one window per shard partition (the distributed prefix
+    * sum), integer-only arithmetic. NOTE exact budgets are deliberately NOT
+    * growth-stable — an appended doc can hash-sort ahead of the old cutoff
+    * and displace the tail. That is inherent to "exactly N tokens"; when
+    * stability under growth matters more than exactness, use
+    * [[stratifiedSample]] rates instead.
+    *
+    * @return kept rows as (idCol, shard, n_tokens, tokens_before)
+    */
+  def tokenBudget(df: DataFrame, idCol: String, textCol: String,
+      numShards: Int, budgetPerShard: Long): DataFrame = {
+    require(budgetPerShard >= 0, s"budget must be >= 0, got $budgetPerShard")
+    val nTok = size(split(lower(trim(col(textCol))), "\\s+"))
+    val w = Window.partitionBy("shard")
+      .orderBy(hashKey(col(idCol)).asc, col(idCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    shardAssign(df, idCol, numShards)
+      .withColumn("n_tokens", nTok.cast("long"))
+      .withColumn("_cum_end", sum(col("n_tokens")).over(w))
+      .where(col("_cum_end") - col("n_tokens") < budgetPerShard)
+      .select(col(idCol), col("shard"), col("n_tokens"),
+        (col("_cum_end") - col("n_tokens")).as("tokens_before"))
+  }
+
   /** Temperature resampling at alpha = 1/2: downsample each stratum so kept
     * counts are proportional to n_s^alpha — the multilingual rebalancing rule
     * of mC4/T5 and XLM-R (arXiv:1910.10683 §3.4.3, arXiv:1911.02116 §3) —

@@ -841,6 +841,27 @@ object Pipeline {
         |  CAST((cum_end - n_tokens) % 512 AS BIGINT) AS pack_offset
         |FROM laid""".stripMargin)),
 
+    // Token-budget freeze: per shard, the greedy hash-order prefix of docs
+    // starting inside a 2000-token budget (the "train on N tokens" cut),
+    // straddling doc kept. Integer-only window arithmetic — full oracle.
+    Q("ds6_token_budget",
+      (s, d) => Sampling.tokenBudget(Tables.documents(s, d), "doc_id", "text",
+        numShards = 4, budgetPerShard = 2000L),
+      Some("""WITH keyed AS (
+        |  SELECT doc_id,
+        |    CAST(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS UBIGINT) AS BIGINT) AS k,
+        |    CAST(len(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents
+        |), laid AS (
+        |  SELECT doc_id, k % 4 AS shard, n_tokens,
+        |    sum(n_tokens) OVER (PARTITION BY k % 4 ORDER BY k, doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS cum_end
+        |  FROM keyed
+        |)
+        |SELECT doc_id, shard, n_tokens,
+        |  CAST(cum_end - n_tokens AS BIGINT) AS tokens_before
+        |FROM laid WHERE cum_end - n_tokens < 2000""".stripMargin)),
+
     // Flagship curation pipeline from raw documents: exact dedup (keep the
     // min-id copy) → quality gate (token count + punctuation ratio) →
     // temperature rebalance across languages. The whole chain — including

@@ -176,6 +176,35 @@ class SamplingSpec extends SparkSpec {
     assert(again.sameElements(out.map(t => (t._1, t._4, t._5)).sortBy(_._1)))
   }
 
+  test("tokenBudget: greedy per-shard prefix, straddler kept, budget edges") {
+    import spark.implicits._
+    val corpus = (0 until 200).map(i => (i.toLong, ("tok " * (1 + i % 40)).trim))
+      .toDF("id", "text")
+    val budget = 500L
+    val kept = Sampling.tokenBudget(corpus, "id", "text", numShards = 2, budget)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(kept.nonEmpty)
+    kept.groupBy(_._2).foreach { case (_, docs) =>
+      val ordered = docs.sortBy(_._4)
+      // tokens_before tiles from 0 with no gaps, every start < budget, and
+      // exactly one straddler may end past it
+      var cum = 0L
+      ordered.foreach { case (_, _, n, before) =>
+        assert(before == cum && before < budget, s"bad prefix at $before")
+        cum += n
+      }
+      assert(ordered.init.forall { case (_, _, _, b) => b < budget })
+    }
+    // the kept set is exactly the packSequences prefix: same order, same
+    // arithmetic — every doc whose layout start is inside the budget
+    val packed = Sampling.packSequences(corpus, "id", "text", numShards = 2, seqLen = 1)
+      .collect().map(r => r.getLong(0) -> (r.getLong(3) * 1 + r.getLong(4))).toMap
+    assert(kept.map(_._1).toSet == packed.filter(_._2 < budget).keySet)
+    // zero budget keeps nothing; an over-budget keeps everything
+    assert(Sampling.tokenBudget(corpus, "id", "text", 2, 0L).count() == 0)
+    assert(Sampling.tokenBudget(corpus, "id", "text", 2, 1000000L).count() == 200)
+  }
+
   test("plans: ds1 filter is a single narrow pass; ds2 pushes a window group limit") {
     val sf = "/root/testdata/sf0.001"
     val p1 = SparkEntry.queries("ds1_stratified_sample")(spark, sf)
