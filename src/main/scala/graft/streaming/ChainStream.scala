@@ -59,11 +59,12 @@ object ChainStream {
       bronzeDir: String,
       recompute: (SparkSession, DataFrame) => DataFrame,
       goldDir: String,
-      checkpointDir: String): DataStreamWriter[Row] =
+      checkpointDir: String,
+      trigger: Trigger = Trigger.AvailableNow()): DataStreamWriter[Row] =
     newBlocks.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpointDir)
-      .trigger(Trigger.AvailableNow())
+      .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
         batch.write.mode("append").parquet(bronzeDir)

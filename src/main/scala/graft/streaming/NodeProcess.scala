@@ -41,6 +41,15 @@ object NodeProcess {
       if (c == Int.MinValue) None else Some(c)
     }
 
+    /** Block until the process exits on its own and its logs are fully
+      * published (pump drained), or the deadline passes.
+      */
+    def awaitExit(timeoutMs: Long): Option[Int] = {
+      val deadline = System.nanoTime() + timeoutMs * 1000000L
+      while (exitCode.isEmpty && System.nanoTime() < deadline) Thread.sleep(25)
+      exitCode
+    }
+
     /** Graceful shutdown, the reference's `p.destroy()` with an actual
       * contract: SIGTERM, wait up to `graceMs` for the node to flush and
       * exit, only then SIGKILL. Returns the exit code. Idempotent — stopping
@@ -68,12 +77,24 @@ object NodeProcess {
     require(rollLines > 0, s"rollLines must be positive, got $rollLines")
     val dir = Paths.get(logDir)
     Files.createDirectories(dir)
+    // Resume numbering PAST anything already in the dir: a restarted node
+    // (same logDir, new process) must never overwrite a published file — the
+    // file source tracks names it has seen, so an overwrite is silent data
+    // loss on resume, not a re-read.
+    val existing = {
+      val s = Files.list(dir)
+      try s.toArray.map(_.toString)
+        .flatMap("node-(\\d{5})\\.log".r.findFirstMatchIn(_))
+        .map(_.group(1).toInt)
+      finally s.close()
+    }
+    val startFileNo = if (existing.isEmpty) 0 else existing.max + 1
     val proc = new ProcessBuilder(command: _*).redirectErrorStream(true).start()
     val exitCodeRef = new AtomicInteger(Int.MinValue)
     val pump = new Thread(() => {
       val reader = new BufferedReader(new InputStreamReader(
         proc.getInputStream, StandardCharsets.UTF_8))
-      var fileNo = 0
+      var fileNo = startFileNo
       var lineNo = 0
       var writer: BufferedWriter = null
       var current: Path = null
@@ -84,19 +105,32 @@ object NodeProcess {
         writer = null; fileNo += 1; lineNo = 0
       }
       try {
-        var line = reader.readLine()
-        while (line != null) {
-          if (writer == null) {
-            current = dir.resolve(f"node-$fileNo%05d.log.inprogress")
-            writer = Files.newBufferedWriter(current, StandardCharsets.UTF_8)
-          }
-          writer.write(line); writer.newLine()
-          lineNo += 1
-          if (lineNo >= rollLines) roll()
-          line = reader.readLine()
+        // Poll-read instead of blocking on EOF: a grandchild the node
+        // orphans (shell children, a forked helper) inherits the stdout
+        // pipe, and a blocking readLine would then wait on the ORPHAN's
+        // exit, not the node's. The pump stops once the spawned process
+        // itself is dead and the pipe is drained.
+        var eof = false
+        while (!eof) {
+          if (reader.ready()) {
+            val line = reader.readLine()
+            if (line == null) eof = true
+            else {
+              if (writer == null) {
+                current = dir.resolve(f"node-$fileNo%05d.log.inprogress")
+                writer = Files.newBufferedWriter(current, StandardCharsets.UTF_8)
+              }
+              writer.write(line); writer.newLine()
+              lineNo += 1
+              if (lineNo >= rollLines) roll()
+            }
+          } else if (!proc.isAlive) {
+            Thread.sleep(50) // let in-flight kernel-buffered bytes surface
+            if (!reader.ready()) eof = true
+          } else Thread.sleep(10)
         }
       } finally {
-        roll() // stdout EOF: the process is gone — publish the tail
+        roll() // process gone: publish the tail
         reader.close()
         proc.waitFor()
         exitCodeRef.set(proc.exitValue())

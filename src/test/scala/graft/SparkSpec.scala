@@ -25,6 +25,10 @@ object SparkSpec {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Graceful-stop tests wait on QueryIdleEvent, which is throttled to
+      // every 10s by default — 1s keeps boundary-stop latency out of the
+      // suite wall time without changing semantics.
+      .config("spark.sql.streaming.noDataProgressEventInterval", "1s")
       .config("spark.ui.enabled", "false")
       // Spark 4.1's union partitioning propagation plans SMJ over a 2N-partition
       // union as exchange-free against an N-partition side -> runtime zip
