@@ -55,14 +55,18 @@ object Profile {
 
     // bk0 phase breakdown: where does the end-to-end from-raw time go?
     // Mirrors BlkScale's bk0 exactly (incl. the run-scoped persisted scratch)
-    // so the phase times add up to the bench number.
-    if (sys.env.get("SPARK_GRAFT_PROFILE").contains("bk0")) {
+    // so the phase times add up to the bench number. bk0cache additionally
+    // stages the parsed bronze projections (parse-once pipeline shape).
+    val bk0cache = sys.env.get("SPARK_GRAFT_PROFILE").contains("bk0cache")
+    if (bk0cache || sys.env.get("SPARK_GRAFT_PROFILE").contains("bk0")) {
       var prev = Seq.empty[org.apache.spark.sql.DataFrame]
       (1 to 3).foreach { round =>
         println(s"== bk0 pass $round ==")
         val parsed = graft.sources.BlockFileSource.read(spark, BlkCorpus.rawDir)
         val bronze = t("toBronze + blocks force") {
           val b = graft.sources.BlockFileSource.toBronze(parsed)
+          if (bk0cache) Seq("transactions", "tx_inputs", "tx_outputs")
+            .foreach(n => b(n).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
           force(b("blocks")); b
         }
         val ann = t("annotateDistributed (materialized)")(
@@ -73,7 +77,9 @@ object Profile {
         val outs = bronze("tx_outputs")
           .join(cTxs.select("tx_hash"), Seq("tx_hash"), "left_semi")
         prev.foreach(_.unpersist(blocking = false))
-        prev = Seq(cTxs)
+        prev = if (bk0cache)
+          Seq(cTxs, bronze("transactions"), bronze("tx_inputs"), bronze("tx_outputs"))
+        else Seq(cTxs)
         prev.foreach(_.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
         t("scratch materialize (cTxs)")(force(cTxs))
         val ts = GoldStats.txStats(cTxs, rin, outs)

@@ -407,11 +407,24 @@ object Relational {
         "epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) " +
         "AS gap FROM events)")),
 
+    // Global ranking WITHOUT the single-partition window a bare
+    // percent_rank()/ntile() OVER (ORDER BY ...) compiles to: GlobalRank
+    // range-buckets the table, ranks within buckets in parallel, and
+    // broadcast-joins constant-size bucket offsets — same values (the order
+    // key is unique, so percent_rank has no rank ties and ntile is a pure
+    // function of the global position), scalable plan. The oracle keeps the
+    // window form: DuckDB can afford it at gate scale, and it pins the
+    // dataflow's equivalence to the textbook definition.
     Q("w5_percent_rank_ntile",
       (s, d) => {
-        val w = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
-        Tables.orders(s, d).select(col("o_orderkey"),
-          percent_rank().over(w).as("pr"), ntile(10).over(w).as("decile"))
+        val orders = Tables.orders(s, d)
+        val n = orders.count()
+        graft.operators.GlobalRank.globalPositions(
+            orders.select("o_orderkey", "o_totalprice"),
+            Seq("o_totalprice", "o_orderkey"))
+          .select(col("o_orderkey"),
+            graft.operators.GlobalRank.percentRank(col("_pos"), n).as("pr"),
+            graft.operators.GlobalRank.ntileOf(col("_pos"), n, 10).as("decile"))
       },
       Some("SELECT o_orderkey, percent_rank() OVER (ORDER BY o_totalprice, o_orderkey) AS pr, " +
         "CAST(ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS INT) AS decile FROM orders")),
