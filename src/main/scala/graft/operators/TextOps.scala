@@ -195,6 +195,36 @@ object TextOps {
       .where(col("shared_ngrams") >= minShared)
   }
 
+  /** [[contamination]] with a Bloom prefilter — the scale path when the eval
+    * side outgrows a broadcast hash relation: a Bloom filter over the eval
+    * shingles' 64-bit hashes is ~10x smaller than the join table (1% fpp ≈
+    * 9.6 bits/shingle vs the shingle strings themselves), ships inside the
+    * probe expression, and drops non-matching corpus shingles AT SCAN SPEED
+    * inside whole-stage codegen — before any join machinery touches them.
+    * False positives survive the probe and die in the exact join, so the
+    * result is IDENTICAL to [[contamination]] at any fpp: the oracle is
+    * shared, the prefilter is pure plan optimization.
+    *
+    * @param expectedEvalShingles sizes the filter (overestimate is fine —
+    *        memory only); fpp trades filter size against wasted join probes.
+    */
+  def contaminationBloom(
+      docs: DataFrame, evals: DataFrame, idCol: String, textCol: String,
+      n: Int = 13, minShared: Int = 1,
+      expectedEvalShingles: Long = 1000000L, fpp: Double = 0.01): DataFrame = {
+    val e = Dedup.shingleRows(evals, idCol, textCol, n)
+    val bloom = e.select(xxhash64(col("_sh")).as("_h"))
+      .stat.bloomFilter("_h", expectedEvalShingles, fpp)
+    val bytes = graft.functions.BloomMightContain.serialize(bloom)
+    val d = Dedup.shingleRows(docs, idCol, textCol, n)
+      .where(graft.functions.BloomMightContain.might_contain(
+        bytes, xxhash64(col("_sh"))))
+    d.join(broadcast(e.withColumnRenamed(idCol, "eval_id")), "_sh")
+      .groupBy(col(idCol), col("eval_id"))
+      .agg(count(lit(1)).as("shared_ngrams"))
+      .where(col("shared_ngrams") >= minShared)
+  }
+
   /** PII patterns shared by [[piiMetrics]] and [[piiRedact]]. Restricted to
     * the regex subset that means the same thing in Java regex and RE2
     * (no backreferences, no lookaround) so a SQL oracle reproduces the scrub

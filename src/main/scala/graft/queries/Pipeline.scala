@@ -519,6 +519,28 @@ object Pipeline {
         |GROUP BY d.doc_id, e.eval_id
         |HAVING count(*) >= 2""".stripMargin)),
 
+    // The same decontamination through the Bloom-prefilter scale path: the
+    // probe expression drops non-eval shingles inside codegen before the
+    // join, and the exact join kills false positives — result rows are
+    // IDENTICAL to t7, so the oracle is shared verbatim.
+    Q("t13_decontaminate_bloom",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        TextOps.contaminationBloom(docs, docs.where(col("doc_id") < 20),
+            "doc_id", "text", n = 3, minShared = 2,
+            expectedEvalShingles = 100000L)
+          .where(col("doc_id") =!= col("eval_id"))
+      },
+      Some(s"""WITH $shingleCtes,
+        |she AS (
+        |  SELECT doc_id AS eval_id, sh FROM sh WHERE doc_id < 20
+        |)
+        |SELECT d.doc_id, e.eval_id, count(*) AS shared_ngrams
+        |FROM sh d JOIN she e ON d.sh = e.sh
+        |WHERE d.doc_id <> e.eval_id
+        |GROUP BY d.doc_id, e.eval_id
+        |HAVING count(*) >= 2""".stripMargin)),
+
     // ------------------------------------------------------------- multimodal
     // Real JPEG/PNG header decode over checked-in image-bytes fixtures (the
     // same bytes BlockFileSpec validates structurally): a spec-complete 5x3

@@ -324,6 +324,41 @@ class OperatorsSpec extends SparkSpec {
     assert(math.abs(r.getAs[Double]("punct_ratio") - 1.0 / 12) < 1e-9)
   }
 
+  test("BloomMightContain: no false negatives; non-members mostly rejected") {
+    import spark.implicits._
+    val members = (1L to 500L).map(_ * 7919L)
+    val bloom = members.toDF("h").stat.bloomFilter("h", 1000L, 0.01)
+    val bytes = graft.functions.BloomMightContain.serialize(bloom)
+    val probe = (df: org.apache.spark.sql.DataFrame) => df.where(
+      graft.functions.BloomMightContain.might_contain(bytes, col("h")))
+    // a Bloom filter may false-positive but NEVER false-negative
+    assert(probe(members.toDF("h")).count() == members.size)
+    // at 1% fpp, 1000 non-members keep ~990: anything under 900 means the
+    // probe is broken, not unlucky (P < 1e-100)
+    val nonMembers = (1L to 1000L).map(_ * 7919L + 3L)
+    val rejected = nonMembers.size - probe(nonMembers.toDF("h")).count()
+    assert(rejected > 900, s"only $rejected/1000 non-members rejected")
+  }
+
+  test("contaminationBloom: identical rows to the exact join at any fpp") {
+    import spark.implicits._
+    val docs = (1 to 60).map(i =>
+      (i.toLong, s"alpha beta gamma delta $i epsilon zeta eta theta ${i % 7}"))
+      .toDF("doc_id", "text")
+    val evals = docs.where(col("doc_id") < 10)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.where(col("doc_id") =!= col("eval_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val exact = rows(TextOps.contamination(docs, evals, "doc_id", "text", n = 3, minShared = 2))
+    assert(exact.nonEmpty, "fixture must actually contaminate")
+    // a coarse filter (high fpp) lets more false positives through the
+    // probe — every one must die in the exact join
+    for (fpp <- Seq(0.5, 0.01))
+      assert(rows(TextOps.contaminationBloom(docs, evals, "doc_id", "text",
+        n = 3, minShared = 2, expectedEvalShingles = 1000L, fpp = fpp)) == exact,
+        s"fpp=$fpp diverged")
+  }
+
   test("piiMetrics: progressive counting — embedded quad counts as email only") {
     import spark.implicits._
     val df = Seq(

@@ -126,6 +126,16 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p.take(3000))
   }
 
+  test("bloom decontamination probes below the join, inside the scan stage") {
+    val p = plan("t13_decontaminate_bloom")
+    val probe = p.indexOf("bloom_might_contain")
+    val join = p.indexOf("BroadcastHashJoin")
+    assert(probe >= 0, p.take(3000))
+    assert(join >= 0 && probe > join,
+      s"probe must sit BELOW the join in the printed tree (join at $join, probe at $probe)")
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+  }
+
   test("near-dup default path is the band equi-join, never a quadratic join") {
     import org.apache.spark.sql.functions.col
     val emb = graft.tables.Tables.embeddings(spark, sf).where(col("vec_id") < 100)
