@@ -315,6 +315,38 @@ object TextOps {
       array_join(keptCol, "\n").as("filtered_text"))
   }
 
+  /** C4-style span-level dedup (Raffel et al. 2020 §2.2 discard repeated
+    * three-sentence spans; here the span is a line): every occurrence of a
+    * normalized line that appears ANYWHERE else in the corpus is dropped
+    * except the single occurrence with the smallest (id, position), and each
+    * document is reassembled from its surviving lines in order.
+    *
+    * Scale shape: one shuffle at fingerprint grain and one at id grain,
+    * both linear. The keeper choice is `row_number() == 1` over the
+    * fingerprint window, which Spark compiles to WindowGroupLimit — a
+    * map-side partial top-1 per fingerprint — so a boilerplate line repeated
+    * a billion times ships ~one row per map partition, not a billion into
+    * one reducer (PlanSpec-asserted). Reassembly is a per-document
+    * collect_list, bounded by document size, never corpus size.
+    *
+    * @return (idCol, deduped_text, kept_spans) — documents whose every line
+    *         lost to another document disappear from the output.
+    */
+  def spanDedup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val spans = df
+      .select(col(idCol), posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+      .withColumn("_fp", md5(trim(col("line"))))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("_fp").orderBy(col(idCol), col("pos"))
+    spans.withColumn("_rn", row_number().over(w)).where(col("_rn") === 1)
+      .groupBy(col(idCol))
+      .agg(
+        array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("line")))),
+            s => s.getField("line")), "\n").as("deduped_text"),
+        count(lit(1)).as("kept_spans"))
+  }
+
   /** TF-IDF per (document, term): tf * ln(N / df). Two hash aggregates and
     * one broadcast-able join on term — the classic formulation, no ML-lib
     * state. docCount is passed in (a cheap count) so the plan stays a pure

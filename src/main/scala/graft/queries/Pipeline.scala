@@ -519,6 +519,35 @@ object Pipeline {
         |GROUP BY d.doc_id, e.eval_id
         |HAVING count(*) >= 2""".stripMargin)),
 
+    // C4-style span dedup over the line-ified corpus (same deterministic
+    // replaces as t12; 180 of 2133 spans at sf0.01 are cross-document
+    // repeats): repeated lines keep ONE occurrence corpus-wide (smallest
+    // (doc_id, pos)), docs reassemble from survivors. Full row-level oracle.
+    Q("d8_span_dedup",
+      (s, d) => graft.operators.TextOps.spanDedup(
+        Tables.documents(s, d).withColumn("text",
+          replace(replace(col("text"), lit(" query "), lit(".\n")),
+            lit(" table "), lit("? \n"))),
+        "doc_id", "text"),
+      Some("""WITH aug AS (
+        |  SELECT doc_id,
+        |    replace(replace(text, ' query ', '.' || chr(10)), ' table ', '? ' || chr(10)) AS text
+        |  FROM documents
+        |), toks AS (
+        |  SELECT doc_id, string_split(text, chr(10)) AS t FROM aug
+        |), idx AS (
+        |  SELECT doc_id, t, unnest(generate_series(1, len(t))) AS i FROM toks
+        |), sp AS (
+        |  SELECT doc_id, i, t[i] AS line, md5(trim(t[i])) AS fp FROM idx
+        |), keep AS (
+        |  SELECT doc_id, i, line,
+        |    row_number() OVER (PARTITION BY fp ORDER BY doc_id, i) AS rn
+        |  FROM sp
+        |)
+        |SELECT doc_id, string_agg(line, chr(10) ORDER BY i) AS deduped_text,
+        |  CAST(count(*) AS BIGINT) AS kept_spans
+        |FROM keep WHERE rn = 1 GROUP BY doc_id""".stripMargin)),
+
     // The same decontamination through the Bloom-prefilter scale path: the
     // probe expression drops non-eval shingles inside codegen before the
     // join, and the exact join kills false positives — result rows are

@@ -324,6 +324,31 @@ class OperatorsSpec extends SparkSpec {
     assert(math.abs(r.getAs[Double]("punct_ratio") - 1.0 / 12) < 1e-9)
   }
 
+  test("spanDedup: corpus-wide keep-first per line, doc reassembly, total loss") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "unique one\nshared line\nunique two"),
+      (2L, "shared line\nonly here"),
+      (3L, "shared line")) // every span lost -> doc vanishes
+      .toDF("doc_id", "text")
+    val got = TextOps.spanDedup(df, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(got(1L) == (("unique one\nshared line\nunique two", 3L)))
+    assert(got(2L) == (("only here", 1L)))
+    assert(!got.contains(3L), "a fully-duplicated doc must disappear")
+    // the keeper is the smallest (id, pos): doc 1 keeps 'shared line'
+  }
+
+  test("spanDedup plan: keeper choice compiles to a map-side group limit") {
+    import spark.implicits._
+    val df = (1 to 50).map(i => (i.toLong, s"line a $i\nline b ${i % 5}"))
+      .toDF("doc_id", "text")
+    val p = TextOps.spanDedup(df, "doc_id", "text")
+      .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(p.contains("WindowGroupLimit"),
+      s"hot-fingerprint top-1 must push below the shuffle:\n${p.take(2000)}")
+  }
+
   test("BloomMightContain: no false negatives; non-members mostly rejected") {
     import spark.implicits._
     val members = (1L to 500L).map(_ * 7919L)
