@@ -83,6 +83,58 @@ object GraphAnalytics {
       .groupBy("address").agg(count(lit(1)).as("triangles"))
   }
 
+  /** The k-core of the UNDIRECTED graph: the maximal subgraph in which every
+    * vertex keeps degree >= k, found by standard peeling — repeatedly drop
+    * vertices whose CURRENT degree is below k until a fixpoint. Cores locate
+    * the dense service infrastructure (exchanges, mixers) the way degrees
+    * alone cannot: a hub with a million one-shot counterparties has huge
+    * degree but dies in the 2-core unless its neighbors interconnect.
+    *
+    * Dataflow per round: degree aggregate + two anti-joins (edges touching a
+    * dropped endpoint leave) — all key-partitioned, no driver state beyond
+    * the empty-check count. Rounds are data-bounded (graph diameter-ish, the
+    * loop is capped); each round's edge set is rebased so lineage stays flat
+    * at any iteration count, and intermediates swap-unpersist (one live
+    * copy). Returns the k-core's vertices as (address).
+    */
+  def kCore(edges: DataFrame, k: Int, maxIter: Int = 50): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val spark = edges.sparkSession
+    var und = edges
+      .select(least(col("src"), col("dst")).as("u"), greatest(col("src"), col("dst")).as("v"))
+      .where(col("u") =!= col("v")).distinct()
+    var prev: Option[org.apache.spark.rdd.RDD[_]] = None
+    var it = 0
+    var converged = false
+    while (it < maxIter && !converged) {
+      val deg = und.select(col("u").as("x")).union(und.select(col("v").as("x")))
+        .groupBy("x").agg(count(lit(1)).as("d"))
+      val low = deg.where(col("d") < k).select("x")
+      val next = und
+        .join(low.withColumnRenamed("x", "u"), Seq("u"), "left_anti")
+        .join(low.withColumnRenamed("x", "v"), Seq("v"), "left_anti")
+        .select("u", "v")
+      val (nextDf, nextRdd) = graft.operators.ChainOps.rebase(next)
+      // converged when no edge left the set this round (the rebase
+      // materializes `next`, so both counts are cheap cached reads)
+      converged = nextDf.count() == und.count()
+      prev.foreach(_.unpersist(blocking = false))
+      prev = Some(nextRdd)
+      und = nextDf
+      it += 1
+    }
+    val out = und.select(col("u").as("address"))
+      .union(und.select(col("v").as("address"))).distinct()
+    val (outDf, outRdd) = graft.operators.ChainOps.rebase(out)
+    prev.foreach(_.unpersist(blocking = false))
+    Option(lastCore.getAndSet(outRdd)).foreach(_.unpersist(blocking = false))
+    outDf
+  }
+
+  /** Previous kCore materialization (swap-unpersist per call). */
+  private val lastCore =
+    new java.util.concurrent.atomic.AtomicReference[org.apache.spark.rdd.RDD[_]](null)
+
   /** PageRank over the flow graph: influence ranking of addresses.
     * Returns (address, rank) — GraphX Pregel under the hood.
     */
@@ -127,7 +179,9 @@ object GraphAnalytics {
   private val lastRank =
     new java.util.concurrent.atomic.AtomicReference[org.apache.spark.rdd.RDD[_]](null)
 
-  /** Drop the retained ranking ([[graft.Graft.releaseCaches]]). */
-  private[graft] def release(): Unit =
+  /** Drop the retained ranking + core ([[graft.Graft.releaseCaches]]). */
+  private[graft] def release(): Unit = {
     Option(lastRank.getAndSet(null)).foreach(_.unpersist(blocking = false))
+    Option(lastCore.getAndSet(null)).foreach(_.unpersist(blocking = false))
+  }
 }

@@ -333,6 +333,62 @@ object Blockchain {
          |  UNION ALL SELECT b FROM tri)
          |GROUP BY address""".stripMargin)),
 
+    // 2-core of the same counterparty+co-spend graph: peeling to the
+    // maximal subgraph of mutual degree >= 2 — dense-infrastructure
+    // detection that raw degree can't do (a star hub dies in the 2-core).
+    // The oracle unrolls the peeling rounds as generated CTEs (the g2
+    // technique): 12 rounds is past convergence for any graph this
+    // fixture's size, and peeling is monotone — extra rounds are no-ops.
+    Q("g4_kcore",
+      (s, _) => {
+        val ann = BestChain.annotate(F.blocksDf(s))
+        val cTxs = GoldStats.chainTxs(F.transactionsDf(s), ann)
+        val rin = Enrich.resolvedInputs(F.txInputsDf(s), F.txOutputsDf(s))
+          .join(cTxs.select("tx_hash"), Seq("tx_hash"), "left_semi")
+        val outs = F.txOutputsDf(s).join(cTxs.select("tx_hash"), Seq("tx_hash"), "left_semi")
+        val funders = rin.select(col("tx_hash"), col("src_address")).distinct()
+        val cospend = funders
+          .join(funders.select(col("tx_hash"), col("src_address").as("dst_address")), "tx_hash")
+          .where(col("src_address") < col("dst_address"))
+          .select(col("src_address").as("src"), col("dst_address").as("dst"),
+            lit(0L).as("value"))
+        graft.graph.GraphAnalytics.kCore(
+          graft.graph.GraphAnalytics.flowEdges(rin, outs).unionByName(cospend), k = 2)
+      },
+      Some {
+        // every round CTE is MATERIALIZED: each references its predecessor
+        // several times, and CTE inlining would otherwise expand r12 into an
+        // exponential expression tree over the recursive chain CTE
+        val rounds = (0 until 12).map { i =>
+          s"""d$i AS MATERIALIZED (
+             |  SELECT x, count(*) AS d FROM (
+             |    SELECT u AS x FROM r$i UNION ALL SELECT v FROM r$i)
+             |  GROUP BY x
+             |), bad$i AS MATERIALIZED (SELECT x FROM d$i WHERE d < 2),
+             |r${i + 1} AS MATERIALIZED (
+             |  SELECT u, v FROM r$i
+             |  WHERE u NOT IN (SELECT x FROM bad$i)
+             |    AND v NOT IN (SELECT x FROM bad$i)
+             |)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH RECURSIVE ${chainCte.stripPrefix("WITH ")},
+           |fund AS (SELECT DISTINCT tx_hash, src_address AS src FROM rin),
+           |edges AS (
+           |  SELECT DISTINCT f.src, o.address AS dst
+           |  FROM fund f
+           |  JOIN outs o ON f.tx_hash = o.tx_hash
+           |  UNION
+           |  SELECT a.src, b.src AS dst
+           |  FROM fund a JOIN fund b ON a.tx_hash = b.tx_hash AND a.src < b.src
+           |), r0 AS MATERIALIZED (
+           |  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+           |  FROM edges WHERE src <> dst
+           |),
+           |$rounds
+           |SELECT DISTINCT address FROM (
+           |  SELECT u AS address FROM r12 UNION ALL SELECT v FROM r12)""".stripMargin
+      }),
+
     Q("bc8_script_decode",
       (s, _) => {
         import s.implicits._

@@ -90,6 +90,48 @@ class GraphSpec extends SparkSpec {
     assert(got == expected.toMap)
   }
 
+  test("kCore: star hub dies, triangle survives, cascade peels chains") {
+    import spark.implicits._
+    val edges = Seq(
+      // star hub S with 5 leaves: degree 5, but no leaf interconnects —
+      // the whole star must leave the 2-core
+      ("S", "l1"), ("S", "l2"), ("S", "l3"), ("S", "l4"), ("S", "l5"),
+      // triangle: the minimal 2-core
+      ("a", "b"), ("b", "c"), ("c", "a"),
+      // a tail hanging off the triangle must cascade off (t2 then t1)
+      ("a", "t1"), ("t1", "t2"),
+      // duplicate + reversed noise
+      ("b", "a"), ("a", "b")
+    ).toDF("src", "dst")
+    val got = GraphAnalytics.kCore(edges, k = 2).collect().map(_.getString(0)).toSet
+    assert(got == Set("a", "b", "c"))
+    // k=1 keeps every non-isolated vertex; a high k empties the graph
+    assert(GraphAnalytics.kCore(edges, k = 1).count() == 11)
+    assert(GraphAnalytics.kCore(edges, k = 3).count() == 0)
+  }
+
+  test("kCore matches brute-force peeling on a random graph") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val n = 16
+    val raw = Seq.fill(70)((s"v${rnd.nextInt(n)}", s"v${rnd.nextInt(n)}")).distinct
+    var und = raw.map { case (a, b) => if (a < b) (a, b) else (b, a) }
+      .filter(e => e._1 != e._2).distinct.toSet
+    var changed = true
+    while (changed) {
+      val deg = und.toSeq.flatMap(e => Seq(e._1, e._2)).groupBy(identity)
+        .map { case (k2, v) => k2 -> v.size }
+      val bad = deg.filter(_._2 < 3).keySet
+      val next = und.filter(e => !bad(e._1) && !bad(e._2))
+      changed = next != und
+      und = next
+    }
+    val expected = und.toSeq.flatMap(e => Seq(e._1, e._2)).toSet
+    val got = GraphAnalytics.kCore(raw.toDF("src", "dst"), k = 3)
+      .collect().map(_.getString(0)).toSet
+    assert(got == expected)
+  }
+
   test("pagerank semantics pin: 10 iterations from r0=1 then normalize to sum=|V|") {
     // The g2 DuckDB oracle re-derives GraphX staticPageRank in SQL on the
     // closed-form contract asserted here: r' = 0.15 + 0.85 * sum(in r/outdeg)
