@@ -18,7 +18,8 @@ object Bench {
     "w1_rank", "w3_running_sum", "w4_sessionize",
     "o1_topk", "e1_tumbling_counts", "e3_session_window",
     "d1_exact_dedup", "d2_fingerprint_dedup", "d3b_ngram_jaccard_capped",
-    "d4_minhash_pairs", "d7_neardup_clusters",
+    "d4_minhash_pairs", "d7_neardup_clusters", "d8_span_dedup",
+    "t13_decontaminate_bloom",
     "t1_token_stats", "t5_tfidf", "t6_winnow_fingerprint", "t7_decontamination",
     "t9_pii_metrics", "t11_chunk_documents",
     "ds3_temperature_resample", "p0_curation_pipeline", "p2_corpus_freeze",
