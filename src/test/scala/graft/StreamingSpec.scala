@@ -157,6 +157,33 @@ class StreamingSpec extends SparkSpec {
     assert(got.toSeq == Seq("b1", "b2"))
   }
 
+  test("CurationStream: quality gate before watermarked content dedup") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = Files.createTempDirectory("graft-stream-c").toString
+    val input = MemoryStream[(Long, String, Timestamp)]
+    val docs = input.toDF().toDF("doc_id", "text", "ts")
+    val q = graft.streaming.CurationStream.curated(docs, "ts", "10 minutes")
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .format("memory").queryName("curated").start()
+    def t(s: String) = Timestamp.valueOf(s)
+    input.addData(
+      (1L, "a clean document with plenty of words here", t("2024-01-01 10:00:00")),
+      (2L, "too short", t("2024-01-01 10:00:30")), // fails the token floor
+      (3L, "!!! ??? ... ;;; ::: @@@ prose ratio fails", t("2024-01-01 10:01:00")))
+    q.processAllAvailable()
+    input.addData(
+      // same content as doc 1 up to case/whitespace -> deduped away
+      (4L, "  A   Clean Document with plenty of words HERE ", t("2024-01-01 10:02:00")),
+      (5L, "another clean document with plenty of words", t("2024-01-01 10:03:00")))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.sql("SELECT doc_id FROM curated").as[Long].collect().sorted
+    assert(got.toSeq == Seq(1L, 5L),
+      "quality failures and the normalized re-crawl must not pass")
+  }
+
   test("windowedCounts aggregates a stream by tumbling event-time windows") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
