@@ -29,6 +29,7 @@ object Graft {
     operators.ChainOps.release()
     operators.Dedup.release()
     operators.Similarity.release()
+    operators.ProductQuantizer.release()
     queries.BlkScale.release()
   }
 }

@@ -1,0 +1,206 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Product quantization (Jégou/Douze/Schmid, TPAMI 2011) — the
+  * memory-bound ANN scale path: split each d-dim vector into `m` subvectors,
+  * vector-quantize every subspace against its own `ksub`-word codebook, and
+  * rank candidates with an ADC (asymmetric distance computation) scan — the
+  * query stays exact, each corpus vector is its m code words, and a
+  * candidate's approximate score is m table lookups instead of d multiplies.
+  * 64-dim floats (256 B) become m=8 codes (+ one stored norm): the code
+  * table for a trillion vectors fits where raw vectors cannot.
+  *
+  * Same determinism contract as [[Similarity.ivfIndex]]: codebooks train on
+  * a hash-ordered driver-side sample with deterministic Lloyd iterations
+  * (evenly-spaced init, no RNG), so the index, the scan, and the final
+  * ranking are reproducible run to run. The scan itself is pure built-in
+  * higher-order functions over a broadcast query batch — fully codegen'd,
+  * no UDF in the hot path; approximate top-`rerank` per query is a
+  * WindowGroupLimit, and an exact cosine re-rank of those survivors fixes
+  * the final order (the standard PQ + re-rank layout).
+  */
+object ProductQuantizer {
+
+  /** A built PQ index: per-subspace codebooks (m × ksub × d/m floats —
+    * kilobytes) + the encoded corpus (id, vec, codes, norm), persisted.
+    */
+  final case class PqModel(
+      codebooks: Array[Array[Array[Float]]],
+      encoded: DataFrame, idCol: String, vecCol: String) {
+    def unpersist(): Unit = { encoded.unpersist(false); () }
+  }
+
+  private def sub(v: Array[Float], j: Int, dsub: Int): Array[Float] =
+    java.util.Arrays.copyOfRange(v, j * dsub, (j + 1) * dsub)
+
+  private def l2sq(a: Array[Float], b: Array[Float]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+    s
+  }
+
+  /** Deterministic Euclidean Lloyd on one subspace: evenly-spaced init over
+    * the (hash-ordered) sample, argmin-L2 assignment (ties → lowest index),
+    * mean recenter; an empty cell keeps its codeword.
+    */
+  private[operators] def trainSubCodebook(
+      sample: Array[Array[Float]], ksub: Int, maxIter: Int): Array[Array[Float]] = {
+    require(sample.nonEmpty, "empty PQ training sample")
+    val k = math.min(ksub, sample.length)
+    var words = Array.tabulate(k)(i => sample(i * sample.length / k))
+    var iter = 0
+    while (iter < maxIter) {
+      val sums = Array.fill(k)(new Array[Double](sample(0).length))
+      val counts = new Array[Int](k)
+      sample.foreach { v =>
+        val c = nearestWord(v, words)
+        counts(c) += 1
+        var i = 0
+        while (i < v.length) { sums(c)(i) += v(i); i += 1 }
+      }
+      words = Array.tabulate(k) { c =>
+        if (counts(c) == 0) words(c)
+        else sums(c).map(x => (x / counts(c)).toFloat)
+      }
+      iter += 1
+    }
+    words
+  }
+
+  private[operators] def nearestWord(v: Array[Float], words: Array[Array[Float]]): Int = {
+    var best = 0; var bestD = Double.MaxValue; var c = 0
+    while (c < words.length) {
+      val d = l2sq(v, words(c))
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** Build the index: train m sub-codebooks on the sample, encode the whole
+    * corpus in ONE narrow typed pass (broadcast codebooks, JIT'd argmin).
+    * Codes are kept as array<int> for plan readability — the storage-layer
+    * packing to m bytes is a writer concern, not a plan concern.
+    */
+  def pqIndex(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      m: Int = 8, ksub: Int = 16, maxIter: Int = 5): PqModel = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val typed = corpus.select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Array[Float])]
+    val sample = typed
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+      .limit(ksub * 40).collect().map(_._2)
+    val d = sample.head.length
+    require(d % m == 0, s"dim $d not divisible by m=$m subspaces")
+    val dsub = d / m
+    val codebooks = Array.tabulate(m)(j =>
+      trainSubCodebook(sample.map(sub(_, j, dsub)), ksub, maxIter))
+    val bc = spark.sparkContext.broadcast(codebooks)
+    val encoded = typed
+      .map { case (id, v) =>
+        val cb = bc.value
+        val codes = Array.tabulate(m)(j => nearestWord(sub(v, j, dsub), cb(j)))
+        var n = 0.0; var i = 0
+        while (i < v.length) { n += v(i).toDouble * v(i); i += 1 }
+        (id, v, codes, math.sqrt(n))
+      }
+      .toDF(idCol, vecCol, "codes", "norm")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    PqModel(codebooks, encoded, idCol, vecCol)
+  }
+
+  /** ADC top-k: per query, precompute the m×ksub table of
+    * dot(query_subvector, codeword) driver-side (kilobytes), broadcast the
+    * query batch with its tables, and score each corpus row with m array
+    * lookups (`zip_with` + `aggregate` — codegen'd, no UDF). The top
+    * `rerank` per query by approximate cosine re-rank exactly on the stored
+    * vectors; false approximations die there, exactly like the bloom
+    * prefilter's false positives.
+    */
+  def pqTopK(model: PqModel, queries: DataFrame, k: Int, rerank: Int = 0): DataFrame = {
+    val spark = model.encoded.sparkSession
+    import spark.implicits._
+    val nRerank = if (rerank > 0) rerank else math.max(4 * k, 20)
+    val idCol = model.idCol
+    val m = model.codebooks.length
+    val dsub = model.codebooks(0)(0).length
+    val qRows = queries.select(col(idCol).cast("long"), col(model.vecCol))
+      .as[(Long, Array[Float])].collect()
+    val probes = qRows.toSeq.map { case (qid, qv) =>
+      val table = Array.tabulate(m) { j =>
+        model.codebooks(j).map { w =>
+          var s = 0.0; var i = 0
+          while (i < dsub) { s += qv(j * dsub + i).toDouble * w(i); i += 1 }
+          s
+        }
+      }
+      var qn = 0.0; var i = 0
+      while (i < qv.length) { qn += qv(i).toDouble * qv(i); i += 1 }
+      (qid, qv, table.map(_.toSeq).toSeq, math.sqrt(qn))
+    }
+    val q = broadcast(spark.createDataset(probes)
+      .toDF("query_id", "_qv", "_tbl", "_qnorm"))
+    val approx = model.encoded
+      .crossJoin(q)
+      .where(col(idCol) =!= col("query_id"))
+      .withColumn("_approx",
+        aggregate(
+          zip_with(col("codes"), col("_tbl"),
+            (c, t) => element_at(t, c + 1)),
+          lit(0.0), (acc, x) => acc + x) / (col("norm") * col("_qnorm")))
+    val wApprox = Window.partitionBy("query_id")
+      .orderBy(col("_approx").desc, col(idCol).asc)
+    val wExact = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col(idCol).asc)
+    approx
+      .withColumn("_arn", row_number().over(wApprox))
+      .where(col("_arn") <= nRerank)
+      .select(col("query_id"), col(idCol),
+        Similarity.cosine(col(model.vecCol), col("_qv")).as("score"))
+      .withColumn("rank", row_number().over(wExact))
+      .where(col("rank") <= k)
+  }
+
+  private val PqCacheSize = 16
+  private val pqCache =
+    new java.util.LinkedHashMap[String, PqModel](16, 0.75f, /*accessOrder=*/ true) {
+      override def removeEldestEntry(e: java.util.Map.Entry[String, PqModel]): Boolean = {
+        val evict = size() > PqCacheSize
+        if (evict) e.getValue.unpersist()
+        evict
+      }
+    }
+
+  /** Memoizing front (the [[Similarity.ivfTopK]] shape): one encoded corpus
+    * per (plan, params), swap-evicted LRU, drained by
+    * [[graft.Graft.releaseCaches]].
+    */
+  def pqTopKFor(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      m: Int = 8, ksub: Int = 16, maxIter: Int = 5, rerank: Int = 0): DataFrame = {
+    val key = corpus.queryExecution.analyzed.canonicalized.semanticHash().toString +
+      s":$idCol:$vecCol:$m:$ksub:$maxIter"
+    val model = pqCache.synchronized {
+      var mod = pqCache.get(key)
+      if (mod == null) { mod = pqIndex(corpus, idCol, vecCol, m, ksub, maxIter); pqCache.put(key, mod) }
+      mod
+    }
+    pqTopK(model, queries, k, rerank)
+  }
+
+  /** Observable memo bound for tests. */
+  def pqCacheEntries: Int = pqCache.synchronized(pqCache.size())
+
+  /** Drop every memoized PQ index ([[graft.Graft.releaseCaches]]). */
+  private[graft] def release(): Unit = pqCache.synchronized {
+    pqCache.values().forEach(_.unpersist())
+    pqCache.clear()
+  }
+}

@@ -443,6 +443,21 @@ object Pipeline {
       },
       None),
 
+    // Product quantization ADC top-k — the memory-bound ANN path (vectors
+    // become m code bytes + a norm; candidate scoring is m table lookups,
+    // codegen'd). Approximate scan + exact re-rank of the survivors;
+    // rows-only gate, recall >= 0.9 vs brute force spec-gated like sim5.
+    Q("sim6_pq_topk",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val queries = emb.filter(col("vec_id") < 10)
+        graft.operators.ProductQuantizer.pqTopKFor(
+          emb, queries, "vec_id", "embedding", k = 5, m = 16, ksub = 32,
+          rerank = 100)
+          .select(col("query_id"), col("vec_id"), col("rank"))
+      },
+      None),
+
     // Embedding norms ARE oracle-checkable exactly: fixed-order double
     // accumulation over the array matches DuckDB's list_aggregate order.
     Q("sim3_norms",

@@ -30,7 +30,10 @@ class PlanAuditSpec extends SparkSpec {
   private val quadraticByDesign = Set(
     "j10_cross_join", "sim1_cosine_topk", "d6_embedding_neardup",
     "ds3_temperature_resample", "p0_curation_pipeline", "p2_corpus_freeze",
-    "bk0_e2e_pipeline")
+    "bk0_e2e_pipeline",
+    // PQ's ADC scan: corpus x BROADCAST query batch (<= 10 rows), the same
+    // contract-bounded shape as sim1
+    "sim6_pq_topk")
 
   test("no registered query plans a quadratic join") {
     val offenders = SparkEntry.registry.flatMap { q =>

@@ -33,6 +33,37 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.9, s"IVF recall $recall (${(ivf & exact).size}/${exact.size})")
   }
 
+  test("PQ top-k recall >= 0.9 of brute force; deterministic; codes bounded") {
+    val emb = Tables.embeddings(spark, sf)
+    val queries = emb.filter(col("vec_id") < 10)
+    val exact = topkSet(
+      Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 5), "vec_id")
+    // Structureless random vectors are PQ's worst case exactly as they are
+    // IVF's (see sim5's 0.6 probe fraction): subspace quantization error is
+    // maximal, so the worst case buys recall with bits — m=16 x 5-bit
+    // codebooks (80-bit codes) + a 2% re-rank window. Clustered real-world
+    // embeddings run 32-bit codes with far smaller windows.
+    val model = graft.operators.ProductQuantizer.pqIndex(
+      emb, "vec_id", "embedding", m = 16, ksub = 32)
+    val pq = topkSet(
+      graft.operators.ProductQuantizer.pqTopK(model, queries, k = 5, rerank = 100),
+      "vec_id")
+    val recall = (pq & exact).size.toDouble / exact.size
+    assert(recall >= 0.9, s"PQ recall $recall (${(pq & exact).size}/${exact.size})")
+    // deterministic: rebuild + reprobe is bit-identical
+    val model2 = graft.operators.ProductQuantizer.pqIndex(
+      emb, "vec_id", "embedding", m = 16, ksub = 32)
+    val pq2 = topkSet(
+      graft.operators.ProductQuantizer.pqTopK(model2, queries, k = 5, rerank = 100),
+      "vec_id")
+    assert(pq2 == pq, "PQ must be deterministic across rebuilds")
+    // every code addresses a real codeword
+    val bad = model.encoded
+      .where(exists(col("codes"), c => c < 0 || c >= 32)).count()
+    assert(bad == 0, "codes out of codebook range")
+    model.unpersist(); model2.unpersist()
+  }
+
   test("p1 media pipeline: IVF over embedMedia output keeps recall >= 0.9") {
     // End-to-end gate for the mm→ANN composition p1_media_pipeline: the
     // byte-histogram×JL embeddings (REAL content structure — text blobs
