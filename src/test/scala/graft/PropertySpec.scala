@@ -198,4 +198,81 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("property: chunkDocuments tiles every doc — starts, coverage, texts") {
+    import spark.implicits._
+    val gen = for {
+      nDocs <- Gen.choose(1, 8)
+      sizes <- Gen.listOfN(nDocs, Gen.choose(1, 90))
+      chunk <- Gen.choose(2, 40)
+      stride <- Gen.choose(1, chunk)
+    } yield (sizes, chunk, stride)
+    forAllSeeded(gen, 8) { case (sizes, chunk, stride) =>
+      val docs = sizes.zipWithIndex
+        .map { case (n, i) => (i.toLong, (1 to n).map(t => s"w${i}_$t").mkString(" ")) }
+        .toDF("doc_id", "text")
+      val got = graft.operators.TextOps
+        .chunkDocuments(docs, "doc_id", "text", chunk, stride)
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3)))
+      sizes.zipWithIndex.foreach { case (n, i) =>
+        val mine = got.filter(_._1 == i.toLong).sortBy(_._2)
+        // starts are exactly the stride multiples below n
+        assert(mine.length == (n - 1) / stride + 1, s"doc $i n=$n c=$chunk s=$stride")
+        mine.foreach { case (_, cid, nTok, text) =>
+          val start = cid * stride
+          val expected = (start + 1 to math.min(start + chunk, n)).map(t => s"w${i}_$t")
+          assert(nTok == expected.length && text == expected.mkString(" "),
+            s"doc $i chunk $cid")
+        }
+        // every token is covered by at least one chunk
+        val covered = mine.flatMap { case (_, cid, nTok, _) =>
+          cid * stride until cid * stride + nTok }.toSet
+        assert(covered == (0 until n).toSet, s"doc $i coverage hole")
+      }
+    }
+  }
+
+  test("property: GlobalRank positions are the exact global permutation") {
+    import spark.implicits._
+    val gen = for {
+      n <- Gen.choose(1, 120)
+      card <- Gen.choose(1, 10) // heavy leading-column ties
+      buckets <- Gen.choose(1, 9)
+    } yield (n, card, buckets)
+    forAllSeeded(gen, 6) { case (n, card, buckets) =>
+      val df = (1 to n).map(i => (i.toLong, (i * 31 % card).toDouble)).toDF("id", "v")
+      val got = graft.operators.GlobalRank
+        .globalPositions(df, Seq("v", "id"), buckets = buckets)
+        .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("_pos")).toMap
+      val expected = (1 to n).map(i => (i.toLong, (i * 31 % card).toDouble))
+        .sortBy { case (id, v) => (v, id) }
+        .zipWithIndex.map { case ((id, _), p) => id -> (p + 1).toLong }.toMap
+      assert(got == expected, s"n=$n card=$card buckets=$buckets")
+    }
+  }
+
+  test("property: spanDedup keeps exactly one occurrence per distinct line") {
+    import spark.implicits._
+    val gen = for {
+      nDocs <- Gen.choose(2, 10)
+      lines <- Gen.listOfN(nDocs, Gen.listOf(Gen.choose(0, 6)))
+        .suchThat(_.exists(_.nonEmpty))
+    } yield lines
+    forAllSeeded(gen, 8) { lineIds =>
+      val docs = lineIds.zipWithIndex
+        .filter(_._1.nonEmpty)
+        .map { case (ls, i) => (i.toLong, ls.map(l => s"line $l").mkString("\n")) }
+        .toDF("doc_id", "text")
+      val got = graft.operators.TextOps.spanDedup(docs, "doc_id", "text")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      // global uniqueness: each distinct line text appears exactly once
+      val all = got.flatMap { case (_, text, _) =>
+        if (text.isEmpty) Nil else text.split("\n").toSeq }
+      assert(all.distinct.length == all.length, s"duplicate survived: $all")
+      // and every distinct input line survives somewhere
+      val wanted = lineIds.flatten.map(l => s"line $l").distinct.sorted
+      assert(all.sorted.toSeq == wanted, s"lost lines: got $all wanted $wanted")
+    }
+  }
 }
