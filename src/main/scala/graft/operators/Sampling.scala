@@ -204,4 +204,92 @@ object Sampling {
       .where(keep(idCol, col("_rate")))
       .drop("_rate")
   }
+
+  /** Deterministic domain-mixture rebalance — the "data mixing" step of a
+    * training-corpus recipe (The Pile / DoReMi-style domain weights): given
+    * target proportions as INTEGER parts (e.g. web:4, code:2, wiki:1),
+    * select the LARGEST subset whose domain composition matches the target
+    * exactly (up to integer floor). Integer parts keep every threshold in
+    * exact arithmetic, so an external SQL oracle recomputes the identical
+    * selection — a double weight like 0.57 would make `floor(n·w)` depend
+    * on the engine's literal parsing.
+    *
+    * The math: N = min_d floor(n_d·P/p_d) is the largest total honoring
+    * every proportion (P = Σ parts); each domain keeps its t_d =
+    * floor(p_d·N/P) smallest-hash rows — uniform-in-domain, reproducible,
+    * and prefix-stable (shrinking the target only truncates each domain's
+    * hash-ordered prefix, so shard caches don't churn).
+    *
+    * Scale shape — exact per-domain top-t WITHOUT windowing the corpus by
+    * domain (a handful of domains would make that a few giant skewed
+    * partitions): the 60-bit hash key is range-cut into `buckets` uniform
+    * slices, a tiny per-(domain, bucket) count cube (≤ domains·buckets
+    * rows) decides each bucket wholesale — fully below the domain's cutoff
+    * ⇒ keep all, fully above ⇒ drop all — and only the ONE boundary bucket
+    * per domain (≈ n_d/buckets rows) is ranked, in a window partitioned by
+    * (domain, bucket). The corpus itself never shuffles: both branches are
+    * narrow scans behind a broadcast verdict join. Raise `buckets` as n_d
+    * grows to keep the boundary rank partition in memory (n_d/buckets rows).
+    */
+  def mixToTarget(df: DataFrame, idCol: String, domainCol: String,
+      parts: Map[String, Long], buckets: Int = 4096): DataFrame = {
+    require(parts.nonEmpty && parts.values.forall(_ > 0),
+      s"mixture parts must be positive: $parts")
+    require(buckets >= 2 && (buckets & (buckets - 1)) == 0,
+      s"buckets must be a power of two: $buckets")
+    val totalParts = parts.values.sum
+    val shift = 60 - java.lang.Integer.numberOfTrailingZeros(buckets)
+    val partOf = parts.foldLeft(lit(null).cast("long")) { case (acc, (k, v)) =>
+      when(col(domainCol) === k, lit(v)).otherwise(acc)
+    }
+    val keyed = df
+      .withColumn("_mx_p", partOf)
+      .where(col("_mx_p").isNotNull)
+      .withColumn("_mx_key", hashKey(col(idCol)))
+      .withColumn("_mx_b", shiftright(col("_mx_key"), shift))
+    // The only full-corpus aggregate: a (domain, bucket) count cube, map-side
+    // partial, result size domains·buckets — constant in the corpus.
+    val cube = keyed
+      .groupBy(col(domainCol).as("_mx_d"), col("_mx_p"), col("_mx_b"))
+      .agg(count(lit(1)).as("_mx_n"))
+    val byDomain = Window.partitionBy("_mx_d")
+    val cumBefore = byDomain.orderBy("_mx_b")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val withTotals = cube
+      .withColumn("_mx_nd", sum("_mx_n").over(byDomain))
+      .withColumn("_mx_cum", coalesce(sum("_mx_n").over(cumBefore), lit(0L)))
+    // N ranges over the PARTS list, not the observed domains: a target
+    // domain with zero corpus rows caps N at 0 (the empty set is the only
+    // subset honoring its proportion) instead of being silently ignored.
+    val spark = df.sparkSession
+    import spark.implicits._
+    val partsDf = parts.toSeq.toDF("_mx_pd", "_mx_pp")
+    val nTotal = partsDf
+      .join(withTotals.select("_mx_d", "_mx_nd").distinct(),
+        col("_mx_pd") === col("_mx_d"), "left")
+      .agg(min(floor(coalesce(col("_mx_nd"), lit(0L)) * lit(totalParts) / col("_mx_pp")))
+        .cast("long").as("_mx_ntot"))
+    // Per-bucket verdict: -1 = keep whole bucket, q>0 = keep the q
+    // smallest-key rows (the domain's boundary bucket), absent = drop.
+    val verdict = withTotals.crossJoin(nTotal)
+      .withColumn("_mx_t",
+        floor(col("_mx_p") * col("_mx_ntot") / lit(totalParts)).cast("long"))
+      .withColumn("_mx_quota",
+        when(col("_mx_cum") + col("_mx_n") <= col("_mx_t"), lit(-1L))
+          .when(col("_mx_cum") < col("_mx_t"), col("_mx_t") - col("_mx_cum"))
+          .otherwise(lit(0L)))
+      .where(col("_mx_quota") =!= 0L)
+      .select(col("_mx_d"), col("_mx_b").as("_mx_vb"), col("_mx_quota"))
+    val tagged = keyed.join(broadcast(verdict),
+      keyed(domainCol) === col("_mx_d") && col("_mx_b") === col("_mx_vb"))
+    val keepWhole = tagged.where(col("_mx_quota") === -1L)
+    val inBucket = Window.partitionBy(col(domainCol), col("_mx_b"))
+      .orderBy(col("_mx_key").asc, col(idCol).asc)
+    val boundary = tagged.where(col("_mx_quota") > 0L)
+      .withColumn("_mx_rn", row_number().over(inBucket))
+      .where(col("_mx_rn") <= col("_mx_quota"))
+      .drop("_mx_rn")
+    keepWhole.unionByName(boundary)
+      .select(df.columns.map(col).toIndexedSeq: _*)
+  }
 }

@@ -363,4 +363,81 @@ object TextOps {
         round(col("tf").cast("double") * log(lit(docCount.toDouble) / col("df").cast("double")), 6)
           .as("tfidf"))
   }
+
+  /** fastText-style hashed-linear quality classifier: each token indexes a
+    * weight via the hashing trick (no vocabulary), the document score is the
+    * mean token weight. The weight table is a DETERMINISTIC STUB for trained
+    * classifier weights — w(token) = (md5₆₀("model:token") mod 2001) − 1000,
+    * i.e. a reproducible uniform draw in [−1000, 1000] keyed by the model
+    * name — so the plumbing (hash → lookup → mean → threshold), which is
+    * what survives a model swap, is real and oracle-exact, while a
+    * production user substitutes a broadcast weight array from training.
+    *
+    * Arithmetic is integer until the final division (token weights and their
+    * sum are exact in any engine; one correctly-rounded divide + 6dp round),
+    * so a SQL oracle reproduces scores bit-for-bit. A pure narrow map over
+    * the corpus — the tokens never leave their row (higher-order `transform`
+    * + `aggregate`, fully codegen'd): zero shuffles at any scale.
+    *
+    * @return (id, n_tokens, score_i = Σ w(token), score = score_i/(1000·n),
+    *         keep = score_i > 0)
+    */
+  def classifierScore(df: DataFrame, idCol: String, textCol: String,
+      modelName: String = "qc1"): DataFrame = {
+    val toks = tokens(col(textCol))
+    val weight = (t: Column) =>
+      conv(substring(md5(concat(lit(modelName + ":"), t)), 1, 15), 16, 10)
+        .cast("long") % 2001L - 1000L
+    df.select(
+        col(idCol),
+        size(toks).cast("long").as("n_tokens"),
+        aggregate(toks, lit(0L), (acc, t) => acc + weight(t)).as("score_i"))
+      .withColumn("score",
+        round(col("score_i") / (col("n_tokens") * lit(1000.0)), 6))
+      .withColumn("keep", col("score_i") > 0L)
+  }
+
+  /** Character-bigram surprisal — a CCNet-style language-model quality score
+    * (arXiv:1911.00359 §3.3 uses a trained 5-gram LM; the SHAPE here is the
+    * same two-pass scorer) with the corpus itself as the model: pass 1
+    * aggregates the global bigram frequency table (tiny — |charset|² entries,
+    * broadcast), pass 2 streams every document's bigrams past it and scores
+    * surprisal. Unusual character sequences (mojibake, boilerplate, wrong
+    * language) sit in rare bigrams and score high.
+    *
+    * Surprisal is measured in INTEGER floor-log₂ bits — bits(x) =
+    * length(bin(x)), so −log₂(c/T) ≈ bits(T) − bits(c) within one bit per
+    * term — keeping every engine's arithmetic exact (a float log sums in
+    * data-dependent order and drifts across engines; integer bits cannot).
+    * The resolution loss is the declared trade for oracle-exactness; swap
+    * the count table for trained LM probabilities in production.
+    *
+    * Scale shape: explode-to-bigrams is the unavoidable LM-scoring pass
+    * (rows × avg-length), but both aggregates are map-side partial and the
+    * probability lookup is a broadcast join — the exploded stream shuffles
+    * only at (id) grain for the final per-doc sum. Docs shorter than 2 chars
+    * have no bigrams and are absent from the output (score undefined).
+    *
+    * @return (id, n_bigrams, surprisal_bits, bits_per_bigram)
+    */
+  def bigramSurprisal(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = trim(col(textCol))
+    val bigrams = df.select(
+        col(idCol),
+        explode(when(length(t) >= 2,
+            transform(sequence(lit(1), length(t) - 1), i => t.substr(i, lit(2))))
+          .otherwise(array().cast("array<string>"))).as("bg"))
+    val counts = bigrams.groupBy("bg").agg(count(lit(1)).as("c"))
+    val total = counts.agg(sum("c").as("tt"))
+    val bits = (x: Column) => length(bin(x))
+    bigrams
+      .join(broadcast(counts), "bg")
+      .crossJoin(broadcast(total))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        sum(bits(col("tt")) - bits(col("c"))).cast("long").as("surprisal_bits"))
+      .withColumn("bits_per_bigram",
+        round(col("surprisal_bits") / col("n_bigrams").cast("double"), 6))
+  }
 }

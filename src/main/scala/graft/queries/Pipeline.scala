@@ -928,6 +928,60 @@ object Pipeline {
         |  CAST(cum_end - n_tokens AS BIGINT) AS tokens_before
         |FROM laid WHERE cum_end - n_tokens < 2000""".stripMargin)),
 
+    // Domain-mixture rebalance: largest subset hitting a 4:2:1 en:de:zh
+    // target exactly (up to integer floor). Integer mixture parts keep the
+    // whole selection in exact arithmetic — full row-level oracle. The
+    // engine side never windows the corpus by domain: a (domain, hash-range)
+    // count cube decides buckets wholesale and ranks only the boundary
+    // bucket (see Sampling.mixToTarget).
+    Q("ds7_domain_mixture",
+      (s, d) => Sampling.mixToTarget(Tables.documents(s, d), "doc_id",
+        "lang", Map("en" -> 4L, "de" -> 2L, "zh" -> 1L)),
+      Some("""WITH k AS (
+        |  SELECT *, CAST(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS UBIGINT) AS BIGINT) AS hkey,
+        |    CASE lang WHEN 'en' THEN 4 WHEN 'de' THEN 2 WHEN 'zh' THEN 1 END AS p
+        |  FROM documents WHERE lang IN ('en', 'de', 'zh')),
+        |c AS (SELECT lang, p, count(*) AS n FROM k GROUP BY lang, p),
+        |nt AS (SELECT CAST(min(floor(n * 7.0 / p)) AS BIGINT) AS ntot FROM c),
+        |t AS (SELECT lang, CAST(floor(p * 1.0 * ntot / 7) AS BIGINT) AS tq FROM c, nt),
+        |r AS (SELECT k.*, row_number() OVER (PARTITION BY k.lang ORDER BY hkey, doc_id) AS rn FROM k)
+        |SELECT doc_id, text, lang, source, n_chars
+        |FROM r JOIN t USING (lang) WHERE rn <= tq""".stripMargin)),
+
+    // Hashed-linear quality classifier (fastText-shaped): mean md5-derived
+    // token weight, integer until the last divide — the weight table is the
+    // declared deterministic stand-in for trained weights; the hashing-trick
+    // plumbing is the operator. Narrow map, full row-level oracle.
+    Q("t14_classifier_score",
+      (s, d) => TextOps.classifierScore(Tables.documents(s, d), "doc_id", "text"),
+      Some("""SELECT doc_id, n_tokens, score_i,
+        |  round(score_i / (n_tokens * 1000.0), 6) AS score,
+        |  score_i > 0 AS keep
+        |FROM (
+        |  SELECT doc_id,
+        |    CAST(len(toks) AS BIGINT) AS n_tokens,
+        |    CAST(list_sum(list_transform(toks,
+        |      t -> CAST(CAST(('0x' || substring(md5('qc1:' || t), 1, 15)) AS UBIGINT) AS BIGINT) % 2001 - 1000)) AS BIGINT) AS score_i
+        |  FROM (SELECT doc_id,
+        |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+        |  FROM documents))""".stripMargin)),
+
+    // Character-bigram surprisal: CCNet-shaped two-pass LM quality score
+    // with the corpus as its own model, in integer floor-log2 bits so both
+    // engines agree bit-for-bit. Docs under 2 chars have no bigrams and no
+    // row.
+    Q("t15_bigram_surprisal",
+      (s, d) => TextOps.bigramSurprisal(Tables.documents(s, d), "doc_id", "text"),
+      Some("""WITH big AS (
+        |  SELECT doc_id, substring(trim(text), CAST(i AS INT), 2) AS bg
+        |  FROM documents, UNNEST(range(1, length(trim(text)))) AS u(i)),
+        |cnt AS (SELECT bg, count(*) AS c FROM big GROUP BY bg),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS tt FROM cnt)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |  CAST(SUM(length(bin(tt)) - length(bin(c))) AS BIGINT) AS surprisal_bits,
+        |  round(SUM(length(bin(tt)) - length(bin(c))) * 1.0 / count(*), 6) AS bits_per_bigram
+        |FROM big JOIN cnt USING (bg) CROSS JOIN tot GROUP BY doc_id""".stripMargin)),
+
     // Flagship curation pipeline from raw documents: exact dedup (keep the
     // min-id copy) → quality gate (token count + punctuation ratio) →
     // temperature rebalance across languages. The whole chain — including

@@ -441,4 +441,40 @@ class OperatorsSpec extends SparkSpec {
     assert(got(1L)._3.split("\n").length == 3)
     assert(got(2L) == ((1, 0, ""))) // zero survivors -> empty text, not null
   }
+
+  test("classifierScore: mean hashed weight, integer score, stable across runs") {
+    import spark.implicits._
+    val df = Seq((1L, "alpha beta alpha"), (2L, "alpha")).toDF("doc_id", "text")
+    val rows = TextOps.classifierScore(df, "doc_id", "text").collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4)))).toMap
+    // doc 2's score_i is w(alpha); doc 1's is 2*w(alpha) + w(beta) — the
+    // weights come from the same md5 stream, so the linearity is checkable
+    // without re-deriving the hash here
+    val wAlpha = rows(2L)._2
+    assert(rows(1L)._1 == 3 && rows(2L)._1 == 1)
+    assert(wAlpha >= -1000 && wAlpha <= 1000)
+    val wBeta = rows(1L)._2 - 2 * wAlpha
+    assert(wBeta >= -1000 && wBeta <= 1000)
+    assert(rows(2L)._3 == math.rint(wAlpha / 1000.0 * 1e6) / 1e6)
+    assert(rows(1L)._4 == (rows(1L)._2 > 0))
+    // a different model name re-keys the weight table
+    val other = TextOps.classifierScore(df, "doc_id", "text", modelName = "qc2")
+      .where(col("doc_id") === 2L).collect()(0).getLong(2)
+    assert(other != wAlpha)
+  }
+
+  test("bigramSurprisal: hand-computed bits on a 3-doc corpus; short docs absent") {
+    import spark.implicits._
+    // corpus bigrams: "abab" -> ab,ba,ab ; "ab" -> ab ; "x" -> none
+    // counts: ab=3, ba=1, T=4  => bits(T)=3, bits(ab)=2, bits(ba)=1
+    val df = Seq((1L, "abab"), (2L, "ab"), (3L, "x")).toDF("doc_id", "text")
+    val got = TextOps.bigramSurprisal(df, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    // doc 1: ab,ba,ab -> (3-2)+(3-1)+(3-2) = 4 bits over 3 bigrams
+    assert(got(1L) == ((3L, 4L, math.rint(4.0 / 3 * 1e6) / 1e6)))
+    // doc 2: ab -> 1 bit
+    assert(got(2L) == ((1L, 1L, 1.0)))
+    assert(!got.contains(3L)) // no bigrams -> no row
+  }
 }

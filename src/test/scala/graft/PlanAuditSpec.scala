@@ -33,7 +33,10 @@ class PlanAuditSpec extends SparkSpec {
     "bk0_e2e_pipeline",
     // PQ's ADC scan: corpus x BROADCAST query batch (<= 10 rows), the same
     // contract-bounded shape as sim1
-    "sim6_pq_topk")
+    "sim6_pq_topk",
+    // 1-row anchor crossJoins (the ds3 shape): ds7's largest-total N over
+    // the count cube; t15's global bigram-count total
+    "ds7_domain_mixture", "t15_bigram_surprisal")
 
   test("no registered query plans a quadratic join") {
     val offenders = SparkEntry.registry.flatMap { q =>

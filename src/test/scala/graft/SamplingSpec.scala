@@ -205,6 +205,72 @@ class SamplingSpec extends SparkSpec {
     assert(Sampling.tokenBudget(corpus, "id", "text", 2, 1000000L).count() == 200)
   }
 
+  test("mixToTarget: exact floor proportions, equals naive rank at every bucket count") {
+    import spark.implicits._
+    // skewed domains: 130 web / 40 code / 11 wiki, plus an unlisted domain
+    val corpus = ((0 until 130).map(i => (i.toLong, "web")) ++
+      (200 until 240).map(i => (i.toLong, "code")) ++
+      (300 until 311).map(i => (i.toLong, "wiki")) ++
+      (400 until 420).map(i => (i.toLong, "junk"))).toDF("id", "dom")
+    val parts = Map("web" -> 6L, "code" -> 3L, "wiki" -> 1L)
+    val totalParts = parts.values.sum
+    // N = min_d floor(n_d*P/p_d) = min(floor(130*10/6)=216, 133, 110) = 110
+    val expectedTotal = 110L
+    val expected = parts.map { case (d, p) => d -> (p * expectedTotal / totalParts) }
+    // the naive reference: rank the whole domain in one window
+    val naive = {
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("dom")
+        .orderBy(Sampling.hashKey(col("id")).asc, col("id").asc)
+      corpus.where(col("dom").isin(parts.keys.toSeq: _*))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <= when(col("dom") === "web", expected("web"))
+          .when(col("dom") === "code", expected("code"))
+          .otherwise(expected("wiki")))
+        .select("id").as[Long].collect().toSet
+    }
+    for (b <- Seq(2, 16, 4096)) {
+      val out = Sampling.mixToTarget(corpus, "id", "dom", parts, buckets = b)
+      val byDom = out.groupBy("dom").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(byDom == expected, s"buckets=$b: $byDom != $expected")
+      assert(out.select("id").as[Long].collect().toSet == naive,
+        s"buckets=$b: selection differs from the naive per-domain rank")
+    }
+    // a target domain absent from the corpus caps N at 0: empty result
+    assert(Sampling.mixToTarget(corpus, "id", "dom",
+      parts + ("absent" -> 1L)).count() == 0)
+  }
+
+  test("mixToTarget: per-domain selection is a hash prefix (anti-churn law)") {
+    import spark.implicits._
+    val corpus = ((0 until 64).map(i => (i.toLong, "a")) ++
+      (100 until 148).map(i => (i.toLong, "b"))).toDF("id", "dom")
+    val small = Sampling.mixToTarget(corpus, "id", "dom",
+      Map("a" -> 1L, "b" -> 1L))
+    val bigger = Sampling.mixToTarget(corpus, "id", "dom",
+      Map("a" -> 1L, "b" -> 3L))
+    // raising b's share only shrinks a's kept count; a's kept set must be a
+    // PREFIX of its previous one (hash order), never a reshuffle
+    val keptA = small.where(col("dom") === "a").select("id").as[Long].collect().toSet
+    val keptA2 = bigger.where(col("dom") === "a").select("id").as[Long].collect().toSet
+    assert(keptA2.size < keptA.size && keptA2.subsetOf(keptA))
+  }
+
+  test("plans: ds7 never shuffles the corpus; boundary window partitions by (domain, bucket)") {
+    val sf = "/root/testdata/sf0.001"
+    val plan = SparkEntry.queries("ds7_domain_mixture")(spark, sf)
+      .queryExecution.explainString(FormattedMode)
+    // the corpus reaches the output through a BROADCAST verdict join (never
+    // a shuffled one), and the only corpus-side window partitions by
+    // (domain, bucket) — not by the domain alone, which would funnel each
+    // domain through one task
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert("(?s).*row_number\\(\\) windowspecdefinition\\(lang#\\d+, _mx_b#\\d+".r
+      .findFirstIn(plan).isDefined, plan)
+    assert(!"windowspecdefinition\\(lang#\\d+, _mx_key".r
+      .findFirstIn(plan).isDefined, plan)
+  }
+
   test("plans: ds1 filter is a single narrow pass; ds2 pushes a window group limit") {
     val sf = "/root/testdata/sf0.001"
     val p1 = SparkEntry.queries("ds1_stratified_sample")(spark, sf)
