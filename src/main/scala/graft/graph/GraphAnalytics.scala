@@ -135,6 +135,54 @@ object GraphAnalytics {
   private val lastCore =
     new java.util.concurrent.atomic.AtomicReference[org.apache.spark.rdd.RDD[_]](null)
 
+  /** Synchronous label propagation — community detection on the undirected
+    * counterparty graph. Every vertex starts as its own label; each round
+    * all vertices SIMULTANEOUSLY adopt the most frequent label among their
+    * neighbors (ties broken by the smallest label), so the result is a
+    * deterministic function of the graph — unlike the classic
+    * asynchronous/randomized LPA (Raghavan et al., arXiv:0709.2938), whose
+    * visit order is an RNG. Communities after `rounds` rounds are the label
+    * groups; synchronous LPA can 2-cycle on bipartite structures, which a
+    * fixed round count also keeps deterministic.
+    *
+    * Scale shape: one equi-join (labels onto the adjacency list) + one
+    * (vertex, label) count + one min_by hash aggregate per round — the
+    * aggregateMessages dataflow, all map-side partial, no windows over the
+    * graph. The argmax is min_by over a (−count, label) struct, not a
+    * sorted rank. Each round rebases lineage and swap-unpersists, so a
+    * deeper propagation stays flat-plan (the kCore discipline).
+    */
+  def labelPropagation(edges: DataFrame, rounds: Int = 4): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val und = edges
+      .select(least(col("src"), col("dst")).as("u"), greatest(col("src"), col("dst")).as("v"))
+      .where(col("u") =!= col("v")).distinct()
+    val adj = und.select(col("u").as("a"), col("v").as("b"))
+      .unionByName(und.select(col("v").as("a"), col("u").as("b")))
+    var labels = adj.select(col("a").as("address")).distinct()
+      .withColumn("label", col("address"))
+    var prev: Option[org.apache.spark.rdd.RDD[_]] = None
+    for (_ <- 1 to rounds) {
+      val next = adj
+        .join(labels, adj("b") === labels("address"))
+        .groupBy(col("a"), col("label")).agg(count(lit(1)).as("_c"))
+        .groupBy(col("a").as("address"))
+        .agg(min_by(col("label"),
+          struct((-col("_c")).as("nc"), col("label").as("l"))).as("label"))
+      val (nextDf, nextRdd) = graft.operators.ChainOps.rebase(next)
+      prev.foreach(_.unpersist(blocking = false))
+      prev = Some(nextRdd)
+      labels = nextDf
+    }
+    val out = labels.select(col("address"), col("label").as("community"))
+    Option(lastLpa.getAndSet(prev.orNull)).foreach(_.unpersist(blocking = false))
+    out
+  }
+
+  /** Previous labelPropagation materialization (swap-unpersist per call). */
+  private val lastLpa =
+    new java.util.concurrent.atomic.AtomicReference[org.apache.spark.rdd.RDD[_]](null)
+
   /** PageRank over the flow graph: influence ranking of addresses.
     * Returns (address, rank) — GraphX Pregel under the hood.
     */
@@ -183,5 +231,6 @@ object GraphAnalytics {
   private[graft] def release(): Unit = {
     Option(lastRank.getAndSet(null)).foreach(_.unpersist(blocking = false))
     Option(lastCore.getAndSet(null)).foreach(_.unpersist(blocking = false))
+    Option(lastLpa.getAndSet(null)).foreach(_.unpersist(blocking = false))
   }
 }

@@ -389,6 +389,57 @@ object Blockchain {
            |  SELECT u AS address FROM r12 UNION ALL SELECT v FROM r12)""".stripMargin
       }),
 
+    // Synchronous label-propagation communities on the counterparty+co-spend
+    // graph — deterministic (simultaneous update, min-label tie-break), so
+    // the oracle unrolls the 4 rounds as materialized CTEs (the g2/g4
+    // technique) and matches row-for-row.
+    Q("g5_lpa_communities",
+      (s, _) => {
+        val ann = BestChain.annotate(F.blocksDf(s))
+        val cTxs = GoldStats.chainTxs(F.transactionsDf(s), ann)
+        val rin = Enrich.resolvedInputs(F.txInputsDf(s), F.txOutputsDf(s))
+          .join(cTxs.select("tx_hash"), Seq("tx_hash"), "left_semi")
+        val outs = F.txOutputsDf(s).join(cTxs.select("tx_hash"), Seq("tx_hash"), "left_semi")
+        val funders = rin.select(col("tx_hash"), col("src_address")).distinct()
+        val cospend = funders
+          .join(funders.select(col("tx_hash"), col("src_address").as("dst_address")), "tx_hash")
+          .where(col("src_address") < col("dst_address"))
+          .select(col("src_address").as("src"), col("dst_address").as("dst"),
+            lit(0L).as("value"))
+        graft.graph.GraphAnalytics.labelPropagation(
+          graft.graph.GraphAnalytics.flowEdges(rin, outs).unionByName(cospend))
+      },
+      Some {
+        val rounds = (1 to 4).map { i =>
+          s"""lp$i AS MATERIALIZED (
+             |  SELECT address, label FROM (
+             |    SELECT e.a AS address, p.label, count(*) AS c,
+             |      row_number() OVER (PARTITION BY e.a
+             |        ORDER BY count(*) DESC, p.label) AS rn
+             |    FROM adj e JOIN lp${i - 1} p ON e.b = p.address
+             |    GROUP BY e.a, p.label) WHERE rn = 1)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH RECURSIVE ${chainCte.stripPrefix("WITH ")},
+           |fund AS (SELECT DISTINCT tx_hash, src_address AS src FROM rin),
+           |edges AS (
+           |  SELECT DISTINCT f.src, o.address AS dst
+           |  FROM fund f
+           |  JOIN outs o ON f.tx_hash = o.tx_hash
+           |  UNION
+           |  SELECT a.src, b.src AS dst
+           |  FROM fund a JOIN fund b ON a.tx_hash = b.tx_hash AND a.src < b.src
+           |), und AS MATERIALIZED (
+           |  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+           |  FROM edges WHERE src <> dst
+           |), adj AS MATERIALIZED (
+           |  SELECT u AS a, v AS b FROM und UNION ALL SELECT v AS a, u AS b FROM und
+           |), lp0 AS MATERIALIZED (
+           |  SELECT DISTINCT a AS address, a AS label FROM adj
+           |),
+           |$rounds
+           |SELECT address, label AS community FROM lp4""".stripMargin
+      }),
+
     Q("bc8_script_decode",
       (s, _) => {
         import s.implicits._

@@ -132,6 +132,43 @@ class GraphSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("labelPropagation: two cliques with a bridge settle to one label each") {
+    import spark.implicits._
+    // K4 {a1..a4} — bridge a4-b1 — K4 {b1..b4}: inside a clique the
+    // min label dominates within 2 rounds; the single bridge edge cannot
+    // outvote 3 clique neighbors, so the communities stay separate.
+    def k4(p: String) = for {
+      i <- 1 to 4; j <- i + 1 to 4
+    } yield (s"$p$i", s"$p$j")
+    val edges = (k4("a") ++ k4("b") :+ ("a4", "b1"))
+      .toDF("src", "dst").withColumn("value", lit(0L))
+    val got = GraphAnalytics.labelPropagation(edges, rounds = 4)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert((1 to 4).forall(i => got(s"a$i") == "a1"), got)
+    assert((1 to 4).forall(i => got(s"b$i") == "b1"), got)
+  }
+
+  test("labelPropagation matches the brute-force synchronous mirror on a random graph") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val n = 18
+    val raw = Seq.fill(60)((s"v${rnd.nextInt(n)}", s"v${rnd.nextInt(n)}")).distinct
+    val und = raw.map { case (a, b) => if (a < b) (a, b) else (b, a) }
+      .filter(e => e._1 != e._2).distinct
+    val adj = (und ++ und.map(_.swap)).groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+    var labels = adj.keys.map(v => v -> v).toMap
+    for (_ <- 1 to 4) {
+      labels = adj.map { case (v, nbs) =>
+        val freq = nbs.groupBy(labels).map { case (l, g) => (l, g.size) }
+        v -> freq.toSeq.minBy { case (l, c) => (-c, l) }._1
+      }
+    }
+    val got = GraphAnalytics.labelPropagation(
+        raw.toDF("src", "dst").withColumn("value", lit(0L)), rounds = 4)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got == labels)
+  }
+
   test("pagerank semantics pin: 10 iterations from r0=1 then normalize to sum=|V|") {
     // The g2 DuckDB oracle re-derives GraphX staticPageRank in SQL on the
     // closed-form contract asserted here: r' = 0.15 + 0.85 * sum(in r/outdeg)
