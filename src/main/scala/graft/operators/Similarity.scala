@@ -95,6 +95,31 @@ object Similarity {
     }
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al., arXiv:2303.09540):
+    * collapse each group of semantically near-identical documents to ONE
+    * representative. Candidate pairs come from [[exactNearDupPairs]]
+    * (banded hyperplane-LSH by default — the O(n²) surface never
+    * materializes; `exact = true` is the full-recall baseline for bounded
+    * corpora), the transitive closure from `Dedup.nearDupClusters`
+    * (envelope-routed union-find / GraphX CC), and each component's keeper
+    * is its MIN id — which is exactly the component label the closure
+    * assigns, so "keep" is a filter (id == label), not another ranking.
+    *
+    * @return one row per KEPT document: (idCol, n_members) — n_members > 1
+    *         marks a semantic group collapsed into this representative;
+    *         the kept-corpus join key for the downstream pipeline.
+    */
+  def semanticDedup(corpus: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, exact: Boolean = false): DataFrame = {
+    val pairs = exactNearDupPairs(corpus, idCol, vecCol, threshold, exact)
+    val comps = Dedup.nearDupClusters(
+      corpus.select(col(idCol)), pairs.select("id1", "id2"))
+    val sizes = comps.groupBy("cluster_id").agg(count(lit(1)).as("n_members"))
+    comps.where(col("doc_id") === col("cluster_id"))
+      .join(sizes, "cluster_id")
+      .select(col("doc_id").as(idCol), col("n_members"))
+  }
+
   // ------------------------------------------------------------------- IVF
 
   private def dot(a: Array[Float], b: Array[Float]): Double = {

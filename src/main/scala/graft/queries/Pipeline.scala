@@ -490,6 +490,38 @@ object Pipeline {
         |)
         |SELECT id1, id2, cos FROM scored WHERE cos >= 0.35""".stripMargin)),
 
+    // SemDeDup-style semantic dedup: d6's pair surface → transitive
+    // closure → keep the min-id representative per semantic group. Same
+    // 200-row exact-pairs slice as d6 so the oracle is full-recall; the
+    // production default is the banded-LSH candidate path (spec-gated).
+    Q("d9_semantic_dedup",
+      (s, d) => Similarity.semanticDedup(
+        Tables.embeddings(s, d).where(col("vec_id") < 200), "vec_id", "embedding",
+        0.35, exact = true),
+      Some("""WITH RECURSIVE e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 200),
+        |scored AS (
+        |  SELECT a.vec_id AS id1, b.vec_id AS id2,
+        |    list_sum(list_transform(list_zip(a.embedding, b.embedding),
+        |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) /
+        |    (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+        |     sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+        |    AS cos
+        |  FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |), pairs AS (SELECT id1, id2 FROM scored WHERE cos >= 0.35
+        |), undirected AS (
+        |  SELECT id1 AS a, id2 AS b FROM pairs UNION ALL SELECT id2, id1 FROM pairs
+        |), lbl(vec_id, cluster) AS (
+        |  SELECT vec_id, vec_id FROM e
+        |  UNION
+        |  SELECT u.a, l.cluster FROM undirected u JOIN lbl l ON u.b = l.vec_id
+        |), comp AS (
+        |  SELECT vec_id, min(cluster) AS cluster_id FROM lbl GROUP BY vec_id
+        |), sizes AS (
+        |  SELECT cluster_id, count(*) AS n_members FROM comp GROUP BY cluster_id
+        |)
+        |SELECT c.vec_id, s.n_members FROM comp c JOIN sizes s USING (cluster_id)
+        |WHERE c.vec_id = c.cluster_id""".stripMargin)),
+
     // TF-IDF: tf * ln(N/df) — a two-aggregate dataflow, no ML-lib state.
     Q("t5_tfidf",
       (s, d) => {

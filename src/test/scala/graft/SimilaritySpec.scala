@@ -165,6 +165,26 @@ class SimilaritySpec extends SparkSpec {
     built.unpersist()
   }
 
+  test("semanticDedup: transitive groups collapse to the min id; singletons survive") {
+    import spark.implicits._
+    // group {1,2,3}: 1~2 and 2~3 at cos 1.0 (transitive via 2); {4,5}: a
+    // pair; {6}: near-orthogonal singleton. Unit-ish 4-dim vectors.
+    val v = Map(
+      1L -> Array(1f, 0f, 0f, 0f), 2L -> Array(1f, 0f, 0f, 0f),
+      3L -> Array(1f, 0f, 0f, 0f), 4L -> Array(0f, 1f, 0f, 0f),
+      5L -> Array(0f, 1f, 0f, 0f), 6L -> Array(0f, 0f, 1f, 0f))
+    val df = v.toSeq.toDF("vec_id", "embedding")
+    val exact = Similarity.semanticDedup(df, "vec_id", "embedding", 0.9, exact = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(exact == Map(1L -> 3L, 4L -> 2L, 6L -> 1L), exact)
+    // default banded path: identical vectors share every LSH band, so
+    // exact-duplicate groups MUST collapse there too (keepers a subset of
+    // the corpus, min-id law preserved)
+    val banded = Similarity.semanticDedup(df, "vec_id", "embedding", 0.9)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(banded == exact, banded)
+  }
+
   test("k-means training is deterministic and centroids are unit-norm") {
     val sample = Array.tabulate(200)(i =>
       Array.tabulate(8)(j => math.sin(i * 31 + j * 7).toFloat))
