@@ -5,7 +5,7 @@ import org.scalacheck.Gen
 import org.scalacheck.rng.Seed
 
 import graft.chain.BestChain
-import graft.operators.ChainOps
+import graft.operators.{ChainOps, Sampling}
 
 /** Property-based invariants (SURVEY.md §5.2.3): chain resolution checked
   * against a driver-side brute-force reference on random forests, replay
@@ -273,6 +273,81 @@ class PropertySpec extends SparkSpec {
       // and every distinct input line survives somewhere
       val wanted = lineIds.flatten.map(l => s"line $l").distinct.sorted
       assert(all.sorted.toSeq == wanted, s"lost lines: got $all wanted $wanted")
+    }
+  }
+
+  test("property: mixToTarget hits exact floor proportions on random corpora") {
+    import spark.implicits._
+    val gen = for {
+      nA <- Gen.choose(0, 80)
+      nB <- Gen.choose(1, 80)
+      nC <- Gen.choose(1, 80)
+      pA <- Gen.choose(1L, 5L)
+      pB <- Gen.choose(1L, 5L)
+      buckets <- Gen.oneOf(2, 8, 64)
+    } yield (nA, nB, nC, pA, pB, buckets)
+    forAllSeeded(gen, 8) { case (nA, nB, nC, pA, pB, buckets) =>
+      val corpus = ((0 until nA).map(i => (i.toLong, "A")) ++
+        (1000 until 1000 + nB).map(i => (i.toLong, "B")) ++
+        (2000 until 2000 + nC).map(i => (i.toLong, "C"))).toDF("id", "dom")
+      val parts = Map("A" -> pA, "B" -> pB)
+      val total = pA + pB
+      val bigN = math.min(
+        math.floor(nA.toLong * total / pA.toDouble),
+        math.floor(nB.toLong * total / pB.toDouble)).toLong
+      val expected = Map("A" -> pA * bigN / total, "B" -> pB * bigN / total)
+        .filter(_._2 > 0)
+      val got = Sampling.mixToTarget(corpus, "id", "dom", parts, buckets)
+        .groupBy("dom").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got == expected,
+        s"nA=$nA nB=$nB p=$pA:$pB buckets=$buckets: $got != $expected")
+    }
+  }
+
+  test("property: labelPropagation equals the synchronous driver mirror") {
+    import spark.implicits._
+    val gen = for {
+      n <- Gen.choose(2, 14)
+      m <- Gen.choose(1, 40)
+      edges <- Gen.listOfN(m,
+        Gen.zip(Gen.choose(0, 13), Gen.choose(0, 13)))
+    } yield edges.map { case (a, b) => (s"v${a % n}", s"v${b % n}") }
+    forAllSeeded(gen, 6) { raw =>
+      val und = raw.map { case (a, b) => if (a < b) (a, b) else (b, a) }
+        .filter(e => e._1 != e._2).distinct
+      if (und.nonEmpty) {
+        val adj = (und ++ und.map(_.swap)).groupBy(_._1)
+          .map { case (k, v) => k -> v.map(_._2) }
+        var labels = adj.keys.map(v => v -> v).toMap
+        for (_ <- 1 to 3) {
+          labels = adj.map { case (v, nbs) =>
+            val freq = nbs.groupBy(labels).map { case (l, g) => (l, g.size) }
+            v -> freq.toSeq.minBy { case (l, c) => (-c, l) }._1
+          }
+        }
+        val got = graft.graph.GraphAnalytics.labelPropagation(
+            und.toDF("src", "dst").withColumn("value", lit(0L)), rounds = 3)
+          .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+        assert(got == labels, s"edges=$und")
+      }
+    }
+  }
+
+  test("property: classifierScore is linear in token multiset") {
+    import spark.implicits._
+    val gen = Gen.listOfN(12, Gen.choose(0, 5)) // token ids with repeats
+    forAllSeeded(gen, 6) { ids =>
+      val words = ids.map(i => s"w$i")
+      val doc = (1L, words.mkString(" "))
+      val singles = words.distinct.zipWithIndex
+        .map { case (w, i) => (100L + i, w) }
+      val all = (doc +: singles).toDF("doc_id", "text")
+      val scores = graft.operators.TextOps.classifierScore(all, "doc_id", "text")
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+      val wOf = singles.map { case (id, w) => w -> scores(id) }.toMap
+      assert(scores(1L) == words.map(wOf).sum,
+        s"doc score not the sum of token weights: $words")
     }
   }
 }
