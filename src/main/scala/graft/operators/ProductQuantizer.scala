@@ -198,9 +198,160 @@ object ProductQuantizer {
   /** Observable memo bound for tests. */
   def pqCacheEntries: Int = pqCache.synchronized(pqCache.size())
 
-  /** Drop every memoized PQ index ([[graft.Graft.releaseCaches]]). */
-  private[graft] def release(): Unit = pqCache.synchronized {
-    pqCache.values().forEach(_.unpersist())
-    pqCache.clear()
+  // ----------------------------------------------------------------- IVF-PQ
+
+  /** A built IVF-PQ index: IVF centroids for cell pruning + per-subspace PQ
+    * codebooks + the encoded cell-assigned corpus (cell, id, vec, codes,
+    * norm), persisted. The raw IVF cell table is released once the encoded
+    * form is materialized — one resident copy of the corpus.
+    */
+  final case class IvfPqModel(
+      centroids: Array[Array[Float]],
+      codebooks: Array[Array[Array[Float]]],
+      encoded: DataFrame, idCol: String, vecCol: String) {
+    def unpersist(): Unit = { encoded.unpersist(false); () }
+  }
+
+  /** The FAISS-IVFPQ-shaped index (Jégou/Douze/Schmid, TPAMI 2011 §V;
+    * Johnson/Douze/Jégou, arXiv:1702.08734 §3): [[Similarity.ivfIndex]]'s
+    * cell assignment prunes WHICH rows a probe scans (~nprobe/nlist of the
+    * corpus, statically), PQ codes shrink WHAT a scanned row costs (m table
+    * lookups + m bytes instead of d multiplies + d floats). The two
+    * reductions compose multiplicatively — the layout that serves
+    * billion-vector corpora. Same determinism contract as both parents:
+    * hash-ordered samples, RNG-free Lloyd, reproducible end to end.
+    */
+  def ivfPqIndex(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      nlist: Int = 64, m: Int = 8, ksub: Int = 16, maxIter: Int = 5): IvfPqModel = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val ivf = Similarity.ivfIndex(corpus, idCol, vecCol, nlist, maxIter)
+    val typed = corpus.select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Array[Float])]
+    val sample = typed
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+      .limit(ksub * 40).collect().map(_._2)
+    val d = sample.head.length
+    require(d % m == 0, s"dim $d not divisible by m=$m subspaces")
+    val dsub = d / m
+    val codebooks = Array.tabulate(m)(j =>
+      trainSubCodebook(sample.map(sub(_, j, dsub)), ksub, maxIter))
+    val bc = spark.sparkContext.broadcast(codebooks)
+    val encoded = ivf.cells
+      .select(col("cell"), col(idCol).cast("long"), col(vecCol))
+      .as[(Int, Long, Array[Float])]
+      .map { case (cell, id, v) =>
+        val cb = bc.value
+        val codes = Array.tabulate(m)(j => nearestWord(sub(v, j, dsub), cb(j)))
+        var n = 0.0; var i = 0
+        while (i < v.length) { n += v(i).toDouble * v(i); i += 1 }
+        (cell, id, v, codes, math.sqrt(n))
+      }
+      .toDF("cell", idCol, vecCol, "codes", "norm")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    encoded.count() // materialize before releasing the raw cell table
+    ivf.cells.unpersist(blocking = false)
+    IvfPqModel(ivf.centroids, codebooks, encoded, idCol, vecCol)
+  }
+
+  /** IVF-PQ probe: per query, ADC-score ONLY the `nprobe` nearest cells
+    * (the probed-cell set is known driver-side, so the cell filter prunes
+    * statically — including whole directories against a cell-partitioned
+    * on-disk layout), keep the approximate top `rerank` per query, and
+    * exact-re-rank those on the stored vectors. The scan is the same
+    * codegen'd zip_with/aggregate lookup as [[pqTopK]], restricted to the
+    * probed slice.
+    */
+  def ivfPqTopK(
+      model: IvfPqModel, queries: DataFrame, k: Int,
+      nprobe: Int = 8, rerank: Int = 0): DataFrame = {
+    val spark = model.encoded.sparkSession
+    import spark.implicits._
+    val nRerank = if (rerank > 0) rerank else math.max(4 * k, 20)
+    val idCol = model.idCol
+    val m = model.codebooks.length
+    val dsub = model.codebooks(0)(0).length
+    val qRows = queries.select(col(idCol).cast("long"), col(model.vecCol))
+      .as[(Long, Array[Float])].collect()
+    val probeRows = qRows.toSeq.flatMap { case (qid, qv) =>
+      val table = Array.tabulate(m) { j =>
+        model.codebooks(j).map { w =>
+          var s = 0.0; var i = 0
+          while (i < dsub) { s += qv(j * dsub + i).toDouble * w(i); i += 1 }
+          s
+        }
+      }
+      var qn = 0.0; var i = 0
+      while (i < qv.length) { qn += qv(i).toDouble * qv(i); i += 1 }
+      Similarity.nearestCells(qv, model.centroids, nprobe)
+        .map(c => (c, qid, qv, table.map(_.toSeq).toSeq, math.sqrt(qn)))
+    }
+    val probes = spark.createDataset(probeRows)
+      .toDF("cell", "query_id", "_qv", "_tbl", "_qnorm")
+    val probedCells = probeRows.map(_._1).distinct.map(Integer.valueOf)
+    val wApprox = Window.partitionBy("query_id")
+      .orderBy(col("_approx").desc, col(idCol).asc)
+    val wExact = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col(idCol).asc)
+    model.encoded.where(col("cell").isin(probedCells: _*))
+      .join(broadcast(probes), "cell")
+      .where(col(idCol) =!= col("query_id"))
+      .withColumn("_approx",
+        aggregate(
+          zip_with(col("codes"), col("_tbl"), (c, t) => element_at(t, c + 1)),
+          lit(0.0), (acc, x) => acc + x) / (col("norm") * col("_qnorm")))
+      .withColumn("_arn", row_number().over(wApprox))
+      .where(col("_arn") <= nRerank)
+      .select(col("query_id"), col(idCol),
+        Similarity.cosine(col(model.vecCol), col("_qv")).as("score"))
+      .withColumn("rank", row_number().over(wExact))
+      .where(col("rank") <= k)
+  }
+
+  private val ivfPqCache =
+    new java.util.LinkedHashMap[String, IvfPqModel](16, 0.75f, /*accessOrder=*/ true) {
+      override def removeEldestEntry(e: java.util.Map.Entry[String, IvfPqModel]): Boolean = {
+        val evict = size() > PqCacheSize
+        if (evict) e.getValue.unpersist()
+        evict
+      }
+    }
+
+  /** Memoizing front (the [[pqTopKFor]] shape): one encoded+celled corpus
+    * per (plan, params), swap-evicted LRU, drained by
+    * [[graft.Graft.releaseCaches]].
+    */
+  def ivfPqTopKFor(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      nlist: Int = 64, nprobe: Int = 8,
+      m: Int = 8, ksub: Int = 16, maxIter: Int = 5, rerank: Int = 0): DataFrame = {
+    val key = corpus.queryExecution.analyzed.canonicalized.semanticHash().toString +
+      s":$idCol:$vecCol:$nlist:$m:$ksub:$maxIter"
+    val model = ivfPqCache.synchronized {
+      var mod = ivfPqCache.get(key)
+      if (mod == null) {
+        mod = ivfPqIndex(corpus, idCol, vecCol, nlist, m, ksub, maxIter)
+        ivfPqCache.put(key, mod)
+      }
+      mod
+    }
+    ivfPqTopK(model, queries, k, nprobe, rerank)
+  }
+
+  /** Observable memo bound for tests. */
+  def ivfPqCacheEntries: Int = ivfPqCache.synchronized(ivfPqCache.size())
+
+  /** Drop every memoized PQ / IVF-PQ index ([[graft.Graft.releaseCaches]]). */
+  private[graft] def release(): Unit = {
+    pqCache.synchronized {
+      pqCache.values().forEach(_.unpersist())
+      pqCache.clear()
+    }
+    ivfPqCache.synchronized {
+      ivfPqCache.values().forEach(_.unpersist())
+      ivfPqCache.clear()
+    }
   }
 }

@@ -458,6 +458,21 @@ object Pipeline {
       },
       None),
 
+    // IVF-PQ — the composed FAISS layout: IVF cells prune WHICH rows a
+    // probe scans, PQ codes shrink WHAT each scanned row costs; both
+    // reductions multiply. Rows-only gate, recall >= 0.9 vs brute force
+    // spec-gated like sim5/sim6.
+    Q("sim7_ivfpq_topk",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val queries = emb.filter(col("vec_id") < 10)
+        graft.operators.ProductQuantizer.ivfPqTopKFor(
+          emb, queries, "vec_id", "embedding", k = 5,
+          nlist = 64, nprobe = 40, m = 16, ksub = 32, rerank = 100)
+          .select(col("query_id"), col("vec_id"), col("rank"))
+      },
+      None),
+
     // Embedding norms ARE oracle-checkable exactly: fixed-order double
     // accumulation over the array matches DuckDB's list_aggregate order.
     Q("sim3_norms",

@@ -64,6 +64,32 @@ class SimilaritySpec extends SparkSpec {
     model.unpersist(); model2.unpersist()
   }
 
+  test("IVF-PQ top-k recall >= 0.85 of brute force; scans only probed cells") {
+    val emb = Tables.embeddings(spark, sf)
+    val queries = emb.filter(col("vec_id") < 10)
+    val exact = topkSet(
+      Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 5), "vec_id")
+    // the two approximations compound (sim5's probe loss x sim6's code
+    // loss), so the combined floor sits slightly under either parent's 0.9
+    // on this structureless worst-case corpus
+    val model = graft.operators.ProductQuantizer.ivfPqIndex(
+      emb, "vec_id", "embedding", nlist = 64, m = 16, ksub = 32)
+    val got = topkSet(
+      graft.operators.ProductQuantizer.ivfPqTopK(model, queries, k = 5,
+        nprobe = 40, rerank = 100), "vec_id")
+    val recall = (got & exact).size.toDouble / exact.size
+    assert(recall >= 0.85, s"IVF-PQ recall $recall (${(got & exact).size}/${exact.size})")
+    // the scan provably touches only the probed slice: with nprobe=1 the
+    // scanned fraction is bounded by the biggest single cell
+    val one = graft.operators.ProductQuantizer.ivfPqTopK(model, queries, k = 5,
+      nprobe = 1, rerank = 100)
+    assert(one.count() > 0)
+    val biggest = model.encoded.groupBy("cell").count()
+      .agg(max("count")).collect()(0).getLong(0)
+    assert(biggest < emb.count() / 4, s"degenerate cell of $biggest rows")
+    model.unpersist()
+  }
+
   test("p1 media pipeline: IVF over embedMedia output keeps recall >= 0.9") {
     // End-to-end gate for the mm→ANN composition p1_media_pipeline: the
     // byte-histogram×JL embeddings (REAL content structure — text blobs
