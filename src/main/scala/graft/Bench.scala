@@ -22,8 +22,10 @@ object Bench {
     "t13_decontaminate_bloom",
     "t1_token_stats", "t5_tfidf", "t6_winnow_fingerprint", "t7_decontamination",
     "t9_pii_metrics", "t11_chunk_documents",
-    "ds3_temperature_resample", "p0_curation_pipeline", "p2_corpus_freeze",
-    "sim1_cosine_topk", "sim2_lsh_topk", "sim5_ivf_topk",
+    "t14_classifier_score", "t15_bigram_surprisal",
+    "ds3_temperature_resample", "ds7_domain_mixture",
+    "p0_curation_pipeline", "p2_corpus_freeze",
+    "sim1_cosine_topk", "sim2_lsh_topk", "sim5_ivf_topk", "sim7_ivfpq_topk",
     "bc5_block_stats",
     // bk5 (corpus-scale clustering), not bc7: the 7-row fixture's time is
     // pure GraphX stage latency and measures nothing about the engine.

@@ -1122,6 +1122,45 @@ object Pipeline {
           |FROM laid""".stripMargin))
     },
 
+    // Round-9 curation front as ONE dataflow: exact dedup → hashed-linear
+    // classifier gate → exact 4:2:1 domain mixture → deterministic shards.
+    // Every stage is individually oracled (d1/t14/ds7/ds4); this composes
+    // them end-to-end with a full row-level oracle — the "mix a training
+    // corpus to recipe" counterpart of p2's temperature freeze.
+    Q("p3_mixture_freeze",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val keep = docs.groupBy(md5(col("text")).as("_fp"))
+          .agg(min("doc_id").as("doc_id"))
+        val surviving = docs.join(keep.select("doc_id"), Seq("doc_id"), "left_semi")
+        val classed = surviving.join(
+          TextOps.classifierScore(surviving, "doc_id", "text")
+            .where(col("keep")).select("doc_id"),
+          Seq("doc_id"), "left_semi")
+        val mixed = Sampling.mixToTarget(classed, "doc_id", "lang",
+          Map("en" -> 4L, "de" -> 2L, "zh" -> 1L))
+        Sampling.shardAssign(mixed, "doc_id", numShards = 8)
+          .select("doc_id", "lang", "source", "shard")
+      },
+      Some("""WITH keep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+        |s AS (SELECT d.* FROM documents d JOIN keep USING (doc_id)),
+        |cls AS (
+        |  SELECT doc_id, text, lang, source FROM (
+        |    SELECT *, CAST(list_sum(list_transform(
+        |      string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '),
+        |      t -> CAST(CAST(('0x' || substring(md5('qc1:' || t), 1, 15)) AS UBIGINT) AS BIGINT) % 2001 - 1000)) AS BIGINT) AS score_i
+        |    FROM s) WHERE score_i > 0),
+        |k AS (
+        |  SELECT *, CAST(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS UBIGINT) AS BIGINT) AS hkey,
+        |    CASE lang WHEN 'en' THEN 4 WHEN 'de' THEN 2 WHEN 'zh' THEN 1 END AS p
+        |  FROM cls WHERE lang IN ('en', 'de', 'zh')),
+        |c AS (SELECT lang, p, count(*) AS n FROM k GROUP BY lang, p),
+        |nt AS (SELECT CAST(min(floor(n * 7.0 / p)) AS BIGINT) AS ntot FROM c),
+        |t AS (SELECT lang, CAST(floor(p * 1.0 * ntot / 7) AS BIGINT) AS tq FROM c, nt),
+        |r AS (SELECT k.*, row_number() OVER (PARTITION BY k.lang ORDER BY hkey, doc_id) AS rn FROM k)
+        |SELECT doc_id, lang, source, hkey % 8 AS shard
+        |FROM r JOIN t USING (lang) WHERE rn <= tq""".stripMargin)),
+
     // Multimodal → ANN end-to-end: opaque blobs → content embedding
     // (byte-histogram × fixed JL sign projection, the declared model-stub
     // boundary) → IVF approximate top-k. The whole chain is deterministic

@@ -103,6 +103,8 @@ class CacheDisciplineSpec extends SparkSpec {
       .toDF("vec_id", "embedding")
     operators.Similarity.ivfTopK(emb, emb.where(col("vec_id") < 3),
       "vec_id", "embedding", k = 2, nlist = 4, nprobe = 2).collect()
+    operators.ProductQuantizer.ivfPqTopKFor(emb, emb.where(col("vec_id") < 3),
+      "vec_id", "embedding", k = 2, nlist = 4, nprobe = 2, m = 4, ksub = 4).collect()
     assert(cachedCount > 0, "operators should have retained state before release")
     // ...then the release hook must return the session to a cold cache.
     // Delta-based bound (<= not == 0): suites share one session and an
@@ -116,6 +118,7 @@ class CacheDisciplineSpec extends SparkSpec {
     // falls, and the refill delta assertion below then fails spuriously.
     val afterRelease = quiescedCount()
     assert(operators.Similarity.ivfCacheEntries == 0)
+    assert(operators.ProductQuantizer.ivfPqCacheEntries == 0)
     // the operators still work afterwards (registers just refill; the
     // shingle cache is register-backed on every route, unlike clusters,
     // whose in-memory envelope route holds no persisted state at all)...

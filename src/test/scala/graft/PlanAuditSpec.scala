@@ -35,8 +35,8 @@ class PlanAuditSpec extends SparkSpec {
     // contract-bounded shape as sim1
     "sim6_pq_topk",
     // 1-row anchor crossJoins (the ds3 shape): ds7's largest-total N over
-    // the count cube; t15's global bigram-count total
-    "ds7_domain_mixture", "t15_bigram_surprisal",
+    // the count cube (also inside p3); t15's global bigram-count total
+    "ds7_domain_mixture", "t15_bigram_surprisal", "p3_mixture_freeze",
     // d9 registers the d6 exact=true 200-row full-recall slice so its
     // closure oracle is exact; the production default is the banded path
     "d9_semantic_dedup")
