@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.Q
 import graft.tables.Tables
 import graft.operators.{Dedup, Sampling, Similarity, TextOps}
+import graft.sources.DocSource
 
 /** Training-data-pipeline operator inventory (prompt §"beyond the reference"):
   * deduplication, similarity search, text analysis, multimodal plumbing —
@@ -27,6 +28,30 @@ object Pipeline {
       |), sh AS (
       |  SELECT DISTINCT doc_id, sh FROM sh0
       |)""".stripMargin
+
+  /** Deterministic JSONL ingest fixture (s8): 30 well-formed docs + 4 junk
+    * lines (truncated JSON, missing id, string id, blank). Written
+    * idempotently to a FIXED path so the registered DuckDB oracle reads the
+    * same bytes; content is pure function of the loop index — byte-stable
+    * across runs and engines.
+    */
+  private lazy val jsonlFixture: String = {
+    val dir = java.nio.file.Paths.get("/tmp/graft_s8")
+    java.nio.file.Files.createDirectories(dir)
+    val langs = Seq("en", "de", "zh", "es")
+    val good = (0 until 30).map { i =>
+      val body = Seq.fill(3 + i % 5)(s"tok${i % 7}").mkString(" ")
+      s"""{"doc_id":$i,"text":"doc $i $body","lang":"${langs(i % 4)}","source":"src${i % 3}"}"""
+    }
+    val junk = Seq(
+      """{"doc_id":""", // truncated JSON
+      "", // blank line (mid-file: a trailing one is not a line at all)
+      """{"text":"no id here","lang":"en"}""", // missing doc_id
+      """{"doc_id":"abc","text":"string id"}""") // type-violating doc_id
+    val f = dir.resolve("docs.jsonl")
+    java.nio.file.Files.write(f, (good ++ junk).mkString("\n").getBytes("UTF-8"))
+    f.toString
+  }
 
   /** doc_id-derived PII suffix for t9/t10 (the corpus itself is PII-free):
     * doc_id%3==0 gets an email whose local part embeds a dotted-quad plus a
@@ -1121,6 +1146,17 @@ object Pipeline {
           |  CAST((cum_end - n_tokens) % 512 AS BIGINT) AS pack_offset
           |FROM laid""".stripMargin))
     },
+
+    // JSONL ingestion front: typed documents out of a crawl-dump file, junk
+    // lines quarantined (spec-gated: DocSourceSpec). The oracle reads the
+    // SAME fixture file with DuckDB's newline-delimited JSON reader — both
+    // engines apply the identical acceptance predicate (doc_id parses).
+    Q("s8_jsonl_ingest",
+      (s, _) => DocSource.readJsonl(s, jsonlFixture)._1,
+      Some("""SELECT doc_id, text, lang, source FROM read_json('/tmp/graft_s8/docs.jsonl',
+        |  format='newline_delimited', ignore_errors=true,
+        |  columns={'doc_id':'BIGINT','text':'VARCHAR','lang':'VARCHAR','source':'VARCHAR'})
+        |WHERE doc_id IS NOT NULL""".stripMargin)),
 
     // Round-9 curation front as ONE dataflow: exact dedup → hashed-linear
     // classifier gate → exact 4:2:1 domain mixture → deterministic shards.
