@@ -422,21 +422,28 @@ object TextOps {
     */
   def bigramSurprisal(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val t = trim(col(textCol))
-    val bigrams = df.select(
+    // The bigram stream is exploded ONCE and immediately reduced to the
+    // (doc, bigram) count grain — for natural text that pre-aggregate is
+    // several times smaller than the raw stream (map-side partial), and
+    // BOTH the global model (a second-level sum, tiny) and the per-doc
+    // scores derive from it without a second corpus pass.
+    val perDoc = df.select(
         col(idCol),
         explode(when(length(t) >= 2,
             transform(sequence(lit(1), length(t) - 1), i => t.substr(i, lit(2))))
           .otherwise(array().cast("array<string>"))).as("bg"))
-    val counts = bigrams.groupBy("bg").agg(count(lit(1)).as("c"))
+      .groupBy(col(idCol), col("bg")).agg(count(lit(1)).as("cd"))
+    val counts = perDoc.groupBy("bg").agg(sum("cd").as("c"))
     val total = counts.agg(sum("c").as("tt"))
     val bits = (x: Column) => length(bin(x))
-    bigrams
+    perDoc
       .join(broadcast(counts), "bg")
       .crossJoin(broadcast(total))
       .groupBy(col(idCol))
       .agg(
-        count(lit(1)).as("n_bigrams"),
-        sum(bits(col("tt")) - bits(col("c"))).cast("long").as("surprisal_bits"))
+        sum("cd").cast("long").as("n_bigrams"),
+        sum(col("cd") * (bits(col("tt")) - bits(col("c"))))
+          .cast("long").as("surprisal_bits"))
       .withColumn("bits_per_bigram",
         round(col("surprisal_bits") / col("n_bigrams").cast("double"), 6))
   }
