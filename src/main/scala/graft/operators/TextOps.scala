@@ -382,16 +382,23 @@ object TextOps {
     * @return (id, n_tokens, score_i = Σ w(token), score = score_i/(1000·n),
     *         keep = score_i > 0)
     */
-  def classifierScore(df: DataFrame, idCol: String, textCol: String,
-      modelName: String = "qc1"): DataFrame = {
-    val toks = tokens(col(textCol))
+  /** The raw integer score Σ w(token) of [[classifierScore]] as a pure
+    * column expression — per-row and stateless, so it drops into streaming
+    * gates ([[graft.streaming.CurationStream]]) unchanged.
+    */
+  def classifierScoreExpr(textCol: Column, modelName: String = "qc1"): Column = {
     val weight = (t: Column) =>
       conv(substring(md5(concat(lit(modelName + ":"), t)), 1, 15), 16, 10)
         .cast("long") % 2001L - 1000L
+    aggregate(tokens(textCol), lit(0L), (acc, t) => acc + weight(t))
+  }
+
+  def classifierScore(df: DataFrame, idCol: String, textCol: String,
+      modelName: String = "qc1"): DataFrame = {
     df.select(
         col(idCol),
-        size(toks).cast("long").as("n_tokens"),
-        aggregate(toks, lit(0L), (acc, t) => acc + weight(t)).as("score_i"))
+        size(tokens(col(textCol))).cast("long").as("n_tokens"),
+        classifierScoreExpr(col(textCol), modelName).as("score_i"))
       .withColumn("score",
         round(col("score_i") / (col("n_tokens") * lit(1000.0)), 6))
       .withColumn("keep", col("score_i") > 0L)

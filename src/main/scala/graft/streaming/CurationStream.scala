@@ -26,13 +26,22 @@ object CurationStream {
   def curated(
       docs: DataFrame, tsCol: String, delay: String,
       textCol: String = "text",
-      minTokens: Int = 5, maxPunctRatio: Double = 0.2): DataFrame = {
+      minTokens: Int = 5, maxPunctRatio: Double = 0.2,
+      classifierModel: Option[String] = None): DataFrame = {
     val nTok = size(TextOps.tokens(col(textCol)))
     val nChars = length(col(textCol))
     val nPunct = nChars - length(regexp_replace(col(textCol), "[\\p{Punct}]", ""))
+    // Optional model-based gate on top of the heuristics: the hashed-linear
+    // classifier score is a pure per-row map — stateless, so it streams
+    // unchanged; it too runs BEFORE dedup state, keeping junk out of the
+    // store. Same integer-weight determinism as the batch t14 operator.
+    val classOk = classifierModel.fold(lit(true)) { name =>
+      TextOps.classifierScoreExpr(col(textCol), name) > 0L
+    }
     docs
       .where(nTok >= minTokens &&
-        (nPunct.cast("double") / nChars.cast("double")) <= maxPunctRatio)
+        (nPunct.cast("double") / nChars.cast("double")) <= maxPunctRatio &&
+        classOk)
       .withColumn("_fp", TextOps.fingerprint(col(textCol)))
       .withWatermark(tsCol, delay)
       .dropDuplicatesWithinWatermark(Seq("_fp"))

@@ -184,6 +184,36 @@ class StreamingSpec extends SparkSpec {
       "quality failures and the normalized re-crawl must not pass")
   }
 
+  test("CurationStream classifier gate agrees with the batch t14 keep flag") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = Files.createTempDirectory("graft-stream-clf").toString
+    // candidate docs all pass the heuristics; the hash-derived weights
+    // decide keep/drop — find one of each from the BATCH operator, then
+    // assert the stream admits exactly the batch keepers
+    val texts = (0 until 12).map(i => // per-doc-unique tokens: independent draws
+      (i.toLong, (0 until 8).map(j => s"tok${i}x$j").mkString(" ")))
+    val batchKeep = graft.operators.TextOps
+      .classifierScore(texts.toDF("doc_id", "text"), "doc_id", "text")
+      .where(col("keep")).select("doc_id").as[Long].collect().toSet
+    assert(batchKeep.nonEmpty && batchKeep.size < texts.size,
+      s"fixture must split: $batchKeep") // both classes present
+    val input = MemoryStream[(Long, String, Timestamp)]
+    val docs = input.toDF().toDF("doc_id", "text", "ts")
+    val q = graft.streaming.CurationStream
+      .curated(docs, "ts", "10 minutes", classifierModel = Some("qc1"))
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .format("memory").queryName("clf_curated").start()
+    def t(s: String) = Timestamp.valueOf(s)
+    input.addData(texts.zipWithIndex.map { case ((id, tx), i) =>
+      (id, tx, t(f"2024-01-01 10:${i}%02d:00")) }: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.sql("SELECT doc_id FROM clf_curated").as[Long].collect().toSet
+    assert(streamed == batchKeep, s"stream $streamed != batch $batchKeep")
+  }
+
   test("windowedCounts aggregates a stream by tumbling event-time windows") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
