@@ -334,6 +334,40 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: semanticDedup keepers = min ids of brute-force cosine components") {
+    import spark.implicits._
+    val gen = for {
+      n <- Gen.choose(3, 24)
+      seeds <- Gen.listOfN(n, Gen.choose(0, 5)) // few directions -> real groups
+    } yield seeds
+    forAllSeeded(gen, 6) { seeds =>
+      // vectors near one of 6 fixed directions with a deterministic wobble
+      val vecs = seeds.zipWithIndex.map { case (s, i) =>
+        val base = Array.tabulate(8)(d => math.sin(s * 17 + d * 5).toFloat)
+        (i.toLong, base.zipWithIndex.map { case (x, d) =>
+          x + 0.02f * math.sin(i * 13 + d).toFloat })
+      }
+      def cos(a: Array[Float], b: Array[Float]): Double = {
+        def dot(x: Array[Float], y: Array[Float]) =
+          x.zip(y).map { case (p, q) => p.toDouble * q }.sum
+        dot(a, b) / math.sqrt(dot(a, a) * dot(b, b))
+      }
+      // brute-force mirror: threshold graph -> union-find -> min per component
+      val parent = scala.collection.mutable.Map(vecs.map(_._1 -> -1L): _*)
+      def find(x: Long): Long = if (parent(x) < 0) x else { val r = find(parent(x)); parent(x) = r; r }
+      for { (i, vi) <- vecs; (j, vj) <- vecs if i < j && cos(vi, vj) >= 0.95 } {
+        val (ri, rj) = (find(i), find(j))
+        if (ri != rj) parent(math.max(ri, rj)) = math.min(ri, rj)
+      }
+      val comps = vecs.map(_._1).groupBy(find)
+      val expected = comps.map { case (root, members) => root -> members.size.toLong }
+      val got = graft.operators.Similarity.semanticDedup(
+          vecs.toDF("vec_id", "embedding"), "vec_id", "embedding", 0.95, exact = true)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected, s"seeds=$seeds")
+    }
+  }
+
   test("property: classifierScore is linear in token multiset") {
     import spark.implicits._
     val gen = Gen.listOfN(12, Gen.choose(0, 5)) // token ids with repeats
