@@ -113,7 +113,7 @@ class PlanSpec extends SparkSpec {
     // chunking / PII scrub / line filter of a 100 TB corpus must be a pure
     // map job — any Exchange here multiplies the corpus over the network.
     Seq("t9_pii_metrics", "t10_pii_redact", "t11_chunk_documents",
-        "t12_filter_lines").foreach { q =>
+        "t12_filter_lines", "t14_classifier_score").foreach { q =>
       val p = plan(q)
       assert(!p.contains("Exchange"), s"$q shuffles:\n${p.take(2000)}")
       assert(!p.contains("Join"), s"$q joins:\n${p.take(2000)}")
