@@ -625,6 +625,51 @@ object Relational {
         "SELECT user_id, min(us) AS session_start_us, count(*) AS n " +
         "FROM sess GROUP BY user_id, sid")),
 
+    // Funnel analysis: first signup → view → click → purchase per user,
+    // each stage strictly after the previous and inside a 48h conversion
+    // window — the set-based staged-join funnel formulation (no per-user
+    // sorting or arrays: each stage is a type-filtered narrow pass joined
+    // on user_id and min-aggregated, all map-side-partial and AQE-planned,
+    // which is why it survives a 100TB event log where a MATCH_RECOGNIZE
+    // row walk would not).
+    Q("e4_funnel",
+      (s, d) => {
+        val win = 172800000000L // 48h in micros
+        val ev = Tables.events(s, d).select(col("user_id"), col("event_type"),
+          usCol.as("us"))
+        def stage(prev: org.apache.spark.sql.DataFrame, typ: String,
+            prevT: String, outT: String) =
+          ev.where(col("event_type") === typ)
+            .join(prev.select("user_id", prevT), "user_id")
+            .where(col("us") > col(prevT) && col("us") <= col(prevT) + win)
+            .groupBy("user_id").agg(min("us").as(outT))
+        val s1 = ev.where(col("event_type") === "signup")
+          .groupBy("user_id").agg(min("us").as("t_signup"))
+        val s2 = stage(s1, "view", "t_signup", "t_view")
+        val s3 = stage(s2, "click", "t_view", "t_click")
+        val s4 = stage(s3, "purchase", "t_click", "t_purchase")
+        s1.join(s2, Seq("user_id"), "left")
+          .join(s3, Seq("user_id"), "left")
+          .join(s4, Seq("user_id"), "left")
+          .withColumn("depth",
+            lit(1) + col("t_view").isNotNull.cast("int")
+              + col("t_click").isNotNull.cast("int")
+              + col("t_purchase").isNotNull.cast("int"))
+      },
+      Some("""WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+        |s1 AS (SELECT user_id, min(us) AS t_signup FROM e WHERE event_type='signup' GROUP BY user_id),
+        |s2 AS (SELECT e.user_id, min(us) AS t_view FROM e JOIN s1 USING (user_id)
+        |       WHERE event_type='view' AND us > t_signup AND us <= t_signup + 172800000000 GROUP BY e.user_id),
+        |s3 AS (SELECT e.user_id, min(us) AS t_click FROM e JOIN s2 USING (user_id)
+        |       WHERE event_type='click' AND us > t_view AND us <= t_view + 172800000000 GROUP BY e.user_id),
+        |s4 AS (SELECT e.user_id, min(us) AS t_purchase FROM e JOIN s3 USING (user_id)
+        |       WHERE event_type='purchase' AND us > t_click AND us <= t_click + 172800000000 GROUP BY e.user_id)
+        |SELECT s1.user_id, t_signup, t_view, t_click, t_purchase,
+        |  1 + CAST(t_view IS NOT NULL AS INT) + CAST(t_click IS NOT NULL AS INT)
+        |    + CAST(t_purchase IS NOT NULL AS INT) AS depth
+        |FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+        |LEFT JOIN s4 USING (user_id)""".stripMargin)),
+
     // Exact distinct via the retractable Aggregator (§2.10) — must equal
     // plain COUNT(DISTINCT) when no retractions occur.
     Q("a7c_distinct_retractable",
