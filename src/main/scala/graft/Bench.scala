@@ -16,7 +16,7 @@ object Bench {
     "a1_count_group", "a3_sum_group", "a7_count_distinct",
     "j1_fk_join", "j5_big_join_agg", "j6_multihop_agg", "j8_range_join",
     "w1_rank", "w3_running_sum", "w4_sessionize",
-    "o1_topk", "e1_tumbling_counts", "e3_session_window",
+    "o1_topk", "e1_tumbling_counts", "e3_session_window", "e4_funnel",
     "d1_exact_dedup", "d2_fingerprint_dedup", "d3b_ngram_jaccard_capped",
     "d4_minhash_pairs", "d7_neardup_clusters", "d8_span_dedup",
     "t13_decontaminate_bloom",

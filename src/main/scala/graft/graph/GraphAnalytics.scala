@@ -97,7 +97,7 @@ object GraphAnalytics {
     * at any iteration count, and intermediates swap-unpersist (one live
     * copy). Returns the k-core's vertices as (address).
     */
-  def kCore(edges: DataFrame, k: Int, maxIter: Int = 50): DataFrame = {
+  def kCore(edges: DataFrame, k: Int, maxIter: Int = 200): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     val spark = edges.sparkSession
     var und = edges
@@ -122,6 +122,15 @@ object GraphAnalytics {
       prev = Some(nextRdd)
       und = nextDf
       it += 1
+    }
+    // A mid-peel edge set is NOT a k-core — returning it silently would be
+    // a wrong answer exactly on the long-chain graphs (rounds ≈ diameter/2)
+    // that need the most rounds. Fail loudly; the caller raises maxIter.
+    if (!converged) {
+      prev.foreach(_.unpersist(blocking = false))
+      throw new IllegalStateException(
+        s"kCore(k=$k) did not converge within maxIter=$maxIter peeling rounds; " +
+          "raise maxIter (rounds needed grow with graph diameter)")
     }
     val out = und.select(col("u").as("address"))
       .union(und.select(col("v").as("address"))).distinct()

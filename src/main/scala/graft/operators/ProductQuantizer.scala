@@ -81,6 +81,76 @@ object ProductQuantizer {
     best
   }
 
+  /** Sample + train the m sub-codebooks for a corpus — the ONE definition
+    * both [[pqIndex]] and [[ivfPqIndex]] build from, so the two paths can
+    * never silently train on different codebooks for the same corpus.
+    */
+  private def trainCodebooksFor(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      m: Int, ksub: Int, maxIter: Int): Array[Array[Array[Float]]] = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val sample = corpus.select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Array[Float])]
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+      .limit(ksub * 40).collect().map(_._2)
+    val d = sample.head.length
+    require(d % m == 0, s"dim $d not divisible by m=$m subspaces")
+    val dsub = d / m
+    Array.tabulate(m)(j =>
+      trainSubCodebook(sample.map(sub(_, j, dsub)), ksub, maxIter))
+  }
+
+  /** Encode one vector against the codebooks: (codes, L2 norm). */
+  private def codesAndNorm(
+      v: Array[Float], cb: Array[Array[Array[Float]]]): (Array[Int], Double) = {
+    val dsub = cb(0)(0).length
+    val codes = Array.tabulate(cb.length)(j => nearestWord(sub(v, j, dsub), cb(j)))
+    var n = 0.0; var i = 0
+    while (i < v.length) { n += v(i).toDouble * v(i); i += 1 }
+    (codes, math.sqrt(n))
+  }
+
+  /** Per-query ADC lookup table (m × ksub sub-dot-products) + query norm. */
+  private def adcTable(
+      qv: Array[Float], cb: Array[Array[Array[Float]]]): (Seq[Seq[Double]], Double) = {
+    val m = cb.length
+    val dsub = cb(0)(0).length
+    val table = Array.tabulate(m) { j =>
+      cb(j).map { w =>
+        var s = 0.0; var i = 0
+        while (i < dsub) { s += qv(j * dsub + i).toDouble * w(i); i += 1 }
+        s
+      }
+    }
+    var qn = 0.0; var i = 0
+    while (i < qv.length) { qn += qv(i).toDouble * qv(i); i += 1 }
+    (table.map(_.toSeq).toSeq, math.sqrt(qn))
+  }
+
+  /** LRU index memo with swap-unpersist eviction — one shape for the PQ and
+    * IVF-PQ caches (drained together by [[release]]).
+    */
+  private final class ModelCache[V](onEvict: V => Unit) {
+    private val map = new java.util.LinkedHashMap[String, V](16, 0.75f, /*accessOrder=*/ true) {
+      override def removeEldestEntry(e: java.util.Map.Entry[String, V]): Boolean = {
+        val evict = size() > PqCacheSize
+        if (evict) onEvict(e.getValue)
+        evict
+      }
+    }
+    def getOrBuild(key: String)(build: => V): V = map.synchronized {
+      var v = map.get(key)
+      if (v == null) { v = build; map.put(key, v) }
+      v
+    }
+    def entries: Int = map.synchronized(map.size())
+    def drain(): Unit = map.synchronized {
+      map.values().forEach(v => onEvict(v))
+      map.clear()
+    }
+  }
+
   /** Build the index: train m sub-codebooks on the sample, encode the whole
     * corpus in ONE narrow typed pass (broadcast codebooks, JIT'd argmin).
     * Codes are kept as array<int> for plan readability — the storage-layer
@@ -91,24 +161,13 @@ object ProductQuantizer {
       m: Int = 8, ksub: Int = 16, maxIter: Int = 5): PqModel = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val typed = corpus.select(col(idCol).cast("long"), col(vecCol))
-      .as[(Long, Array[Float])]
-    val sample = typed
-      .orderBy(md5(col(idCol).cast("string")), col(idCol))
-      .limit(ksub * 40).collect().map(_._2)
-    val d = sample.head.length
-    require(d % m == 0, s"dim $d not divisible by m=$m subspaces")
-    val dsub = d / m
-    val codebooks = Array.tabulate(m)(j =>
-      trainSubCodebook(sample.map(sub(_, j, dsub)), ksub, maxIter))
+    val codebooks = trainCodebooksFor(corpus, idCol, vecCol, m, ksub, maxIter)
     val bc = spark.sparkContext.broadcast(codebooks)
-    val encoded = typed
+    val encoded = corpus.select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Array[Float])]
       .map { case (id, v) =>
-        val cb = bc.value
-        val codes = Array.tabulate(m)(j => nearestWord(sub(v, j, dsub), cb(j)))
-        var n = 0.0; var i = 0
-        while (i < v.length) { n += v(i).toDouble * v(i); i += 1 }
-        (id, v, codes, math.sqrt(n))
+        val (codes, norm) = codesAndNorm(v, bc.value)
+        (id, v, codes, norm)
       }
       .toDF(idCol, vecCol, "codes", "norm")
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -128,21 +187,11 @@ object ProductQuantizer {
     import spark.implicits._
     val nRerank = if (rerank > 0) rerank else math.max(4 * k, 20)
     val idCol = model.idCol
-    val m = model.codebooks.length
-    val dsub = model.codebooks(0)(0).length
     val qRows = queries.select(col(idCol).cast("long"), col(model.vecCol))
       .as[(Long, Array[Float])].collect()
     val probes = qRows.toSeq.map { case (qid, qv) =>
-      val table = Array.tabulate(m) { j =>
-        model.codebooks(j).map { w =>
-          var s = 0.0; var i = 0
-          while (i < dsub) { s += qv(j * dsub + i).toDouble * w(i); i += 1 }
-          s
-        }
-      }
-      var qn = 0.0; var i = 0
-      while (i < qv.length) { qn += qv(i).toDouble * qv(i); i += 1 }
-      (qid, qv, table.map(_.toSeq).toSeq, math.sqrt(qn))
+      val (table, qnorm) = adcTable(qv, model.codebooks)
+      (qid, qv, table, qnorm)
     }
     val q = broadcast(spark.createDataset(probes)
       .toDF("query_id", "_qv", "_tbl", "_qnorm"))
@@ -168,14 +217,7 @@ object ProductQuantizer {
   }
 
   private val PqCacheSize = 16
-  private val pqCache =
-    new java.util.LinkedHashMap[String, PqModel](16, 0.75f, /*accessOrder=*/ true) {
-      override def removeEldestEntry(e: java.util.Map.Entry[String, PqModel]): Boolean = {
-        val evict = size() > PqCacheSize
-        if (evict) e.getValue.unpersist()
-        evict
-      }
-    }
+  private val pqCache = new ModelCache[PqModel](_.unpersist())
 
   /** Memoizing front (the [[Similarity.ivfTopK]] shape): one encoded corpus
     * per (plan, params), swap-evicted LRU, drained by
@@ -187,16 +229,12 @@ object ProductQuantizer {
       m: Int = 8, ksub: Int = 16, maxIter: Int = 5, rerank: Int = 0): DataFrame = {
     val key = corpus.queryExecution.analyzed.canonicalized.semanticHash().toString +
       s":$idCol:$vecCol:$m:$ksub:$maxIter"
-    val model = pqCache.synchronized {
-      var mod = pqCache.get(key)
-      if (mod == null) { mod = pqIndex(corpus, idCol, vecCol, m, ksub, maxIter); pqCache.put(key, mod) }
-      mod
-    }
-    pqTopK(model, queries, k, rerank)
+    pqTopK(pqCache.getOrBuild(key)(
+      pqIndex(corpus, idCol, vecCol, m, ksub, maxIter)), queries, k, rerank)
   }
 
   /** Observable memo bound for tests. */
-  def pqCacheEntries: Int = pqCache.synchronized(pqCache.size())
+  def pqCacheEntries: Int = pqCache.entries
 
   // ----------------------------------------------------------------- IVF-PQ
 
@@ -227,26 +265,14 @@ object ProductQuantizer {
     val spark = corpus.sparkSession
     import spark.implicits._
     val ivf = Similarity.ivfIndex(corpus, idCol, vecCol, nlist, maxIter)
-    val typed = corpus.select(col(idCol).cast("long"), col(vecCol))
-      .as[(Long, Array[Float])]
-    val sample = typed
-      .orderBy(md5(col(idCol).cast("string")), col(idCol))
-      .limit(ksub * 40).collect().map(_._2)
-    val d = sample.head.length
-    require(d % m == 0, s"dim $d not divisible by m=$m subspaces")
-    val dsub = d / m
-    val codebooks = Array.tabulate(m)(j =>
-      trainSubCodebook(sample.map(sub(_, j, dsub)), ksub, maxIter))
+    val codebooks = trainCodebooksFor(corpus, idCol, vecCol, m, ksub, maxIter)
     val bc = spark.sparkContext.broadcast(codebooks)
     val encoded = ivf.cells
       .select(col("cell"), col(idCol).cast("long"), col(vecCol))
       .as[(Int, Long, Array[Float])]
       .map { case (cell, id, v) =>
-        val cb = bc.value
-        val codes = Array.tabulate(m)(j => nearestWord(sub(v, j, dsub), cb(j)))
-        var n = 0.0; var i = 0
-        while (i < v.length) { n += v(i).toDouble * v(i); i += 1 }
-        (cell, id, v, codes, math.sqrt(n))
+        val (codes, norm) = codesAndNorm(v, bc.value)
+        (cell, id, v, codes, norm)
       }
       .toDF("cell", idCol, vecCol, "codes", "norm")
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -270,22 +296,12 @@ object ProductQuantizer {
     import spark.implicits._
     val nRerank = if (rerank > 0) rerank else math.max(4 * k, 20)
     val idCol = model.idCol
-    val m = model.codebooks.length
-    val dsub = model.codebooks(0)(0).length
     val qRows = queries.select(col(idCol).cast("long"), col(model.vecCol))
       .as[(Long, Array[Float])].collect()
     val probeRows = qRows.toSeq.flatMap { case (qid, qv) =>
-      val table = Array.tabulate(m) { j =>
-        model.codebooks(j).map { w =>
-          var s = 0.0; var i = 0
-          while (i < dsub) { s += qv(j * dsub + i).toDouble * w(i); i += 1 }
-          s
-        }
-      }
-      var qn = 0.0; var i = 0
-      while (i < qv.length) { qn += qv(i).toDouble * qv(i); i += 1 }
+      val (table, qnorm) = adcTable(qv, model.codebooks)
       Similarity.nearestCells(qv, model.centroids, nprobe)
-        .map(c => (c, qid, qv, table.map(_.toSeq).toSeq, math.sqrt(qn)))
+        .map(c => (c, qid, qv, table, qnorm))
     }
     val probes = spark.createDataset(probeRows)
       .toDF("cell", "query_id", "_qv", "_tbl", "_qnorm")
@@ -309,14 +325,7 @@ object ProductQuantizer {
       .where(col("rank") <= k)
   }
 
-  private val ivfPqCache =
-    new java.util.LinkedHashMap[String, IvfPqModel](16, 0.75f, /*accessOrder=*/ true) {
-      override def removeEldestEntry(e: java.util.Map.Entry[String, IvfPqModel]): Boolean = {
-        val evict = size() > PqCacheSize
-        if (evict) e.getValue.unpersist()
-        evict
-      }
-    }
+  private val ivfPqCache = new ModelCache[IvfPqModel](_.unpersist())
 
   /** Memoizing front (the [[pqTopKFor]] shape): one encoded+celled corpus
     * per (plan, params), swap-evicted LRU, drained by
@@ -329,29 +338,17 @@ object ProductQuantizer {
       m: Int = 8, ksub: Int = 16, maxIter: Int = 5, rerank: Int = 0): DataFrame = {
     val key = corpus.queryExecution.analyzed.canonicalized.semanticHash().toString +
       s":$idCol:$vecCol:$nlist:$m:$ksub:$maxIter"
-    val model = ivfPqCache.synchronized {
-      var mod = ivfPqCache.get(key)
-      if (mod == null) {
-        mod = ivfPqIndex(corpus, idCol, vecCol, nlist, m, ksub, maxIter)
-        ivfPqCache.put(key, mod)
-      }
-      mod
-    }
-    ivfPqTopK(model, queries, k, nprobe, rerank)
+    ivfPqTopK(ivfPqCache.getOrBuild(key)(
+      ivfPqIndex(corpus, idCol, vecCol, nlist, m, ksub, maxIter)),
+      queries, k, nprobe, rerank)
   }
 
   /** Observable memo bound for tests. */
-  def ivfPqCacheEntries: Int = ivfPqCache.synchronized(ivfPqCache.size())
+  def ivfPqCacheEntries: Int = ivfPqCache.entries
 
   /** Drop every memoized PQ / IVF-PQ index ([[graft.Graft.releaseCaches]]). */
   private[graft] def release(): Unit = {
-    pqCache.synchronized {
-      pqCache.values().forEach(_.unpersist())
-      pqCache.clear()
-    }
-    ivfPqCache.synchronized {
-      ivfPqCache.values().forEach(_.unpersist())
-      ivfPqCache.clear()
-    }
+    pqCache.drain()
+    ivfPqCache.drain()
   }
 }

@@ -45,6 +45,40 @@ object Blockchain {
        |  SELECT * FROM tx_outputs WHERE tx_hash IN (SELECT tx_hash FROM ctx)
        |)""".stripMargin
 
+  /** Counterparty + co-spend edge base shared by g3/g4/g5: flow edges of
+    * the best chain UNION co-spend links (addresses funding the same tx —
+    * the wallet-clustering signal). ONE definition; its SQL twin is
+    * [[counterpartyEdgesSql]] — change both together.
+    */
+  private def counterpartyEdges(s: org.apache.spark.sql.SparkSession): org.apache.spark.sql.DataFrame = {
+    val ann = BestChain.annotate(F.blocksDf(s))
+    val cTxs = GoldStats.chainTxs(F.transactionsDf(s), ann)
+    val rin = Enrich.resolvedInputs(F.txInputsDf(s), F.txOutputsDf(s))
+      .join(cTxs.select("tx_hash"), Seq("tx_hash"), "left_semi")
+    val outs = F.txOutputsDf(s).join(cTxs.select("tx_hash"), Seq("tx_hash"), "left_semi")
+    val funders = rin.select(col("tx_hash"), col("src_address")).distinct()
+    val cospend = funders
+      .join(funders.select(col("tx_hash"), col("src_address").as("dst_address")), "tx_hash")
+      .where(col("src_address") < col("dst_address"))
+      .select(col("src_address").as("src"), col("dst_address").as("dst"),
+        lit(0L).as("value"))
+    graft.graph.GraphAnalytics.flowEdges(rin, outs).unionByName(cospend)
+  }
+
+  /** The SQL twin of [[counterpartyEdges]], consumed by the g3/g4/g5
+    * oracles on top of [[chainCte]]'s `rin`/`outs`.
+    */
+  private val counterpartyEdgesSql: String =
+    """fund AS (SELECT DISTINCT tx_hash, src_address AS src FROM rin),
+      |edges AS (
+      |  SELECT DISTINCT f.src, o.address AS dst
+      |  FROM fund f
+      |  JOIN outs o ON f.tx_hash = o.tx_hash
+      |  UNION
+      |  SELECT a.src, b.src AS dst
+      |  FROM fund a JOIN fund b ON a.tx_hash = b.tx_hash AND a.src < b.src
+      |)""".stripMargin
+
   val queries: Seq[Q] = Seq(
 
     Q("bc1_heights",
@@ -287,31 +321,9 @@ object Blockchain {
     // (co-funders A,B both paying F close the {A,B,F} triangle). The
     // oracle re-derives the same union, orientation and closure in SQL.
     Q("g3_triangles",
-      (s, _) => {
-        val ann = BestChain.annotate(F.blocksDf(s))
-        val cTxs = GoldStats.chainTxs(F.transactionsDf(s), ann)
-        val rin = Enrich.resolvedInputs(F.txInputsDf(s), F.txOutputsDf(s))
-          .join(cTxs.select("tx_hash"), Seq("tx_hash"), "left_semi")
-        val outs = F.txOutputsDf(s).join(cTxs.select("tx_hash"), Seq("tx_hash"), "left_semi")
-        val funders = rin.select(col("tx_hash"), col("src_address")).distinct()
-        val cospend = funders
-          .join(funders.select(col("tx_hash"), col("src_address").as("dst_address")), "tx_hash")
-          .where(col("src_address") < col("dst_address"))
-          .select(col("src_address").as("src"), col("dst_address").as("dst"),
-            lit(0L).as("value"))
-        graft.graph.GraphAnalytics.triangleCounts(
-          graft.graph.GraphAnalytics.flowEdges(rin, outs).unionByName(cospend))
-      },
+      (s, _) => graft.graph.GraphAnalytics.triangleCounts(counterpartyEdges(s)),
       Some(s"""WITH RECURSIVE ${chainCte.stripPrefix("WITH ")},
-         |fund AS (SELECT DISTINCT tx_hash, src_address AS src FROM rin),
-         |edges AS (
-         |  SELECT DISTINCT f.src, o.address AS dst
-         |  FROM fund f
-         |  JOIN outs o ON f.tx_hash = o.tx_hash
-         |  UNION
-         |  SELECT a.src, b.src AS dst
-         |  FROM fund a JOIN fund b ON a.tx_hash = b.tx_hash AND a.src < b.src
-         |), und AS (
+         |$counterpartyEdgesSql, und AS (
          |  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
          |  FROM edges WHERE src <> dst
          |), deg AS (
@@ -340,21 +352,7 @@ object Blockchain {
     // technique): 12 rounds is past convergence for any graph this
     // fixture's size, and peeling is monotone — extra rounds are no-ops.
     Q("g4_kcore",
-      (s, _) => {
-        val ann = BestChain.annotate(F.blocksDf(s))
-        val cTxs = GoldStats.chainTxs(F.transactionsDf(s), ann)
-        val rin = Enrich.resolvedInputs(F.txInputsDf(s), F.txOutputsDf(s))
-          .join(cTxs.select("tx_hash"), Seq("tx_hash"), "left_semi")
-        val outs = F.txOutputsDf(s).join(cTxs.select("tx_hash"), Seq("tx_hash"), "left_semi")
-        val funders = rin.select(col("tx_hash"), col("src_address")).distinct()
-        val cospend = funders
-          .join(funders.select(col("tx_hash"), col("src_address").as("dst_address")), "tx_hash")
-          .where(col("src_address") < col("dst_address"))
-          .select(col("src_address").as("src"), col("dst_address").as("dst"),
-            lit(0L).as("value"))
-        graft.graph.GraphAnalytics.kCore(
-          graft.graph.GraphAnalytics.flowEdges(rin, outs).unionByName(cospend), k = 2)
-      },
+      (s, _) => graft.graph.GraphAnalytics.kCore(counterpartyEdges(s), k = 2),
       Some {
         // every round CTE is MATERIALIZED: each references its predecessor
         // several times, and CTE inlining would otherwise expand r12 into an
@@ -372,15 +370,7 @@ object Blockchain {
              |)""".stripMargin
         }.mkString(",\n")
         s"""WITH RECURSIVE ${chainCte.stripPrefix("WITH ")},
-           |fund AS (SELECT DISTINCT tx_hash, src_address AS src FROM rin),
-           |edges AS (
-           |  SELECT DISTINCT f.src, o.address AS dst
-           |  FROM fund f
-           |  JOIN outs o ON f.tx_hash = o.tx_hash
-           |  UNION
-           |  SELECT a.src, b.src AS dst
-           |  FROM fund a JOIN fund b ON a.tx_hash = b.tx_hash AND a.src < b.src
-           |), r0 AS MATERIALIZED (
+           |$counterpartyEdgesSql, r0 AS MATERIALIZED (
            |  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
            |  FROM edges WHERE src <> dst
            |),
@@ -394,21 +384,7 @@ object Blockchain {
     // the oracle unrolls the 4 rounds as materialized CTEs (the g2/g4
     // technique) and matches row-for-row.
     Q("g5_lpa_communities",
-      (s, _) => {
-        val ann = BestChain.annotate(F.blocksDf(s))
-        val cTxs = GoldStats.chainTxs(F.transactionsDf(s), ann)
-        val rin = Enrich.resolvedInputs(F.txInputsDf(s), F.txOutputsDf(s))
-          .join(cTxs.select("tx_hash"), Seq("tx_hash"), "left_semi")
-        val outs = F.txOutputsDf(s).join(cTxs.select("tx_hash"), Seq("tx_hash"), "left_semi")
-        val funders = rin.select(col("tx_hash"), col("src_address")).distinct()
-        val cospend = funders
-          .join(funders.select(col("tx_hash"), col("src_address").as("dst_address")), "tx_hash")
-          .where(col("src_address") < col("dst_address"))
-          .select(col("src_address").as("src"), col("dst_address").as("dst"),
-            lit(0L).as("value"))
-        graft.graph.GraphAnalytics.labelPropagation(
-          graft.graph.GraphAnalytics.flowEdges(rin, outs).unionByName(cospend))
-      },
+      (s, _) => graft.graph.GraphAnalytics.labelPropagation(counterpartyEdges(s)),
       Some {
         val rounds = (1 to 4).map { i =>
           s"""lp$i AS MATERIALIZED (
@@ -420,15 +396,7 @@ object Blockchain {
              |    GROUP BY e.a, p.label) WHERE rn = 1)""".stripMargin
         }.mkString(",\n")
         s"""WITH RECURSIVE ${chainCte.stripPrefix("WITH ")},
-           |fund AS (SELECT DISTINCT tx_hash, src_address AS src FROM rin),
-           |edges AS (
-           |  SELECT DISTINCT f.src, o.address AS dst
-           |  FROM fund f
-           |  JOIN outs o ON f.tx_hash = o.tx_hash
-           |  UNION
-           |  SELECT a.src, b.src AS dst
-           |  FROM fund a JOIN fund b ON a.tx_hash = b.tx_hash AND a.src < b.src
-           |), und AS MATERIALIZED (
+           |$counterpartyEdgesSql, und AS MATERIALIZED (
            |  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
            |  FROM edges WHERE src <> dst
            |), adj AS MATERIALIZED (

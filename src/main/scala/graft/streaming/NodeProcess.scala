@@ -63,18 +63,30 @@ object NodeProcess {
       }
       proc.waitFor()
       pump.join(graceMs)
-      exitCodeRef.compareAndSet(Int.MinValue, proc.exitValue())
+      // publish the exit code ONLY once the pump has drained — exitCode's
+      // contract is "process exited AND logs fully published"; a pump still
+      // blocked (an orphaned grandchild holding the pipe) must keep
+      // exitCode None so callers don't drain a snapshot missing the tail
+      if (!pump.isAlive)
+        exitCodeRef.compareAndSet(Int.MinValue, proc.exitValue())
       proc.exitValue()
     }
   }
 
   /** Spawn `command` and pump its stdout (+ merged stderr — bitcoind logs
-    * there) into `logDir/node-NNNNN.log`, rolling every `rollLines` lines.
-    * The partial tail file stays `.inprogress` until rolled or the process
-    * exits, so consumers only ever list complete files.
+    * there) into `logDir/node-NNNNN.log`, rolling every `rollLines` lines
+    * OR once a non-empty tail is `rollMillis` old — whichever comes first.
+    * The time-based roll bounds publish LATENCY: a caught-up node emitting
+    * one UpdateTip every ten minutes must not have it withheld in the
+    * `.inprogress` tail until 10k lines accumulate; with the default 5s the
+    * streaming source sees every line within seconds of the node writing
+    * it. The partial tail file stays `.inprogress` until rolled or the
+    * process exits, so consumers only ever list complete files.
     */
-  def start(command: Seq[String], logDir: String, rollLines: Int = 10000): NodeHandle = {
+  def start(command: Seq[String], logDir: String, rollLines: Int = 10000,
+      rollMillis: Long = 5000): NodeHandle = {
     require(rollLines > 0, s"rollLines must be positive, got $rollLines")
+    require(rollMillis > 0, s"rollMillis must be positive, got $rollMillis")
     val dir = Paths.get(logDir)
     Files.createDirectories(dir)
     // Resume numbering PAST anything already in the dir: a restarted node
@@ -98,6 +110,7 @@ object NodeProcess {
       var lineNo = 0
       var writer: BufferedWriter = null
       var current: Path = null
+      var tailBornNanos = 0L // when the current .inprogress got its first line
       def roll(): Unit = if (writer != null) {
         writer.close()
         Files.move(current, finalName(dir, fileNo),
@@ -119,6 +132,7 @@ object NodeProcess {
               if (writer == null) {
                 current = dir.resolve(f"node-$fileNo%05d.log.inprogress")
                 writer = Files.newBufferedWriter(current, StandardCharsets.UTF_8)
+                tailBornNanos = System.nanoTime()
               }
               writer.write(line); writer.newLine()
               lineNo += 1
@@ -128,6 +142,10 @@ object NodeProcess {
             Thread.sleep(50) // let in-flight kernel-buffered bytes surface
             if (!reader.ready()) eof = true
           } else Thread.sleep(10)
+          // latency-bounded publish: the poll loop ticks even when the node
+          // is quiet, so an aged non-empty tail rolls without new input
+          if (writer != null &&
+              System.nanoTime() - tailBornNanos >= rollMillis * 1000000L) roll()
         }
       } finally {
         roll() // process gone: publish the tail

@@ -51,6 +51,10 @@ object SyncPipeline {
     * bronze tip set each micro-batch (pure function — replay-idempotent).
     * The default continuous trigger follows the node live; pass
     * `Trigger.AvailableNow()` to catch up on existing logs and terminate.
+    * "Live" is honest end to end: the pump's time-based roll (`rollMillis`)
+    * publishes a quiet node's tail lines within seconds, so a caught-up
+    * node's one-tip-per-block trickle reaches gold at trigger cadence, not
+    * after 10k lines accumulate.
     */
   def start(
       spark: SparkSession,
@@ -60,8 +64,10 @@ object SyncPipeline {
       goldDir: String,
       checkpointDir: String,
       recompute: (SparkSession, DataFrame) => DataFrame,
-      trigger: Trigger = Trigger.ProcessingTime("10 seconds")): Running = {
-    val node = NodeProcess.start(nodeCommand, logDir)
+      trigger: Trigger = Trigger.ProcessingTime("10 seconds"),
+      rollLines: Int = 10000,
+      rollMillis: Long = 5000): Running = {
+    val node = NodeProcess.start(nodeCommand, logDir, rollLines, rollMillis)
     val graceful = new Graceful(spark)
     val query = graceful.manage(
       ChainStream.incrementalGold(

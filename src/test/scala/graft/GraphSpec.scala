@@ -110,6 +110,18 @@ class GraphSpec extends SparkSpec {
     assert(GraphAnalytics.kCore(edges, k = 3).count() == 0)
   }
 
+  test("kCore: cascade past maxIter fails loudly instead of returning a mid-peel set") {
+    import spark.implicits._
+    // a 30-vertex path peels 2 endpoints per round: the true 2-core is
+    // empty but needs ~15 rounds to reach
+    val path = (0 until 29).map(i => (s"v$i", s"v${i + 1}")).toDF("src", "dst")
+    val e = intercept[IllegalStateException] {
+      GraphAnalytics.kCore(path, k = 2, maxIter = 5)
+    }
+    assert(e.getMessage.contains("did not converge"))
+    assert(GraphAnalytics.kCore(path, k = 2, maxIter = 30).count() == 0)
+  }
+
   test("kCore matches brute-force peeling on a random graph") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)

@@ -48,6 +48,22 @@ class NodeProcessSpec extends SparkSpec {
       ("00000000000000ac", 102)))
   }
 
+  test("a quiet node's tail publishes by the time-based roll, not only by line count") {
+    val dir = Files.createTempDirectory("nodeproc-latency").toString
+    // one line, then a long sleep: the line-count roll (10k) never fires;
+    // only the time-based roll can publish the tip while the node lives
+    val script =
+      """echo "2024-01-01 UpdateTip: new best=00000000000000aa height=100 version=0x20000000";
+        |sleep 30""".stripMargin
+    val h = NodeProcess.start(Seq("sh", "-c", script), dir, rollMillis = 300)
+    try {
+      assert(await(Files.list(Paths.get(dir)).toArray.map(_.toString)
+          .exists(_.endsWith("node-00000.log")), ms = 10000),
+        "tail not published while the process was still alive")
+      assert(h.isAlive, "roll must not require process exit")
+    } finally h.stop(1000)
+  }
+
   test("graceful stop: SIGTERM first, exit observed, idempotent") {
     val dir = Files.createTempDirectory("nodeproc").toString
     val h = NodeProcess.start(Seq("sleep", "30"), dir)

@@ -7,7 +7,7 @@ import org.apache.spark.sql.execution.FormattedMode
   * quadratic joins (CartesianProduct / BroadcastNestedLoopJoin) and
   * full-data windows over a single partition. Query-specific PlanSpec pins
   * assert what good plans DO contain; this suite asserts what no plan may
-  * contain, so a regression in ANY of the 119 queries fails loudly instead
+  * contain, so a regression in ANY registered query fails loudly instead
   * of quietly shipping a plan that only works at gate scale.
   */
 class PlanAuditSpec extends SparkSpec {
