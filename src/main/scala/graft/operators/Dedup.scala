@@ -103,6 +103,24 @@ object Dedup {
     df.groupBy(keyCols.map(col): _*)
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
 
+  /** Cross-corpus exact dedup — the INCREMENTAL form of [[exact]]: keep the
+    * rows of `incoming` whose content fingerprint does not appear in
+    * `reference` (the previously-released corpus; see
+    * `sinks.CorpusRelease`). This is the "dedup tonight's crawl against
+    * everything already shipped" step of a rolling curation pipeline —
+    * within-batch duplicates are [[exact]]'s job, this one keeps the new
+    * batch from re-shipping old content.
+    *
+    * Scale shape: the anti-join ships 32-hex fingerprints, never document
+    * bodies, and the reference side pre-distincts (its fingerprint set is
+    * bounded by the release, not the crawl); AQE broadcasts it when small.
+    */
+  def exactAgainst(incoming: DataFrame, reference: DataFrame,
+      textCol: String): DataFrame =
+    incoming.join(
+      reference.select(md5(col(textCol)).as("_ref_fp")).distinct(),
+      md5(incoming(textCol)) === col("_ref_fp"), "left_anti")
+
   /** MinHash signature: for each row, `numHashes` min-hashes over its
     * word-k-shingle set, computed in ONE narrow typed pass — a document's
     * whole shingle set lives in its row, so the signature needs no explode,

@@ -562,6 +562,26 @@ object Pipeline {
         |SELECT c.vec_id, s.n_members FROM comp c JOIN sizes s USING (cluster_id)
         |WHERE c.vec_id = c.cluster_id""".stripMargin)),
 
+    // Incremental (cross-corpus) exact dedup: tonight's crawl anti-joined
+    // on content fingerprint against the already-shipped release — the
+    // rolling-pipeline complement of d1's within-batch dedup. The
+    // "release" here is the deterministic hash-half of the corpus (the ds1
+    // selection rule), so the oracle re-derives the same reference set.
+    Q("d10_dedup_against_release",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val released = Sampling.stratifiedSample(docs, "doc_id", "lang",
+          Map.empty, defaultRate = 0.5)
+        Dedup.exactAgainst(docs, released, "text")
+      },
+      Some("""WITH ref AS (
+        |  SELECT DISTINCT md5(text) AS fp FROM documents
+        |  WHERE CAST(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS UBIGINT) AS BIGINT) <
+        |    CAST(floor(0.5 * 1152921504606846976.0) AS BIGINT)
+        |)
+        |SELECT d.* FROM documents d
+        |WHERE NOT EXISTS (SELECT 1 FROM ref r WHERE r.fp = md5(d.text))""".stripMargin)),
+
     // TF-IDF: tf * ln(N/df) — a two-aggregate dataflow, no ML-lib state.
     Q("t5_tfidf",
       (s, d) => {

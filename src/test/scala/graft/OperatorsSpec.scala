@@ -442,6 +442,22 @@ class OperatorsSpec extends SparkSpec {
     assert(got(2L) == ((1, 0, ""))) // zero survivors -> empty text, not null
   }
 
+  test("exactAgainst: shipped content never re-ships; new and null-text rows survive") {
+    import spark.implicits._
+    val release = Seq((1L, "alpha"), (2L, "beta")).toDF("doc_id", "text")
+    val crawl = Seq(
+      (10L, "alpha"), // already shipped -> dropped
+      (11L, "gamma"), // new content -> kept
+      (12L, null.asInstanceOf[String]), // unparsed text: no fingerprint, kept
+      (13L, "beta")) // already shipped -> dropped
+      .toDF("doc_id", "text")
+    val kept = Dedup.exactAgainst(crawl, release, "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(11L, 12L))
+    // a release deduped against itself is empty (full self-overlap)
+    assert(Dedup.exactAgainst(release, release, "text").count() == 0)
+  }
+
   test("classifierScore: mean hashed weight, integer score, stable across runs") {
     import spark.implicits._
     val df = Seq((1L, "alpha beta alpha"), (2L, "alpha")).toDF("doc_id", "text")
