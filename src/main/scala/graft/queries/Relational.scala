@@ -683,7 +683,7 @@ object Relational {
       Some("SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_cust FROM orders " +
         "GROUP BY o_orderpriority")),
 
-    Q("e2_type_stats",
+    Q("e5_type_stats",
       (s, d) => Tables.events(s, d)
         .groupBy("event_type")
         .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"),

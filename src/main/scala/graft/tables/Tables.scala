@@ -1,7 +1,7 @@
 package graft.tables
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, expr}
+import org.apache.spark.sql.functions.expr
 import org.apache.spark.sql.types.LongType
 
 /** Loaders for the driver-provided TESTDATA parquet tables (TESTDATA.md).
