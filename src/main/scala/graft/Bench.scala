@@ -136,16 +136,20 @@ object Bench {
         wPrev = w
         warms += 1
       }
-      // Spread = p10–p90 trimmed range. max−min is monotone in sample
-      // count, so under adaptive resampling one transient host hiccup
-      // flagged a query permanently no matter how many clean samples
-      // followed — the flag could trip and never untrip. The trimmed range
-      // is sample-count-invariant (at the default 3 runs it IS max−min);
-      // the raw range still ships as spread_raw.
+      // Spread = symmetrically trimmed range, ⌊n/6⌋ dropped from each side.
+      // max−min is monotone in sample count, so under adaptive resampling
+      // one transient host hiccup flagged a query permanently no matter how
+      // many clean samples followed — the flag could trip and never untrip.
+      // At the default 3 runs nothing is trimmed (spread IS max−min); each
+      // adaptive batch of extras earns one trimmed outlier per side, so a
+      // single hiccup is outvoted by clean resamples while sustained drift
+      // (half the samples slow) survives trimming and still flags. The raw
+      // range ships as spread_raw.
       def median(ss: Seq[Double]): Double = { val s = ss.sorted; s(s.length / 2) }
       def trimmed(ss: Seq[Double]): Double = {
         val s = ss.sorted
-        s(math.round(0.9 * (s.length - 1)).toInt) - s(math.round(0.1 * (s.length - 1)).toInt)
+        val k = s.length / 6
+        s(s.length - 1 - k) - s(k)
       }
       def unstable(ss: Seq[Double]): Boolean =
         trimmed(ss) > math.max(median(ss) * 0.5, 0.5)

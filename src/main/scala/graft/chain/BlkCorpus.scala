@@ -38,8 +38,20 @@ import graft.sources.BlockFileSource
   */
 object BlkCorpus {
 
-  val MainChainLength = 50000
-  val DeepForkHeight = 49699
+  /** Scale-rehearsal multiplier (SPARK_GRAFT_CORPUS_SCALE, default 1 = the
+    * 50k-block corpus every spec and oracle runs on). At S>1 the main chain
+    * grows to S·50k blocks and everything keyed off chain length — the deep
+    * fork point, the fork window, the UTXO snapshot height — scales with
+    * it, so bk0/bk1/bk4/bk7 run unchanged. Materialized under a
+    * scale-suffixed directory so the scales coexist; the flag must NEVER
+    * default on (a 500k-block corpus build inside the test suite would blow
+    * its wall time 10×).
+    */
+  val Scale: Int = sys.env.getOrElse("SPARK_GRAFT_CORPUS_SCALE", "1").toInt
+  require(Scale >= 1 && Scale <= 100, s"SPARK_GRAFT_CORPUS_SCALE=$Scale out of range")
+
+  val MainChainLength: Int = 50000 * Scale
+  val DeepForkHeight: Int = MainChainLength - 301
   val DeepForkLength = 140
 
   /** Address pool is partitioned into wallets of 10; spend txs draw all
@@ -65,7 +77,8 @@ object BlkCorpus {
   val SentinelOutputRate = 0.15
 
   def baseDir: String =
-    sys.env.getOrElse("SPARK_GRAFT_CORPUS_DIR", "/root/repo/target/blkcorpus_v5")
+    sys.env.getOrElse("SPARK_GRAFT_CORPUS_DIR",
+      "/root/repo/target/blkcorpus_v5" + (if (Scale == 1) "" else s"_x$Scale"))
   def rawDir: String = s"$baseDir/raw"
   def bronzeDir(table: String): String = s"$baseDir/bronze/$table"
   def silverDir(table: String): String = s"$baseDir/silver/$table"
@@ -153,7 +166,7 @@ object BlkCorpus {
   }
 
   private val ZeroHash = "0" * 64
-  private val GenesisTs = 1231006505L
+  val GenesisTs = 1231006505L
 
   /** Generate the corpus into `rawDir` (driver-side). Returns the oracle
     * ground truth: (hash, height, is_on_best_chain) for every emitted block.

@@ -60,18 +60,21 @@ object BlkScale {
   private def truthCte: String =
     s"truth AS (SELECT * FROM ${pq(BlkCorpus.truthDir)})"
 
-  /** The fork window: every block at ts ≥ height-48000's slot — covers the
-    * last 2000 main-chain heights, the 140-block stale branch and the
-    * window's orphans (~2.1k blocks). The window boundary block's parent is
-    * outside the window, i.e. a DANGLING pointer — which both sides define
-    * as a root (ChainOps orphan semantics; NOT EXISTS in the CTE).
+  /** The fork window: every block at ts ≥ the slot 2000 heights below the
+    * tip — covers the last 2000 main-chain heights, the 140-block stale
+    * branch and the window's orphans (~2.1k blocks). The window boundary
+    * block's parent is outside the window, i.e. a DANGLING pointer — which
+    * both sides define as a root (ChainOps orphan semantics; NOT EXISTS in
+    * the CTE). Derived from the corpus length so the scale-rehearsal flag
+    * (SPARK_GRAFT_CORPUS_SCALE) moves it with the chain tip.
     */
-  private[graft] val WindowStartTs: Long = 1231006505L + 48000L * 600L
+  private[graft] val WindowStartTs: Long =
+    BlkCorpus.GenesisTs + (BlkCorpus.MainChainLength - 2000L) * 600L
 
   /** bk7 snapshot height: inside the stable prefix (before the fork window)
-    * so the UTXO answer is reorg-independent.
+    * so the UTXO answer is reorg-independent. Scales with the corpus.
     */
-  private[graft] val UtxoHeight: Int = 45000
+  private[graft] val UtxoHeight: Int = BlkCorpus.MainChainLength - 5000
 
   /** Chain-filtered tx context + resolved inputs + outputs, from the
     * bk1-verified annotation (set-based; no recursion).
