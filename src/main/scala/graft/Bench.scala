@@ -209,6 +209,12 @@ object Bench {
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench.json"))
     Option(out.getParent).foreach(java.nio.file.Files.createDirectories(_))
     java.nio.file.Files.writeString(out, json + "\n")
+    // Second copy into the TRACKED bench/ dir (when run from the repo root):
+    // the driver's end-of-round snapshot commits uncommitted files, so its
+    // own bench run self-archives losslessly without driver cooperation.
+    val tracked = java.nio.file.Paths.get("bench/BENCH_FULL_latest.json")
+    if (java.nio.file.Files.isDirectory(tracked.getParent))
+      java.nio.file.Files.writeString(tracked, json + "\n")
     println(json)
     spark.stop()
   }
