@@ -1,0 +1,83 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scale rehearsal for the LLM-pipeline operators (not part of the API):
+  * replicates the sf0.1 documents/embeddings tables K× and times the
+  * registered dedup / decontamination / text / ANN queries at 1× vs K× —
+  * the same class of evidence [[ScaleRehearsal]] buys for the blockchain
+  * pipeline, pointed at the §2.11 surface.
+  *
+  * Replication preserves INPUT scale without inflating the answer: replica
+  * i>0 interleaves a replica-unique salt token between every pair of words
+  * (`regexp_replace(text, ' ', ' r<i> ')`), so every 3-gram shingle changes
+  * and replicas are NOT near-duplicates of each other — within-replica
+  * duplicate/near-dup structure mirrors the original, total true pairs grow
+  * ~K× (a corpus of K exact copies would instead grow candidate pairs K²
+  * per group and measure output explosion, not operator scaling).
+  * Embeddings get a per-replica constant offset — distinct vectors, same
+  * geometry class; the vec_id<10 query set stays replica-0 only.
+  */
+object DocScaleRehearsal {
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.unionOutputPartitioning", "false")
+      .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val k = sys.env.getOrElse("SPARK_GRAFT_DOC_SCALE", "10").toInt
+    val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val dir = s"target/docscale_x$k"
+    if (!Files.exists(Paths.get(s"$dir/_DONE"))) {
+      val docs = spark.read.parquet(s"$src/documents.parquet")
+      val n = docs.agg(max("doc_id")).head.getLong(0) + 1
+      (0 until k).map { i =>
+        docs.select(
+          (col("doc_id") + lit(i * n)).as("doc_id"),
+          (if (i == 0) col("text")
+           else regexp_replace(col("text"), " ", s" r$i ")).as("text"),
+          col("lang"), col("source"), col("n_chars"))
+      }.reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val emb = spark.read.parquet(s"$src/embeddings.parquet")
+      val m = emb.agg(max("vec_id")).head.getLong(0) + 1
+      (0 until k).map { i =>
+        emb.select(
+          (col("vec_id") + lit(i * m)).as("vec_id"),
+          (if (i == 0) col("embedding")
+           else transform(col("embedding"),
+             x => (x + lit(i * 0.01f)).cast("float"))).as("embedding"),
+          col("label"))
+      }.reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      Files.write(Paths.get(s"$dir/_DONE"), Array.emptyByteArray)
+    }
+    val names = Seq("d1_exact_dedup", "d4_minhash_pairs", "d7_neardup_clusters",
+      "t13_decontaminate_bloom", "t15_bigram_surprisal", "sim5_ivf_topk")
+    Seq(("1x", src), (s"${k}x", dir)).foreach { case (tag, d) =>
+      names.foreach { name =>
+        Graft.releaseCaches()
+        def once(): Double = {
+          val t0 = System.nanoTime()
+          SparkEntry.queries(name)(spark, d)
+            .write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        }
+        val warm = once()
+        val s1 = once()
+        val s2 = once()
+        println(f"""{"rehearsal":"$name","docs":"$tag","warm":$warm%.2f,"s1":$s1%.2f,"s2":$s2%.2f}""")
+      }
+    }
+    spark.stop()
+  }
+}

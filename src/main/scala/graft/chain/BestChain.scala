@@ -129,11 +129,19 @@ object BestChain {
     // walk and the doubling loop. Clamped before .toInt — an envelope above
     // Int.MaxValue-1 would overflow the limit into a negative value.
     val envelope = math.min(ChainOps.BroadcastMaxRows, (Int.MaxValue - 1).toLong).toInt
-    val probe = traced("annotate: envelope probe")(blocks
-      .select("hash", "parent_hash")
-      .limit(envelope + 1).collect())
-    if (probe.length <= envelope)
+    // Probe with an early-terminating count of EMPTY rows, and collect the
+    // (hash, parent) pairs only once the walk route is confirmed: the old
+    // limit(envelope+1).collect() shipped ~130 MB of hash strings to the
+    // driver (measured 40 s at a 1.5M-block corpus) just to learn "above
+    // the envelope" and throw them away. Below the envelope the collect is
+    // bounded by the envelope by construction, so no limit is needed.
+    val probeCount = traced("annotate: envelope probe")(
+      blocks.select(lit(1).as("one")).limit(envelope + 1).count())
+    if (probeCount <= envelope) {
+      val probe = traced("annotate: walk collect")(
+        blocks.select("hash", "parent_hash").collect())
       return annotateInMemory(blocks, probe)
+    }
 
     val resolved = traced("annotate: resolve")(ChainOps.resolve(
       blocks.select("hash", "parent_hash"), "hash", "parent_hash",
@@ -161,10 +169,14 @@ object BestChain {
     // consuming table r it covers every distance in [0, Arity^(r+1)-1]
     // ∪ {height}.
     var s = Seq(tipHash, tipRoot).distinct.toDF("hash")
-    var span = 1L // = Arity^r, the jump distance of the table being consumed
+    // The jump tables were built at whatever arity the height pass routed
+    // to (Arity broadcast-side, 2 above the envelope — tables(r) jumps
+    // arity^r), so the span bookkeeping must follow the SAME arity.
+    val arity = resolved.arity
+    var span = 1L // = arity^r, the jump distance of the table being consumed
     resolved.tables.foreach { case (tbl, _) =>
       if (span <= tipHeight) {
-        // jump: follow tbl's Arity^r pointer once; saturated rows land on
+        // jump: follow tbl's arity^r pointer once; saturated rows land on
         // their root, which for members of S is the (already-seeded) tip
         // root.
         def jump(cur: DataFrame, t: Int): DataFrame = {
@@ -172,12 +184,12 @@ object BestChain {
           cur.join(j0, cur("hash") === j0(s"jid$t")).select(col(s"jptr$t").as("hash"))
         }
         val hops = Iterator.iterate(s -> 0) { case (cur, t) => jump(cur, t + 1) -> (t + 1) }
-          .drop(1).take(ChainOps.Arity - 1).map(_._1).toSeq
+          .drop(1).take(arity - 1).map(_._1).toSeq
         val (ns, nsRdd) = ChainOps.traced(s"annotate: membership span=$span")(
           ChainOps.rebase(hops.foldLeft(s)(_ unionByName _).distinct()))
         if (sRdd != null) sRdd.unpersist(blocking = false)
         s = ns; sRdd = nsRdd
-        span *= ChainOps.Arity
+        span *= arity
       }
       ()
     }

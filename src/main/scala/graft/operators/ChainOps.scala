@@ -44,7 +44,8 @@ object ChainOps {
       result: DataFrame,
       resultRdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.Row],
       tables: Seq[(DataFrame, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row])],
-      n: Long)
+      n: Long,
+      arity: Int)
 
   /** Truncate a DataFrame's lineage at the RDD level: compile + materialize
     * the rows into a cached RDD and re-wrap with a fresh LogicalRDD.
@@ -174,19 +175,38 @@ object ChainOps {
     // made once, off the fused round-0 count.
     if (keepTables) tables += ((state, stateRdd))
     val bcast = n <= BroadcastMaxRows
+    // The Arity=16 trade assumes hops are FREE (map-side broadcast joins
+    // inside one narrow stage): chain 15 of them, materialize once. Above
+    // the broadcast envelope every hop is a full shuffle of the table, so
+    // the trade inverts and total shuffles are what matters: covering depth
+    // d takes ~log2(d) hops regardless of grouping — arity 16 spends
+    // 15·log16(d) ≈ 3.75·log2(d) table shuffles to save materializations,
+    // classic arity-2 doubling spends log2(d) (observed at a 1.5M-block
+    // chain: 90 vs 21 shuffles, and the rebase passes are the cheap part).
+    val arity = if (bcast) Arity else 2
     var r = 0
     while (unresolved > 0) {
       r += 1
-      val round = (1 until Arity).foldLeft(state) { (cur, i) =>
+      // Hop only the PENDING rows and pass the resolved ones through
+      // unchanged (hopOnce's done-guard makes that a no-op rewrite). This
+      // is load-bearing above the envelope, not an optimization: every
+      // resolved row's ptr has saturated at its root, so on a mostly-
+      // resolved chain the shuffle hop concentrates the whole frame on ONE
+      // join key — observed at 1.5M blocks as single-task sort stages of
+      // 20+ CPU-minutes each. Pending rows' ptrs are (near-)distinct, and
+      // the pending set shrinks arity× per round.
+      val pending = state.where(!col("done"))
+      val hopped = (1 until arity).foldLeft(pending) { (cur, i) =>
         hopOnce(cur, state, s"h$i", bcast)
       }
+      val round = state.where(col("done")).unionByName(hopped)
       val (next, nextRdd, _, remaining) = traced(s"resolve round $r")(
         rebaseCountFalse(round, boolIdx = 3))
       if (!keepTables) stateRdd.unpersist(blocking = false)
       else tables += ((next, nextRdd))
       state = next; stateRdd = nextRdd; unresolved = remaining
     }
-    Resolved(state, stateRdd, tables.toSeq, n)
+    Resolved(state, stateRdd, tables.toSeq, n, arity)
   }
 
   /** Resolve each node's root and depth in a parent-pointer forest.
