@@ -129,19 +129,20 @@ object BestChain {
     // walk and the doubling loop. Clamped before .toInt — an envelope above
     // Int.MaxValue-1 would overflow the limit into a negative value.
     val envelope = math.min(ChainOps.BroadcastMaxRows, (Int.MaxValue - 1).toLong).toInt
-    // Probe with an early-terminating count of EMPTY rows, and collect the
-    // (hash, parent) pairs only once the walk route is confirmed: the old
-    // limit(envelope+1).collect() shipped ~130 MB of hash strings to the
-    // driver (measured 40 s at a 1.5M-block corpus) just to learn "above
-    // the envelope" and throw them away. Below the envelope the collect is
-    // bounded by the envelope by construction, so no limit is needed.
-    val probeCount = traced("annotate: envelope probe")(
-      blocks.select(lit(1).as("one")).limit(envelope + 1).count())
-    if (probeCount <= envelope) {
-      val probe = traced("annotate: walk collect")(
-        blocks.select("hash", "parent_hash").collect())
+    // The probe stays a limit+collect DELIBERATELY: CollectLimit executes
+    // partitions incrementally (1, 4, 16, …) and stops at envelope+1 rows,
+    // which above the envelope doubles as a GENTLE warm-up of the upstream
+    // cache (bk0's parse persist) before the doubling loop's full-
+    // parallelism passes. A count-over-limit probe plans as
+    // LocalLimit→Exchange→count — every partition computes in ONE job, and
+    // at a 1.5M-block corpus that max-concurrency parse storm OOMed a heap
+    // the incremental probe survives. The ~130 MB collect at the 2²⁰
+    // envelope is the exact build-side cost a BroadcastExchange would pay.
+    val probe = traced("annotate: envelope probe")(blocks
+      .select("hash", "parent_hash")
+      .limit(envelope + 1).collect())
+    if (probe.length <= envelope)
       return annotateInMemory(blocks, probe)
-    }
 
     val resolved = traced("annotate: resolve")(ChainOps.resolve(
       blocks.select("hash", "parent_hash"), "hash", "parent_hash",
@@ -155,6 +156,7 @@ object BestChain {
     if (tipRows.isEmpty) { // empty chain: empty annotation, not a driver crash
       resolved.tables.foreach(_._2.unpersist(blocking = false))
       resolved.resultRdd.unpersist(blocking = false)
+      resolved.dictRdd.unpersist(blocking = false)
       return withH.withColumn("is_on_best_chain", lit(false))
     }
     val tipHash = tipRows(0).getString(0)
@@ -165,10 +167,15 @@ object BestChain {
     import spark.implicits._
     // the frontier's backing RDD — dropped after the final rebase below
     var sRdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = null
-    // S: known ancestors of the tip. Starts at {tip, genesis}; after
-    // consuming table r it covers every distance in [0, Arity^(r+1)-1]
-    // ∪ {height}.
-    var s = Seq(tipHash, tipRoot).distinct.toDF("hash")
+    // S: known ancestors of the tip, in the resolve's DICTIONARY space —
+    // the jump tables hold encoded longs (ChainOps.resolve), so the
+    // frontier stays encoded through the loop and decodes once at the end.
+    // Starts at {tip, genesis}; after consuming table r it covers every
+    // distance in [0, arity^(r+1)-1] ∪ {height}.
+    val seedVids = resolved.dict
+      .where(col("oid").isin(tipHash, tipRoot)).select("vid")
+      .collect().map(_.getLong(0)).toSeq
+    var s = seedVids.distinct.toDF("vid")
     // The jump tables were built at whatever arity the height pass routed
     // to (Arity broadcast-side, 2 above the envelope — tables(r) jumps
     // arity^r), so the span bookkeeping must follow the SAME arity.
@@ -181,7 +188,7 @@ object BestChain {
         // root.
         def jump(cur: DataFrame, t: Int): DataFrame = {
           val j0 = tbl.select(col("id").as(s"jid$t"), col("ptr").as(s"jptr$t"))
-          cur.join(j0, cur("hash") === j0(s"jid$t")).select(col(s"jptr$t").as("hash"))
+          cur.join(j0, cur("vid") === j0(s"jid$t")).select(col(s"jptr$t").as("vid"))
         }
         val hops = Iterator.iterate(s -> 0) { case (cur, t) => jump(cur, t + 1) -> (t + 1) }
           .drop(1).take(arity - 1).map(_._1).toSeq
@@ -193,17 +200,24 @@ object BestChain {
       }
       ()
     }
+    // Decode the frontier back to hashes through the resolve's dictionary
+    // (one small join — |S| ≈ chain length ≥ the big side only at the very
+    // end, and the dict side is the lookup).
+    val sHash = s.join(resolved.dict, s("vid") === resolved.dict("vid"))
+      .select(col("oid").as("hash"))
     val ann = withH
-      .join(s.withColumn("is_on_best_chain", lit(true)), Seq("hash"), "left")
+      .join(sHash.withColumn("is_on_best_chain", lit(true)), Seq("hash"), "left")
       .na.fill(false, Seq("is_on_best_chain"))
     // Materialize the final annotation, then drop every piece of loop state
-    // — jump tables, the membership frontier, and the PREVIOUS invocation's
-    // annotation — so repeated annotations hold one copy, not one per run.
+    // — jump tables, the membership frontier, the dictionary, and the
+    // PREVIOUS invocation's annotation — so repeated annotations hold one
+    // copy, not one per run.
     val (annDf, annRdd) = ChainOps.traced("annotate: final rebase")(ChainOps.rebase(ann))
     resolved.tables.foreach(_._2.unpersist(blocking = false))
     // On the walk route no tables were kept, so the height pass's final
     // state RDD is not covered by the loop above — drop it explicitly.
     resolved.resultRdd.unpersist(blocking = false)
+    resolved.dictRdd.unpersist(blocking = false)
     if (sRdd != null) sRdd.unpersist(blocking = false)
     Option(lastAnn.getAndSet(annRdd)).foreach(_.unpersist(blocking = false))
     annDf

@@ -45,7 +45,9 @@ object ChainOps {
       resultRdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.Row],
       tables: Seq[(DataFrame, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row])],
       n: Long,
-      arity: Int)
+      arity: Int,
+      dict: DataFrame,
+      dictRdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.Row])
 
   /** Truncate a DataFrame's lineage at the RDD level: compile + materialize
     * the rows into a cached RDD and re-wrap with a fresh LogicalRDD.
@@ -60,19 +62,29 @@ object ChainOps {
     * flat scan, every round, at constant cost. Returns the rebased frame and
     * its backing RDD so callers can unpersist the previous round.
     */
-  private[graft] def rebase(df: DataFrame): (DataFrame, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]) = {
-    val (out, rdd, _) = rebaseCounted(df)
+  private[graft] def rebase(
+      df: DataFrame,
+      level: StorageLevel = StorageLevel.MEMORY_AND_DISK)
+      : (DataFrame, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]) = {
+    val (out, rdd, _) = rebaseCounted(df, level)
     (out, rdd)
   }
 
   /** [[rebase]] that also returns the row count its materialization pass
     * already computed — callers making a size-routed decision (the CC
     * envelope routes) must not pay a second count job to recover it.
+    *
+    * `level`: string-heavy frames (hash pairs, dictionaries) should pass
+    * MEMORY_AND_DISK_SER — a 64-char hash is ~170 in-heap bytes as a
+    * deserialized java.lang.String vs ~70 serialized, and the deserialized
+    * default OOMed the 1.5M-block corpus while the parse storm was live.
     */
-  private[graft] def rebaseCounted(df: DataFrame)
+  private[graft] def rebaseCounted(
+      df: DataFrame,
+      level: StorageLevel = StorageLevel.MEMORY_AND_DISK)
       : (DataFrame, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row], Long) = {
     val rdd = df.rdd
-    rdd.persist(StorageLevel.MEMORY_AND_DISK)
+    rdd.persist(level)
     val n = rdd.count() // materialize now so the previous round can be dropped
     (df.sparkSession.createDataFrame(rdd, df.schema), rdd, n)
   }
@@ -161,15 +173,52 @@ object ChainOps {
   private[graft] def resolve(
       nodes: DataFrame, idCol: String, parentCol: String,
       keepTables: Boolean): Resolved = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val spark = nodes.sparkSession
+    // Dictionary-encode the ids to dense longs BEFORE the loop (the
+    // join-based vertex-id pattern of depthsPregel — no driver-held map).
+    // The jump state is (id, ptr, dist, done) per node per retained round:
+    // over 64-char block hashes that is ~140 serialized bytes/row — at a
+    // 1.5M-block chain the retained jump tables alone are ~4.7 GB and every
+    // above-envelope shuffle hop moves ~225 MB. Over longs the same state
+    // shuffles ~8× less, and a broadcast-envelope row budget admits the
+    // same chain at a fraction of the bytes. The dictionary COVERS DANGLING
+    // PARENTS (universe = ids ∪ referenced parents), so "parent never seen"
+    // keeps its distinct encoding from "no parent" and the dangling
+    // pseudo-root decodes back to the original unseen value, exactly as in
+    // the un-encoded loop.
+    // The encode path reads the input twice (universe scan + the encode
+    // joins). That is fine by construction: every heavy producer feeding
+    // this loop is already persisted upstream (bk0's toBronze parse cache,
+    // bk1's parquet silver), and the probe in annotateDistributed warms
+    // that cache incrementally before the first full pass here. An eager
+    // rebase of the pairs was tried instead and OOMed the 1.5M-block
+    // corpus: it adds a THIRD concurrent memory consumer (pair persist +
+    // parse transients + upstream cache fill) in the very first stage.
+    val base0 = nodes.select(col(idCol).as("oid"), col(parentCol).as("oparent"))
+    val idType = base0.schema("oid").dataType
+    val universe = base0.select(col("oid"))
+      .union(base0.select(col("oparent").as("oid")).where(col("oparent").isNotNull))
+      .distinct()
+    val dictRdd = universe.rdd.zipWithUniqueId().map { case (r, i) => Row(r.get(0), i) }
+    dictRdd.persist(StorageLevel.MEMORY_AND_DISK_SER)
+    val dict = spark.createDataFrame(dictRdd, StructType(Seq(
+      StructField("oid", idType), StructField("vid", LongType, nullable = false))))
+    dict.count() // pin the assignment before it is joined twice below
+    val enc = base0
+      .join(dict, Seq("oid"))
+      .join(dict.select(col("oid").as("oparent"), col("vid").as("pvid")),
+        Seq("oparent"), "left")
     val tables = scala.collection.mutable.ArrayBuffer
       .empty[(DataFrame, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row])]
     var (state, stateRdd, n, unresolved) = traced("resolve round 0 (init rebase)")(
       rebaseCountFalse(
-        nodes.select(
-          col(idCol).as("id"),
-          coalesce(col(parentCol), col(idCol)).as("ptr"),
-          when(col(parentCol).isNull, lit(0L)).otherwise(lit(1L)).as("dist"),
-          col(parentCol).isNull.as("done")),
+        enc.select(
+          col("vid").as("id"),
+          coalesce(col("pvid"), col("vid")).as("ptr"),
+          when(col("oparent").isNull, lit(0L)).otherwise(lit(1L)).as("dist"),
+          col("oparent").isNull.as("done")),
         boolIdx = 3))
     // The table size is fixed across rounds, so the broadcast decision is
     // made once, off the fused round-0 count.
@@ -206,7 +255,15 @@ object ChainOps {
       else tables += ((next, nextRdd))
       state = next; stateRdd = nextRdd; unresolved = remaining
     }
-    Resolved(state, stateRdd, tables.toSeq, n, arity)
+    // Decode back to the caller's id space lazily — the frame references
+    // the persisted dict, so consumers must read it before dictRdd is
+    // unpersisted (rootsAndDepths materializes immediately; BestChain
+    // cleans up only after its final annotation rebase).
+    val decoded = state
+      .join(dict.select(col("vid").as("id"), col("oid").as("did")), Seq("id"))
+      .join(dict.select(col("vid").as("ptr"), col("oid").as("dptr")), Seq("ptr"))
+      .select(col("did").as("id"), col("dptr").as("ptr"), col("dist"), col("done"))
+    Resolved(decoded, stateRdd, tables.toSeq, n, arity, dict, dictRdd)
   }
 
   /** Resolve each node's root and depth in a parent-pointer forest.
@@ -216,9 +273,18 @@ object ChainOps {
     * @return DataFrame(idCol, root, height) — height 0 at roots, root = the
     *         id of the chain's origin (≙ genesis block).
     */
-  def rootsAndDepths(nodes: DataFrame, idCol: String, parentCol: String): DataFrame =
-    resolve(nodes, idCol, parentCol, keepTables = false).result
-      .select(col("id").as(idCol), col("ptr").as("root"), col("dist").as("height"))
+  def rootsAndDepths(nodes: DataFrame, idCol: String, parentCol: String): DataFrame = {
+    val resolved = resolve(nodes, idCol, parentCol, keepTables = false)
+    // Materialize the decoded result NOW (it references the persisted
+    // dictionary — see resolve), register it swap-style so repeated calls
+    // hold one copy, then drop the loop's internals.
+    val (out, outRdd) = rebase(resolved.result
+      .select(col("id").as(idCol), col("ptr").as("root"), col("dist").as("height")))
+    Option(lastResolve.getAndSet(outRdd)).foreach(_.unpersist(blocking = false))
+    resolved.resultRdd.unpersist(blocking = false)
+    resolved.dictRdd.unpersist(blocking = false)
+    out
+  }
 
   /** Depth only — the `BlockHeight` assignment of the reference
     * (BlockchainToGraph.java:364, 458, 516) computed set-wise.
@@ -283,9 +349,15 @@ object ChainOps {
   private val lastPregel =
     new java.util.concurrent.atomic.AtomicReference[org.apache.spark.rdd.RDD[_]](null)
 
-  /** Drop the retained Pregel depths ([[graft.Graft.releaseCaches]]). */
-  private[graft] def release(): Unit =
+  /** Previous rootsAndDepths materialization (swap-unpersist per call). */
+  private val lastResolve =
+    new java.util.concurrent.atomic.AtomicReference[org.apache.spark.rdd.RDD[_]](null)
+
+  /** Drop the retained depth materializations ([[graft.Graft.releaseCaches]]). */
+  private[graft] def release(): Unit = {
     Option(lastPregel.getAndSet(null)).foreach(_.unpersist(blocking = false))
+    Option(lastResolve.getAndSet(null)).foreach(_.unpersist(blocking = false))
+  }
 
   /** Chain tip = maximal height — the reference's getBestAndHeight
     * (BlockchainToGraph.java:38–49) without any traversal: with height
