@@ -95,10 +95,11 @@ object ChainOps {
     * job plus count jobs. (A persisted RDD caches each partition as the
     * aggregation drains it.)
     */
-  private def rebaseCountFalse(df: DataFrame, boolIdx: Int)
+  private def rebaseCountFalse(df: DataFrame, boolIdx: Int,
+      level: StorageLevel = StorageLevel.MEMORY_AND_DISK)
       : (DataFrame, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row], Long, Long) = {
     val rdd = df.rdd
-    rdd.persist(StorageLevel.MEMORY_AND_DISK)
+    rdd.persist(level)
     val (total, pending) = rdd.mapPartitions { it =>
       var t = 0L; var p = 0L
       it.foreach { r => t += 1; if (!r.getBoolean(boolIdx)) p += 1 }
@@ -249,8 +250,18 @@ object ChainOps {
         hopOnce(cur, state, s"h$i", bcast)
       }
       val round = state.where(col("done")).unionByName(hopped)
+      // Above the envelope the retained jump tables dominate the heap:
+      // ~log2(depth) copies of the full state. Encoded rows are 4 numeric
+      // fields — ~100 in-heap bytes as boxed Row objects vs ~29 serialized
+      // — so SER storage cuts the retained set ~3× for a small per-read
+      // deserialization cost that the shuffle hops pay anyway. Broadcast-
+      // side rounds keep deserialized rows: the table is re-broadcast from
+      // the RDD every hop and staying deserialized avoids 15 decode passes
+      // per round on the latency-critical small-corpus path.
       val (next, nextRdd, _, remaining) = traced(s"resolve round $r")(
-        rebaseCountFalse(round, boolIdx = 3))
+        rebaseCountFalse(round, boolIdx = 3,
+          if (bcast) StorageLevel.MEMORY_AND_DISK
+          else StorageLevel.MEMORY_AND_DISK_SER))
       if (!keepTables) stateRdd.unpersist(blocking = false)
       else tables += ((next, nextRdd))
       state = next; stateRdd = nextRdd; unresolved = remaining

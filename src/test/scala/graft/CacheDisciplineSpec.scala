@@ -34,7 +34,12 @@ class CacheDisciplineSpec extends SparkSpec {
     val deadline = System.nanoTime() + timeoutMs * 1000000L
     var last = cachedCount
     var stable = 0
-    while (stable < 5 && System.nanoTime() < deadline) {
+    // 15 consecutive stable samples (~750ms): a single release can queue a
+    // dozen async unpersists (every operator register), and a drain landing
+    // after a short stability window reads a floor that later falls —
+    // observed as a spurious refill-delta failure when the chain suites ran
+    // immediately before this one.
+    while (stable < 15 && System.nanoTime() < deadline) {
       Thread.sleep(50)
       val now = cachedCount
       if (now == last) stable += 1 else { stable = 0; last = now }
@@ -123,7 +128,8 @@ class CacheDisciplineSpec extends SparkSpec {
     // shingle cache is register-backed on every route, unlike clusters,
     // whose in-memory envelope route holds no persisted state at all)...
     operators.Dedup.ngramJaccardPairs(docs, "doc_id", "text").collect()
-    assert(cachedCount > afterRelease)
+    assert(eventually(cachedCount > afterRelease),
+      s"refill not visible over the $afterRelease floor: $cachedCount")
     // ...and a second release returns to the same floor: nothing leaks
     Graft.releaseCaches()
     assert(eventually(cachedCount <= afterRelease),
