@@ -1,0 +1,111 @@
+package graft
+
+import java.nio.file.{Files, Path, Paths}
+import java.util.Comparator
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Streaming catch-up rehearsal main (not part of the API): drives the
+  * reference's ACTUAL production loop — discover blk files incrementally,
+  * parse, keep gold in sync (BlockchainToGraph.java:116–167, one block and
+  * one Gremlin commit at a time) — through the engine's streaming path at
+  * full 50k-block corpus scale, where the streaming specs use toy fixtures.
+  *
+  * What it measures and proves:
+  *   - end-to-end catch-up wall time for the 32-file corpus through
+  *     [[streaming.ChainStream.blkFileStream]] (file-source checkpoint as
+  *     cursor) into [[streaming.ChainStream.incrementalGold]] (bronze append
+  *     + gold recompute per micro-batch), `maxFilesPerTrigger` bounding each
+  *     batch exactly like the reference's one-file loop;
+  *   - per-batch durations (the incremental cost curve as bronze grows —
+  *     recompute-from-bronze is O(chain) per batch by design, the price of
+  *     unconditional reorg safety);
+  *   - convergence: blk files are shuffled in NON-chain order, so mid-drain
+  *     gold states see dangling fragments, ~200 scattered stale forks and a
+  *     140-deep reorg branch — the final gold must still equal the batch
+  *     path's annotation bit for bit (same equality class the bk1 oracle
+  *     hash-matches).
+  *
+  * Emits one JSON line per phase; the results table lives in COVERAGE.md.
+  */
+object StreamRehearsal {
+
+  private def deleteRecursively(p: Path): Unit =
+    if (Files.exists(p))
+      Files.walk(p).sorted(Comparator.reverseOrder[Path]())
+        .forEach(f => { Files.delete(f); () })
+
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.unionOutputPartitioning", "false")
+      .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val filesPerTrigger =
+      sys.env.getOrElse("SPARK_GRAFT_STREAM_FILES_PER_TRIGGER", "4").toInt
+    graft.chain.BlkCorpus.ensureMaterialized(spark)
+    val rawDir = graft.chain.BlkCorpus.rawDir
+    val nFiles = Files.list(Paths.get(rawDir))
+      .filter(_.getFileName.toString.matches("blk.*\\.dat")).count()
+
+    val workDir = Paths.get("target/stream_rehearsal")
+    deleteRecursively(workDir)
+    val bronzeDir = s"$workDir/bronze"
+    val goldDir = s"$workDir/gold"
+    val ckptDir = s"$workDir/ckpt"
+
+    // The streamed rows are the header projection of the same wire-format
+    // parse the batch scan runs (bronze `blocks` minus tx payloads): the
+    // catch-up loop maintains chain gold, it does not re-shred tx tables.
+    val headers = graft.streaming.ChainStream
+      .blkFileStream(spark, rawDir, maxFilesPerTrigger = filesPerTrigger)
+      .select(
+        col("hash"),
+        when(col("parent_hash") === "0" * 64, lit(null))
+          .otherwise(col("parent_hash")).as("parent_hash"),
+        col("ts"))
+
+    val t0 = System.nanoTime()
+    val query = graft.streaming.ChainStream.incrementalGold(
+      headers, bronzeDir,
+      (_, bronze) => graft.chain.BestChain.annotate(bronze),
+      goldDir, ckptDir, Trigger.AvailableNow()).start()
+    query.awaitTermination()
+    val wallSec = (System.nanoTime() - t0) / 1e9
+
+    // numInputRows at the binaryFile source counts FILES (the flatMap to
+    // blocks runs downstream); block counts come from the bronze store.
+    val batches = query.recentProgress.toSeq
+      .filter(_.numInputRows > 0)
+    val perBatch = batches.map(p => p.batchDuration / 1e3)
+    val blocks = spark.read.parquet(bronzeDir).dropDuplicates("hash").count()
+    println(
+      f"""{"rehearsal":"stream_catchup","scale":${graft.chain.BlkCorpus.Scale},"files":$nFiles,"files_per_trigger":$filesPerTrigger,"blocks":$blocks,"batches":${batches.size},"wall_s":$wallSec%.1f,"batch_s":[${perBatch.map(d => f"$d%.1f").mkString(",")}]}""")
+
+    // Convergence gate: streamed gold ≡ the batch path's annotation.
+    val key = Seq("hash", "height", "is_on_best_chain")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("hash"), col("height").cast("long").as("height"),
+        col("is_on_best_chain"))
+    val streamed = canon(spark.read.parquet(goldDir))
+    val batch = canon(graft.chain.BlkCorpus.annotated(spark))
+    val missing = batch.exceptAll(streamed).count()
+    val extra = streamed.exceptAll(batch).count()
+    val converged = missing == 0 && extra == 0
+    println(
+      s"""{"rehearsal":"stream_convergence","key":"${key.mkString(",")}","missing":$missing,"extra":$extra,"converged":$converged}""")
+    if (!converged)
+      throw new IllegalStateException(
+        s"streamed gold diverged from batch annotation: missing=$missing extra=$extra")
+    spark.stop()
+  }
+}
