@@ -45,9 +45,12 @@ object ChainStream {
       .dropDuplicatesWithinWatermark(Seq("hash"))
 
   /** Incremental gold maintenance (T4/T5): every micro-batch appends to the
-    * bronze store and recomputes gold FROM BRONZE for exactly the height
-    * range the batch touches (reorg-safe: a fork block arriving late simply
-    * causes its range to be recomputed with the new best chain visible).
+    * bronze store and recomputes gold FROM BRONZE, overwriting the gold
+    * table wholesale (reorg-safe: a fork block arriving late simply causes
+    * the recompute to see the new best chain). Write amplification is
+    * O(gold) per batch — fine while gold is an aggregate table; for
+    * history-sized gold use [[incrementalGoldPartitioned]], whose sink
+    * rewrites only the height buckets that changed.
     *
     * @param newBlocks   streaming DataFrame of block rows
     * @param bronzeDir   append-only bronze parquet path
@@ -73,6 +76,38 @@ object ChainStream {
         val bronze = spark.read.parquet(bronzeDir)
           .dropDuplicates("hash") // replayed appends collapse here
         recompute(spark, bronze).write.mode("overwrite").parquet(goldDir)
+        ()
+      }
+
+  /** [[incrementalGold]] with an O(changed) sink: gold must carry a `height`
+    * column, is stored height-bucket-partitioned, and each micro-batch
+    * overwrites only the buckets whose content changed
+    * ([[graft.sinks.PartitionedGold.syncAffected]]) — a tip-extending batch
+    * rewrites one bucket, a depth-d reorg rewrites ⌈d/bucketSize⌉, and the
+    * untouched history's files stay byte-identical. This is the streaming
+    * form of "reorg = recompute the affected height range" (T4) with the
+    * recompute kept a pure function of bronze (T5 idempotence: a replayed
+    * batch produces identical bucket signatures and writes nothing).
+    */
+  def incrementalGoldPartitioned(
+      newBlocks: DataFrame,
+      bronzeDir: String,
+      recompute: (SparkSession, DataFrame) => DataFrame,
+      goldDir: String,
+      checkpointDir: String,
+      trigger: Trigger = Trigger.AvailableNow(),
+      bucketSize: Int = 10000): DataStreamWriter[Row] =
+    newBlocks.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        batch.write.mode("append").parquet(bronzeDir)
+        val bronze = spark.read.parquet(bronzeDir)
+          .dropDuplicates("hash") // replayed appends collapse here
+        graft.sinks.PartitionedGold.syncAffected(
+          recompute(spark, bronze), goldDir, "height", bucketSize)
         ()
       }
 

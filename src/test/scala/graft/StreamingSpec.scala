@@ -23,6 +23,78 @@ class StreamingSpec extends SparkSpec {
     assert(got.head.getInt(1) == 101)
   }
 
+  test("incrementalGoldPartitioned: only changed height buckets rewritten; extend touches tip, reorg touches fork range") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = Files.createTempDirectory("graft-stream-part").toString
+
+    val input = MemoryStream[(String, String, Long)]
+    val blocks = input.toDF().toDF("hash", "parent_hash", "ts")
+      .select(col("hash"),
+        when(col("parent_hash") === "", lit(null)).otherwise(col("parent_hash")).as("parent_hash"),
+        col("ts"))
+    val writer = ChainStream.incrementalGoldPartitioned(
+      blocks, s"$tmp/bronze",
+      (_, bronze) => BestChain.annotate(bronze),
+      s"$tmp/gold", s"$tmp/ckpt", bucketSize = 10)
+
+    // Per-bucket physical fingerprint: bucket dir -> set of (file, md5).
+    // Untouched buckets must keep their files BYTE-identical across batches.
+    def fingerprints(): Map[String, Set[(String, String)]] = {
+      val root = java.nio.file.Paths.get(s"$tmp/gold")
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.list(root).iterator().asScala
+        .filter(p => java.nio.file.Files.isDirectory(p))
+        .map { dir =>
+          val files = java.nio.file.Files.list(dir).iterator().asScala
+            .filter(f => f.getFileName.toString.endsWith(".parquet"))
+            .map { f =>
+              val h = java.security.MessageDigest.getInstance("MD5")
+                .digest(java.nio.file.Files.readAllBytes(f))
+              (f.getFileName.toString, h.map("%02x".format(_)).mkString)
+            }.toSet
+          dir.getFileName.toString -> files
+        }.toMap
+    }
+
+    // Batch 1: 25-block chain g, b1..b24 → buckets 0 (h0-9), 1 (h10-19), 2 (h20-24)
+    val names = "g" +: (1 to 24).map(i => s"b$i")
+    input.addData(names.zipWithIndex.map { case (n, i) =>
+      (n, if (i == 0) "" else names(i - 1), 1000L + i) }: _*)
+    writer.start().awaitTermination()
+    val fp1 = fingerprints()
+    assert(fp1.keySet == Set("height_bucket=0", "height_bucket=1", "height_bucket=2"))
+
+    // Batch 2: extend the tip by 2 (heights 25, 26) → ONLY bucket 2 changes.
+    input.addData(("b25", "b24", 1025L), ("b26", "b25", 1026L))
+    writer.start().awaitTermination()
+    val fp2 = fingerprints()
+    assert(fp2("height_bucket=0") == fp1("height_bucket=0"), "bucket 0 rewritten on tip extend")
+    assert(fp2("height_bucket=1") == fp1("height_bucket=1"), "bucket 1 rewritten on tip extend")
+    assert(fp2("height_bucket=2") != fp1("height_bucket=2"), "tip bucket not rewritten")
+
+    // Batch 3: a LONGER fork from height 14 (b14' .. b28', 15 blocks beats
+    // the 12 on main after b14) → reorg back into bucket 1; bucket 0 stays.
+    val fork = (15 to 29).map(i => s"f$i")
+    input.addData(fork.zipWithIndex.map { case (n, i) =>
+      (n, if (i == 0) "b14" else fork(i - 1), 2000L + i) }: _*)
+    writer.start().awaitTermination()
+    val fp3 = fingerprints()
+    assert(fp3("height_bucket=0") == fp2("height_bucket=0"), "bucket 0 rewritten on mid-chain reorg")
+    assert(fp3("height_bucket=1") != fp2("height_bucket=1"), "fork bucket not rewritten")
+    assert(fp3("height_bucket=2") != fp2("height_bucket=2"), "post-fork bucket not rewritten")
+
+    // Converged state ≡ the batch path over the full bronze, and the fork won.
+    val bronze = spark.read.parquet(s"$tmp/bronze").dropDuplicates("hash")
+    val expect = BestChain.annotate(bronze)
+      .select(col("hash"), col("height").cast("long"), col("is_on_best_chain"))
+    val gold = spark.read.parquet(s"$tmp/gold")
+      .select(col("hash"), col("height").cast("long"), col("is_on_best_chain"))
+    assert(gold.exceptAll(expect).isEmpty && expect.exceptAll(gold).isEmpty)
+    val best = gold.where(col("is_on_best_chain")).select("hash").as[String].collect().toSet
+    assert(best.contains("f29") && !best.contains("b15"))
+  }
+
   test("incrementalGold: streamed blocks land in bronze, gold recomputed per batch, reorg converges") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
