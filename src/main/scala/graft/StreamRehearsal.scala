@@ -106,6 +106,82 @@ object StreamRehearsal {
     if (!converged)
       throw new IllegalStateException(
         s"streamed gold diverged from batch annotation: missing=$missing extra=$extra")
+
+    partitionedSinkLeg(spark)
     spark.stop()
+  }
+
+  /** Write-amplification leg for the O(changed) sink: run the SAME per-batch
+    * function [[streaming.ChainStream.incrementalGoldPartitioned]] executes
+    * (bronze append → pure recompute → [[graft.sinks.PartitionedGold.syncAffected]]),
+    * stepped batch-by-batch so each batch's physical write is measurable
+    * (the streaming machinery itself is what leg 1 exercised). Catch-up over
+    * shuffled files re-heights whole fragments, so most buckets legitimately
+    * change per batch; the payoff case is STEADY-STATE tip-following — one
+    * new block per sync — where the full-recompute sink rewrites all of gold
+    * and this sink rewrites one bucket.
+    */
+  private def partitionedSinkLeg(spark: SparkSession): Unit = {
+    import spark.implicits._
+    val workDir = Paths.get("target/stream_rehearsal_part")
+    deleteRecursively(workDir)
+    val bronzeDir = s"$workDir/bronze"
+    val goldDir = s"$workDir/gold"
+
+    def goldFiles(): Map[String, Long] = {
+      val root = Paths.get(goldDir)
+      if (!Files.exists(root)) return Map.empty
+      import scala.jdk.CollectionConverters._
+      Files.walk(root).iterator().asScala
+        .filter(p => p.getFileName.toString.endsWith(".parquet"))
+        .map(p => p.toString -> Files.size(p)).toMap
+    }
+    // Bytes physically written this sync = files that are new or replaced.
+    def writtenSince(before: Map[String, Long]): Long =
+      goldFiles().collect { case (p, sz) if !before.contains(p) => sz }.sum
+
+    def syncOnce(newHeaders: org.apache.spark.sql.DataFrame): (Int, Long, Long, Double) = {
+      val before = goldFiles()
+      val t0 = System.nanoTime()
+      newHeaders.write.mode("append").parquet(bronzeDir)
+      val bronze = spark.read.parquet(bronzeDir).dropDuplicates("hash")
+      val changed = graft.sinks.PartitionedGold.syncAffected(
+        graft.chain.BestChain.annotate(bronze), goldDir)
+      val sec = (System.nanoTime() - t0) / 1e9
+      (changed.size, writtenSince(before), goldFiles().values.sum, sec)
+    }
+
+    def headersOf(files: Seq[String]) =
+      spark.read.format("binaryFile").load(files: _*)
+        .select("content").as[Array[Byte]]
+        .flatMap(graft.sources.BlockFileSource.parseFile(_,
+          graft.sources.BlockFileSource.Magic))
+        .select(
+          col("hash"),
+          when(col("parent_hash") === "0" * 64, lit(null))
+            .otherwise(col("parent_hash")).as("parent_hash"),
+          col("ts"))
+
+    import scala.jdk.CollectionConverters._
+    val raw = Files.list(Paths.get(graft.chain.BlkCorpus.rawDir)).iterator().asScala
+      .map(_.toString).filter(_.matches(".*blk.*\\.dat")).toSeq.sorted
+    val catchup = raw.grouped(8).map(g => syncOnce(headersOf(g))).toSeq
+    println(
+      s"""{"rehearsal":"partitioned_sink_catchup","batches":${catchup.size},"changed_buckets":[${catchup.map(_._1).mkString(",")}],"written_mb":[${catchup.map(c => f"${c._2 / 1e6}%.1f").mkString(",")}],"gold_mb":${f"${catchup.last._3 / 1e6}%.1f"}}""")
+
+    // Steady state: five single-block tip extensions — the per-block sync
+    // cost a caught-up follower pays forever.
+    var tip = spark.read.parquet(goldDir)
+      .where(col("is_on_best_chain"))
+      .orderBy(col("height").desc).select("hash").as[String].head()
+    val follows = (1 to 5).map { i =>
+      val nh = f"fffff$i%059d" // synthetic but unique 64-char ids
+      val r = syncOnce(Seq((nh, tip, 4000000000L + i)).toDF("hash", "parent_hash", "ts"))
+      tip = nh
+      r
+    }
+    val goldMb = f"${follows.last._3 / 1e6}%.1f"
+    println(
+      s"""{"rehearsal":"partitioned_sink_tip_follow","appends":${follows.size},"changed_buckets":[${follows.map(_._1).mkString(",")}],"written_kb":[${follows.map(c => f"${c._2 / 1e3}%.0f").mkString(",")}],"sync_s":[${follows.map(c => f"${c._4}%.2f").mkString(",")}],"gold_mb":$goldMb}""")
   }
 }

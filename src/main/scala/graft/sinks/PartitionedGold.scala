@@ -46,10 +46,12 @@ object PartitionedGold {
       df.groupBy(col(BucketCol)).agg(
         count(lit(1)).as("n"),
         expr(s"bit_xor(xxhash64(struct(${dataCols.map(c => s"`$c`").mkString(",")})))").as("sig"))
-    val onDisk =
-      try Some(spark.read.parquet(path)) catch {
-        case _: org.apache.spark.sql.AnalysisException => None // first write
-      }
+    // Existence probe via the FileSystem API (works for any scheme — local,
+    // HDFS, object store) instead of read-and-catch, which logs a spurious
+    // error stack on every first write.
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val exists = hPath.getFileSystem(spark.sessionState.newHadoopConf()).exists(hPath)
+    val onDisk = if (exists) Some(spark.read.parquet(path)) else None
     onDisk match {
       case None =>
         overwriteAffected(bucketed, path)
