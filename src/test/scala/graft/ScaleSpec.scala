@@ -66,6 +66,43 @@ class ScaleSpec extends SparkSpec {
     assert(readBack == Map(0 -> 10L, 10000 -> 20L, 20001 -> 99L))
   }
 
+  test("syncAffected invariant: disk equals logical gold after every random growth step; replay writes nothing") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-sync").toString + "/gold"
+    val rnd = new scala.util.Random(7)
+    // Evolve a block forest: each round appends tip-extending blocks and an
+    // occasional competing fork; gold = BestChain.annotate over everything
+    // seen so far, synced with bucketSize 5 so reorgs span buckets.
+    var blocks = Vector(("g", null: String, 1000L))
+    var tips = Vector("g")
+    def annotateAll() = graft.chain.BestChain.annotate(
+      blocks.toDF("hash", "parent_hash", "ts"))
+    for (round <- 1 to 8) {
+      val base = tips(rnd.nextInt(tips.length))
+      val n = 1 + rnd.nextInt(7)
+      var prev = base
+      val fresh = (1 to n).map { i =>
+        val h = s"r${round}b$i"
+        val b = (h, prev, 1000L + round * 100 + i)
+        prev = h
+        b
+      }
+      blocks ++= fresh
+      tips = (tips :+ prev).distinct
+      val changed = PartitionedGold.syncAffected(annotateAll(), dir, bucketSize = 5)
+      // Invariant 1: what is on disk is exactly the logical gold.
+      val disk = spark.read.parquet(dir)
+        .select(col("hash"), col("height").cast("long").as("height"), col("is_on_best_chain"))
+      val logical = annotateAll()
+        .select(col("hash"), col("height").cast("long").as("height"), col("is_on_best_chain"))
+      assert(disk.exceptAll(logical).isEmpty && logical.exceptAll(disk).isEmpty,
+        s"round $round: disk != logical gold (changed=$changed)")
+      // Invariant 2: re-syncing the identical gold is a no-op (replay safety).
+      val replay = PartitionedGold.syncAffected(annotateAll(), dir, bucketSize = 5)
+      assert(replay.isEmpty, s"round $round: replay rewrote buckets $replay")
+    }
+  }
+
   test("salted two-phase aggregation equals direct aggregation") {
     import spark.implicits._
     // 90% of rows on one hot key — the sentinel-address shape.
