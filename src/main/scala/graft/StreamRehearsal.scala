@@ -108,7 +108,56 @@ object StreamRehearsal {
         s"streamed gold diverged from batch annotation: missing=$missing extra=$extra")
 
     partitionedSinkLeg(spark)
+    nodeFollowLeg(spark)
     spark.stop()
+  }
+
+  /** Node-follow leg: the reference's OTHER ingest surface — follow a node's
+    * log output (S3: subprocess lifecycle + UpdateTip extraction) — at
+    * best-chain scale. A stand-in "node" cats one UpdateTip line per
+    * best-chain block (the harness derives them from the engine's own
+    * annotation; the ENGINE sees only the process stdout), NodeProcess pumps
+    * stdout into rolling atomic log files, and SyncPipeline.catchUp drains
+    * them through the file-stream cursor into a tip-summary gold. Proves the
+    * subprocess pump + log-roll + parse path sustains chain-scale line
+    * volume, not just the specs' 10-line scripts.
+    */
+  private def nodeFollowLeg(spark: SparkSession): Unit = {
+    import spark.implicits._
+    val workDir = Paths.get("target/stream_rehearsal_node")
+    deleteRecursively(workDir)
+    Files.createDirectories(workDir)
+
+    val best = graft.chain.BlkCorpus.annotated(spark)
+      .where(col("is_on_best_chain"))
+      .orderBy(col("height"))
+      .select(col("hash"), col("height").cast("int").as("height"))
+      .collect()
+    val linesFile = workDir.resolve("updatetips.log")
+    val w = Files.newBufferedWriter(linesFile)
+    best.foreach { r =>
+      w.write(s"2024-01-01T00:00:00Z UpdateTip: new best=${r.getString(0)} height=${r.getInt(1)} version=0x20000000 log2_work=80.1\n")
+    }
+    w.close()
+
+    val t0 = System.nanoTime()
+    val exit = graft.streaming.SyncPipeline.catchUp(
+      spark,
+      Seq("cat", linesFile.toString),
+      s"$workDir/logs", s"$workDir/bronze", s"$workDir/gold", s"$workDir/ckpt",
+      (_, bronze) => bronze.groupBy()
+        .agg(max(col("height")).as("tip_height"), count(lit(1)).as("n_tips")))
+    val wallSec = (System.nanoTime() - t0) / 1e9
+
+    val gold = spark.read.parquet(s"$workDir/gold").head()
+    val tipHeight = gold.getAs[Int]("tip_height")
+    val nTips = gold.getAs[Long]("n_tips")
+    val expectTip = best.last.getInt(1)
+    val ok = exit == 0 && tipHeight == expectTip && nTips == best.length
+    println(
+      f"""{"rehearsal":"node_follow_catchup","lines":${best.length},"wall_s":$wallSec%.1f,"exit":$exit,"tip_height":$tipHeight,"n_tips":$nTips,"ok":$ok}""")
+    if (!ok) throw new IllegalStateException(
+      s"node-follow diverged: exit=$exit tip=$tipHeight/$expectTip n=$nTips/${best.length}")
   }
 
   /** Write-amplification leg for the O(changed) sink: run the SAME per-batch
