@@ -109,7 +109,72 @@ object StreamRehearsal {
 
     partitionedSinkLeg(spark)
     nodeFollowLeg(spark)
+    killResumeLeg(spark)
     spark.stop()
+  }
+
+  /** Kill-resume leg (T5 at corpus scale): start the same catch-up, kill the
+    * query mid-drain (hard `stop()` — the streaming thread is interrupted,
+    * abandoning any in-flight batch exactly like a crash), then resume from
+    * the SAME checkpoint with a fresh writer. Exactly-once here is the
+    * composition the specs assert at toy scale: the file-source checkpoint
+    * replays the uncommitted batch, the bronze append duplicates those rows,
+    * and the recompute's `dropDuplicates` + full overwrite make the replay
+    * idempotent — the final gold must equal the batch annotation exactly,
+    * and the bronze duplicate count is REPORTED as evidence the replay
+    * machinery actually engaged (0 when the kill landed on a batch boundary).
+    */
+  private def killResumeLeg(spark: SparkSession): Unit = {
+    val workDir = Paths.get("target/stream_rehearsal_resume")
+    deleteRecursively(workDir)
+    val bronzeDir = s"$workDir/bronze"
+    val goldDir = s"$workDir/gold"
+    val ckptDir = s"$workDir/ckpt"
+
+    def writer() = graft.streaming.ChainStream.incrementalGold(
+      graft.streaming.ChainStream
+        .blkFileStream(spark, graft.chain.BlkCorpus.rawDir, maxFilesPerTrigger = 4)
+        .select(
+          col("hash"),
+          when(col("parent_hash") === "0" * 64, lit(null))
+            .otherwise(col("parent_hash")).as("parent_hash"),
+          col("ts")),
+      bronzeDir,
+      (_, bronze) => graft.chain.BestChain.annotate(bronze),
+      goldDir, ckptDir, Trigger.AvailableNow())
+
+    // Phase 1: drain until ≥3 batches committed, then kill mid-flight.
+    val q1 = writer().start()
+    val deadline = System.nanoTime() + 120e9.toLong
+    while (q1.recentProgress.count(_.numInputRows > 0) < 3 &&
+        q1.isActive && System.nanoTime() < deadline)
+      Thread.sleep(50)
+    val batchesBeforeKill = q1.recentProgress.count(_.numInputRows > 0)
+    // Land the kill MID-batch (batches run ~1.5 s here): half a batch after
+    // the third commit, the fourth batch's bronze append has typically run
+    // while its checkpoint commit has not — the replay-duplicate case.
+    Thread.sleep(700)
+    q1.stop()
+
+    // Phase 2: fresh writer, same checkpoint — resume and finish.
+    val t0 = System.nanoTime()
+    val q2 = writer().start()
+    q2.awaitTermination()
+    val resumeSec = (System.nanoTime() - t0) / 1e9
+    val resumedBatches = q2.recentProgress.count(_.numInputRows > 0)
+
+    val bronzeAll = spark.read.parquet(bronzeDir)
+    val replayedRows = bronzeAll.count() - bronzeAll.dropDuplicates("hash").count()
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("hash"), col("height").cast("long").as("height"),
+        col("is_on_best_chain"))
+    val gold = canon(spark.read.parquet(goldDir))
+    val expect = canon(graft.chain.BlkCorpus.annotated(spark))
+    val converged = gold.exceptAll(expect).isEmpty && expect.exceptAll(gold).isEmpty
+    println(
+      f"""{"rehearsal":"kill_resume","batches_before_kill":$batchesBeforeKill,"resumed_batches":$resumedBatches,"resume_s":$resumeSec%.1f,"replayed_rows":$replayedRows,"converged":$converged}""")
+    if (!converged) throw new IllegalStateException(
+      "kill-resume diverged from batch annotation")
   }
 
   /** Node-follow leg: the reference's OTHER ingest surface — follow a node's
