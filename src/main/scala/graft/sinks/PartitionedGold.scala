@@ -1,6 +1,6 @@
 package graft.sinks
 
-import org.apache.spark.sql.{DataFrame, Row, SaveMode}
+import org.apache.spark.sql.{DataFrame, Row, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Height-bucket-partitioned gold storage with DYNAMIC partition overwrite —
@@ -15,24 +15,43 @@ object PartitionedGold {
 
   val BucketCol = "height_bucket"
 
+  /** Per-bucket signature sidecar, stored INSIDE the table directory. The
+    * leading underscore makes it invisible to parquet readers of the table
+    * (Spark filters `_`/`.`-prefixed paths), so the table stays a plain
+    * partitioned dataset. The sidecar is what keeps steady-state sync cost
+    * independent of history size: without it every sync would re-scan all
+    * on-disk gold just to learn "nothing but the tip bucket changed".
+    */
+  def sidecarPath(path: String): String = s"$path/_bucket_sigs"
+
   /** Attach the partition column: height / bucketSize. */
   def withBucket(df: DataFrame, heightCol: String, bucketSize: Int = 10000): DataFrame =
     df.withColumn(BucketCol, (col(heightCol) / bucketSize).cast("int"))
+
+  private def fsExists(spark: SparkSession, path: String): Boolean = {
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    hPath.getFileSystem(spark.sessionState.newHadoopConf()).exists(hPath)
+  }
 
   /** Diff-and-overwrite: write `gold` (carrying `heightCol`) to `path`,
     * rewriting ONLY the height buckets whose CONTENT differs from what is on
     * disk — the composition of a full logical recompute with an O(changed)
     * physical write. Change detection is a per-bucket signature compare
     * (row count + bit_xor of xxhash64 over all columns — order-independent,
-    * so it is insensitive to task scheduling), which costs a scan of both
-    * sides but no shuffle of the data itself; the write then touches the
-    * tip bucket on extend and fork-depth/bucketSize buckets on reorg, so a
-    * steady-state sync's write amplification is O(new work), not O(history).
-    * A replayed batch (exactly-once resume) recomputes identical signatures
-    * and writes nothing. If a bucket exists on disk but vanished from
-    * `gold` (shrinking history — cannot happen under append-only bronze,
-    * but a changed bucketSize produces it), dynamic overwrite could never
-    * delete it, so the whole table is rewritten once instead.
+    * so it is insensitive to task scheduling). The on-disk side's signatures
+    * come from the [[sidecarPath]] sidecar written after every sync, so a
+    * steady-state sync reads KBs of sidecar, not the table: both the write
+    * AND the change-detection read are O(new work), not O(history). A
+    * missing or unreadable sidecar (pre-sidecar table, manual deletion,
+    * crash mid-sidecar-write) degrades to a one-time full table scan; a
+    * STALE sidecar (crash between data write and sidecar write) merely
+    * re-marks the already-written buckets as changed — the rewrite is
+    * idempotent, so every failure mode converges. A replayed batch
+    * (exactly-once resume) produces identical signatures and writes
+    * nothing. If a bucket exists on disk but vanished from `gold`
+    * (shrinking history — cannot happen under append-only bronze, but a
+    * changed bucketSize produces it), dynamic overwrite could never delete
+    * it, so the whole table is rewritten once instead.
     *
     * Returns the overwritten bucket ids (null bucket ⇒ null element).
     */
@@ -46,50 +65,78 @@ object PartitionedGold {
       df.groupBy(col(BucketCol)).agg(
         count(lit(1)).as("n"),
         expr(s"bit_xor(xxhash64(struct(${dataCols.map(c => s"`$c`").mkString(",")})))").as("sig"))
-    // Existence probe via the FileSystem API (works for any scheme — local,
-    // HDFS, object store) instead of read-and-catch, which logs a spurious
-    // error stack on every first write.
-    val hPath = new org.apache.hadoop.fs.Path(path)
-    val exists = hPath.getFileSystem(spark.sessionState.newHadoopConf()).exists(hPath)
-    val onDisk = if (exists) Some(spark.read.parquet(path)) else None
-    onDisk match {
-      case None =>
-        overwriteAffected(bucketed, path)
-        bucketed.select(BucketCol).distinct().collect().map(_.get(0)).toSeq
-      case Some(cur) =>
-        val newSig = sig(bucketed)
-        val oldSig = sig(cur.select(BucketCol, dataCols: _*))
-        // Bucket counts are bounded by maxHeight/bucketSize (~100 at 1M
-        // blocks) — the collected diff is driver-trivial at any scale.
-        val joined = newSig.as("nw").join(oldSig.as("od"),
-          col(s"nw.$BucketCol") <=> col(s"od.$BucketCol"), "full_outer")
-        val rows = joined.select(
-          col(s"nw.$BucketCol").as("nb"), col(s"od.$BucketCol").as("ob"),
-          col("nw.n").as("nn"), col("od.n").as("on"),
-          col("nw.sig").as("nsig"), col("od.sig").as("osig")).collect()
-        val removed = rows.filter(r => r.isNullAt(0) && !r.isNullAt(1))
-        if (removed.nonEmpty) {
-          // cannot express deletion via dynamic overwrite: rewrite the table
-          bucketed.write.mode(SaveMode.Overwrite).partitionBy(BucketCol).parquet(path)
-          bucketed.select(BucketCol).distinct().collect().map(_.get(0)).toSeq
-        } else {
-          val changed = rows.filter { r =>
-            !r.isNullAt(0) && (r.isNullAt(1) ||
-              r.getLong(2) != r.getLong(3) || r.getLong(4) != r.getLong(5))
-          }.map(_.get(0)).toSeq
-          if (changed.nonEmpty) {
-            val keep = spark.createDataFrame(
-              spark.sparkContext.parallelize(changed.map(Row(_)), 1),
-              org.apache.spark.sql.types.StructType(Seq(
-                org.apache.spark.sql.types.StructField(
-                  "cb", bucketed.schema(BucketCol).dataType))))
-            overwriteAffected(
-              bucketed.join(broadcast(keep),
-                col(BucketCol) <=> col("cb"), "left_semi"), path)
-          }
-          changed
-        }
+    def writeSidecar(sigs: Array[Row]): Unit =
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(sigs.toSeq, 1),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField(BucketCol,
+            bucketed.schema(BucketCol).dataType),
+          org.apache.spark.sql.types.StructField("n",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("sig",
+            org.apache.spark.sql.types.LongType))))
+        .write.mode(SaveMode.Overwrite).parquet(sidecarPath(path))
+
+    if (!fsExists(spark, path)) {
+      overwriteAffected(bucketed, path)
+      val sigs = sig(bucketed).collect()
+      writeSidecar(sigs)
+      return sigs.map(_.get(0)).toSeq
     }
+    // Bucket counts are bounded by maxHeight/bucketSize (~100 at 1M blocks)
+    // — collected signature sets are driver-trivial at any scale.
+    val newSigRows = sig(bucketed).collect()
+    val sidecarRead: Option[DataFrame] =
+      if (fsExists(spark, sidecarPath(path)))
+        scala.util.Try(spark.read.parquet(sidecarPath(path))).toOption // half-written ⇒ None
+      else None
+    val oldSig: DataFrame = sidecarRead.getOrElse(
+      sig(spark.read.parquet(path)
+        .select(BucketCol, dataCols: _*))) // no/bad sidecar: one-time table scan
+    val newSig = spark.createDataFrame(
+      spark.sparkContext.parallelize(newSigRows.toSeq, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField(BucketCol,
+          bucketed.schema(BucketCol).dataType),
+        org.apache.spark.sql.types.StructField("n",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("sig",
+          org.apache.spark.sql.types.LongType))))
+    val joined = newSig.as("nw").join(oldSig.as("od"),
+      col(s"nw.$BucketCol") <=> col(s"od.$BucketCol"), "full_outer")
+    val rows = joined.select(
+      col(s"nw.$BucketCol").as("nb"), col(s"od.$BucketCol").as("ob"),
+      col("nw.n").as("nn"), col("od.n").as("on"),
+      col("nw.sig").as("nsig"), col("od.sig").as("osig")).collect()
+    val removed = rows.filter(r => r.isNullAt(0) && !r.isNullAt(1))
+    val changed: Seq[Any] =
+      if (removed.nonEmpty) {
+        // cannot express deletion via dynamic overwrite: rewrite the table
+        // (static overwrite clears the dir, sidecar included — rewritten below)
+        bucketed.write.mode(SaveMode.Overwrite).partitionBy(BucketCol).parquet(path)
+        newSigRows.map(_.get(0)).toSeq
+      } else {
+        val diff = rows.filter { r =>
+          !r.isNullAt(0) && (r.isNullAt(1) ||
+            r.getLong(2) != r.getLong(3) || r.getLong(4) != r.getLong(5))
+        }.map(_.get(0)).toSeq
+        if (diff.nonEmpty) {
+          val keep = spark.createDataFrame(
+            spark.sparkContext.parallelize(diff.map(Row(_)), 1),
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField(
+                "cb", bucketed.schema(BucketCol).dataType))))
+          overwriteAffected(
+            bucketed.join(broadcast(keep),
+              col(BucketCol) <=> col("cb"), "left_semi"), path)
+        }
+        diff
+      }
+    // Sidecar LAST: data-then-sigs ordering is the crash-safety contract.
+    // Also (re)written when it had to be derived by table scan, so a
+    // missing/corrupt sidecar costs ONE scan, not one per sync.
+    if (changed.nonEmpty || sidecarRead.isEmpty) writeSidecar(newSigRows)
+    changed
   }
 
   /** Overwrite ONLY the height buckets present in `df` (dynamic mode);

@@ -44,7 +44,8 @@ class StreamingSpec extends SparkSpec {
       val root = java.nio.file.Paths.get(s"$tmp/gold")
       import scala.jdk.CollectionConverters._
       java.nio.file.Files.list(root).iterator().asScala
-        .filter(p => java.nio.file.Files.isDirectory(p))
+        .filter(p => java.nio.file.Files.isDirectory(p) &&
+          p.getFileName.toString.startsWith("height_bucket="))
         .map { dir =>
           val files = java.nio.file.Files.list(dir).iterator().asScala
             .filter(f => f.getFileName.toString.endsWith(".parquet"))
