@@ -212,8 +212,10 @@ object Bench {
     // Second copy into the TRACKED bench/ dir (when run from the repo root):
     // the driver's end-of-round snapshot commits uncommitted files, so its
     // own bench run self-archives losslessly without driver cooperation.
+    // Filtered runs (SPARK_GRAFT_BENCH_ONLY) are local measurements, not
+    // the round artifact — they must not clobber the full archive.
     val tracked = java.nio.file.Paths.get("bench/BENCH_FULL_latest.json")
-    if (java.nio.file.Files.isDirectory(tracked.getParent))
+    if (only.isEmpty && java.nio.file.Files.isDirectory(tracked.getParent))
       java.nio.file.Files.writeString(tracked, json + "\n")
     println(json)
     spark.stop()

@@ -419,27 +419,26 @@ object TextOps {
     * The resolution loss is the declared trade for oracle-exactness; swap
     * the count table for trained LM probabilities in production.
     *
-    * Scale shape: explode-to-bigrams is the unavoidable LM-scoring pass
-    * (rows × avg-length), but both aggregates are map-side partial and the
-    * probability lookup is a broadcast join — the exploded stream shuffles
-    * only at (id) grain for the final per-doc sum. Docs shorter than 2 chars
-    * have no bigrams and are absent from the output (score undefined).
+    * Scale shape: the per-doc bigram HISTOGRAM is computed inside the scan
+    * by the native `bigram_counts` expression (`functions/BigramCounts.scala`)
+    * — one pass over the UTF-8 bytes per document, no per-character rows.
+    * The generator then emits one row per DISTINCT bigram per document,
+    * already at count grain, so there is no O(total characters) explode and
+    * no (doc, bigram) exchange at all; both aggregates are map-side partial
+    * and the probability lookup is a broadcast join — the only shuffles are
+    * the tiny global model and the final per-doc sum at (id) grain. Docs
+    * shorter than 2 chars have no bigrams and are absent from the output
+    * (score undefined).
     *
     * @return (id, n_bigrams, surprisal_bits, bits_per_bigram)
     */
   def bigramSurprisal(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val t = trim(col(textCol))
-    // The bigram stream is exploded ONCE and immediately reduced to the
-    // (doc, bigram) count grain — for natural text that pre-aggregate is
-    // several times smaller than the raw stream (map-side partial), and
-    // BOTH the global model (a second-level sum, tiny) and the per-doc
-    // scores derive from it without a second corpus pass.
-    val perDoc = df.select(
-        col(idCol),
-        explode(when(length(t) >= 2,
-            transform(sequence(lit(1), length(t) - 1), i => t.substr(i, lit(2))))
-          .otherwise(array().cast("array<string>"))).as("bg"))
-      .groupBy(col(idCol), col("bg")).agg(count(lit(1)).as("cd"))
+    import graft.functions.BigramCountsOps.bigram_counts
+    // (id, bigram, count) straight from the histogram — identical content
+    // to explode-then-groupBy(id, bg), with the count grain reached inside
+    // whole-stage codegen instead of through a corpus-sized exchange.
+    val perDoc = df
+      .select(col(idCol), explode(bigram_counts(trim(col(textCol)))).as(Seq("bg", "cd")))
     val counts = perDoc.groupBy("bg").agg(sum("cd").as("c"))
     val total = counts.agg(sum("c").as("tt"))
     val bits = (x: Column) => length(bin(x))

@@ -493,4 +493,28 @@ class OperatorsSpec extends SparkSpec {
     assert(got(2L) == ((1L, 1L, 1.0)))
     assert(!got.contains(3L)) // no bigrams -> no row
   }
+
+  test("bigram_counts histogram == exploded substr formulation (unicode, edges)") {
+    import spark.implicits._
+    import graft.functions.BigramCountsOps.bigram_counts
+    // Adversarial inputs: multi-byte code points, surrogate-pair emoji,
+    // combining marks, whitespace needing trim, empty/1-char/null docs,
+    // repeats that stress the count path.
+    val docs = Seq(
+      (1L, "abab"), (2L, "  ab  "), (3L, "x"), (4L, ""), (5L, null),
+      (6L, "héllo wörld"), (7L, "日本語のテキスト"), (8L, "👍👍🏽a👍"),
+      (9L, "ééé"), (10L, "aaaaaaaaaa"),
+      (11L, "mixé😀日a😀é"), (12L, " é "), (13L, "ab\ncd\tef")
+    ).toDF("doc_id", "text")
+    val t = trim(col("text"))
+    // the pre-histogram formulation, verbatim (one row per character)
+    val exploded = docs.select(col("doc_id"),
+        explode(when(length(t) >= 2,
+            transform(sequence(lit(1), length(t) - 1), i => t.substr(i, lit(2))))
+          .otherwise(array().cast("array<string>"))).as("bg"))
+      .groupBy("doc_id", "bg").agg(count(lit(1)).as("cd"))
+    val hist = docs.select(col("doc_id"),
+      explode(bigram_counts(trim(col("text")))).as(Seq("bg", "cd")))
+    assert(hist.exceptAll(exploded).isEmpty && exploded.exceptAll(hist).isEmpty)
+  }
 }
