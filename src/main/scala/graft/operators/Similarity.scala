@@ -293,6 +293,47 @@ object Similarity {
     model.cells.write.mode("overwrite").partitionBy("cell").parquet(s"$dir/cells")
   }
 
+  /** Append new vectors to a [[saveIvfIndex]]-written on-disk index WITHOUT
+    * a rebuild — the ANN-side analogue of the O(changed) streaming gold
+    * sink: a growing corpus pays O(new vectors) per batch, never O(index).
+    *
+    * Cell assignment depends only on the saved centroid matrix (kilobytes,
+    * loaded driver-side and broadcast), so append-then-load is equivalent to
+    * assigning the unioned corpus against the same centroids — probes see
+    * exactly the index a from-scratch assignment would produce (spec-gated).
+    * The write is a partitioned parquet APPEND: new files land only in the
+    * cell directories that actually receive vectors, untouched cells stay
+    * byte-identical on disk (also spec-gated), and Spark's output-commit
+    * protocol keeps the append atomic per job.
+    *
+    * Contract: ids must be NEW — dedup upstream (the d10 anti-join shape)
+    * if the feed can replay. Centroids are NOT retrained here, which is the
+    * point: cell balance slowly degrades as the embedding distribution
+    * drifts, and the periodic retrain-and-rebuild remains the full-build
+    * path — the same split as bulk-catch-up vs incremental gold.
+    *
+    * @return number of distinct cells that received new vectors
+    */
+  def appendToIvfIndex(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      newDocs: DataFrame, idCol: String, vecCol: String): Int = {
+    import spark.implicits._
+    val centroids = spark.read.parquet(s"$dir/centroids")
+      .select(col("cell"), col("centroid"))
+      .as[(Int, Array[Float])].collect().sortBy(_._1).map(_._2)
+    val bc = spark.sparkContext.broadcast(centroids)
+    val assigned = newDocs.select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Array[Float])]
+      .map { case (id, v) => (nearestCells(v, bc.value, 1)(0), id, v) }
+      .toDF("cell", idCol, vecCol)
+      .persist()
+    try {
+      val touched = assigned.select("cell").distinct().count().toInt
+      assigned.write.mode("append").partitionBy("cell").parquet(s"$dir/cells")
+      touched
+    } finally { assigned.unpersist(); () }
+  }
+
   /** Load a [[saveIvfIndex]]-written index. The cells stay DISK-BACKED (no
     * persist): probes read only the pruned cell partitions, which is the
     * point of the on-disk layout — callers probing the same cells repeatedly

@@ -191,6 +191,64 @@ class SimilaritySpec extends SparkSpec {
     built.unpersist()
   }
 
+  test("IVF append: O(new) incremental index == from-scratch assignment; untouched cells byte-identical") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sf)
+    val base = emb.filter(col("vec_id") % 2 === 0)
+    val extra = emb.filter(col("vec_id") % 2 === 1 && col("vec_id") < 400)
+    val built = Similarity.ivfIndex(base, "vec_id", "embedding", nlist = 16)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-append").toString
+    Similarity.saveIvfIndex(built, dir)
+
+    def fileSigs(): Map[String, String] = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(dir, "cells")).iterator().asScala
+        .filter(p => java.nio.file.Files.isRegularFile(p) && p.toString.endsWith(".parquet"))
+        .map { p =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+          p.toString -> md.digest(java.nio.file.Files.readAllBytes(p))
+            .map("%02x".format(_)).mkString
+        }.toMap
+    }
+    val before = fileSigs()
+    val touched = Similarity.appendToIvfIndex(spark, dir, extra, "vec_id", "embedding")
+    val after = fileSigs()
+
+    // pre-existing cell files untouched byte-for-byte; new files confined to
+    // exactly the `touched` cell directories the append reported
+    before.foreach { case (p, sig) =>
+      assert(after.get(p).contains(sig), s"pre-existing file changed: $p")
+    }
+    val newCells = (after.keySet -- before.keySet)
+      .map(p => p.split('/').find(_.startsWith("cell=")).get)
+    assert(newCells.size == touched && touched > 0)
+
+    // the appended index is bit-equivalent to assigning base UNION extra
+    // against the same centroids (assignment is a pure function of them)
+    val loaded = Similarity.loadIvfIndex(spark, dir, "vec_id", "embedding")
+    val bc = spark.sparkContext.broadcast(built.centroids)
+    val expected = base.unionByName(extra)
+      .select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .map { case (id, v) => (Similarity.nearestCells(v, bc.value, 1)(0), id) }
+      .collect().toSet
+    val got = loaded.cells.select(col("cell").cast("int"), col("vec_id").cast("long"))
+      .as[(Int, Long)].collect().toSet
+    assert(got == expected)
+
+    // probes reach the appended vectors: querying WITH an appended vector
+    // (under a fresh id, so the self-exclusion doesn't hide it) returns the
+    // appended id as the exact-cosine top hit
+    val probeVec = extra.orderBy("vec_id").limit(1)
+      .select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Array[Float])].head()
+    val q = Seq((999999L, probeVec._2)).toDF("vec_id", "embedding")
+    val hit = Similarity.ivfProbe(loaded, q, k = 1, nprobe = 4)
+      .select("vec_id").as[Long].head()
+    assert(hit == probeVec._1)
+    built.unpersist()
+  }
+
   test("semanticDedup: transitive groups collapse to the min id; singletons survive") {
     import spark.implicits._
     // group {1,2,3}: 1~2 and 2~3 at cos 1.0 (transitive via 2); {4,5}: a
