@@ -227,10 +227,20 @@ object Dedup {
   def minhashCandidatePairs(
       signatures: DataFrame, idCol: String,
       numHashes: Int = 32, rowsPerBand: Int = 4,
-      maxBucketSize: Int = 1000): DataFrame = {
+      maxBucketSize: Int = 1000): DataFrame =
+    cappedBucketPairs(bandedBuckets(signatures, idCol, numHashes, rowsPerBand),
+      idCol, Seq("band", "bucket"), None, maxBucketSize)
+
+  /** (id, band, bucket) rows of a signature table — the equi-join-key form
+    * of LSH banding, shared by the within-corpus self-join
+    * ([[minhashCandidatePairs]]) and the cross-corpus incremental path
+    * ([[minhashPairsAgainst]]). Bands are unrolled statically — each is a
+    * literal slice, keeping the whole projection inside one codegen stage.
+    */
+  def bandedBuckets(
+      signatures: DataFrame, idCol: String,
+      numHashes: Int = 32, rowsPerBand: Int = 4): DataFrame = {
     val numBands = numHashes / rowsPerBand
-    // Bands are unrolled statically — each is a literal slice, keeping the
-    // whole projection inside one codegen stage.
     val bandStructs = (0 until numBands).map { b =>
       struct(
         lit(b).as("band"),
@@ -238,11 +248,49 @@ object Dedup {
           concat_ws(",", slice(col("signature"), b * rowsPerBand + 1, rowsPerBand)))
           .as("bucket"))
     }
-    val banded = signatures
+    signatures
       .select(col(idCol), explode(array(bandStructs: _*)).as("bb"))
       .select(col(idCol), col("bb.band"), col("bb.bucket"))
-    cappedBucketPairs(banded, idCol, Seq("band", "bucket"), None, maxBucketSize)
   }
+
+  /** Cross-corpus NEAR-dup candidates — the MinHash complement of
+    * [[exactAgainst]], and the dedup-side instance of the engine's O(new)
+    * contract (the partitioned gold sink, the IVF append): tonight's crawl
+    * is checked against everything already shipped WITHOUT re-shingling the
+    * shipped corpus. The release's banded signature table is computed once
+    * at freeze time ([[writeMinhashBandIndex]] — ~numBands rows of 24 bytes
+    * per released doc, not its text) and each batch equi-joins its own
+    * banded signatures against it on (band, bucket): linear in collisions,
+    * reference text never read again.
+    *
+    * @param incomingBanded [[bandedBuckets]] of the new batch's signatures
+    * @param refBanded      the persisted release index ([[readMinhashBandIndex]])
+    * @return distinct (idCol, ref_id) candidate pairs — verify with
+    *         [[ngramJaccardPairs]] on the pair texts, or drop incoming ids
+    *         via a left_anti join on idCol (never row-multiplying)
+    */
+  def minhashPairsAgainst(
+      incomingBanded: DataFrame, refBanded: DataFrame, idCol: String): DataFrame =
+    incomingBanded.join(
+        refBanded.select(col(idCol).as("ref_id"), col("band"), col("bucket")),
+        Seq("band", "bucket"))
+      .select(col(idCol), col("ref_id")).distinct()
+
+  /** Persist a release's banded signature index next to the shipped corpus
+    * (freeze-time; `mode=append` lets successive releases extend it — the
+    * band key is stable across batches, so appended batches are immediately
+    * joinable). Layout: plain parquet (id, band, bucket).
+    */
+  def writeMinhashBandIndex(banded: DataFrame, dir: String,
+      append: Boolean = false): Unit =
+    banded.write.mode(if (append) "append" else "overwrite").parquet(dir)
+
+  /** Load a [[writeMinhashBandIndex]]-written index; disk-backed, no scan
+    * until joined.
+    */
+  def readMinhashBandIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame =
+    spark.read.parquet(dir)
 
   /** Exact n-gram Jaccard similarity for all pairs sharing >=1 shingle —
     * the verification stage of MinHash, or standalone exact near-dup on

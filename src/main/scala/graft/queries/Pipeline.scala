@@ -582,6 +582,52 @@ object Pipeline {
         |SELECT d.* FROM documents d
         |WHERE NOT EXISTS (SELECT 1 FROM ref r WHERE r.fp = md5(d.text))""".stripMargin)),
 
+    // Incremental NEAR-dup against the release: the new batch's MinHash
+    // band signatures equi-joined against the release's PERSISTED band
+    // index — d10's rolling-pipeline shape upgraded from exact to near-dup,
+    // with the release side never re-shingled (O(new) per batch). Release =
+    // the same deterministic hash-half as d10, so the oracle re-derives it.
+    Q("d11_neardup_against_release",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val released = Sampling.stratifiedSample(docs, "doc_id", "lang",
+          Map.empty, defaultRate = 0.5)
+        val refBanded = Dedup.bandedBuckets(
+          Dedup.minhashSignatures(released, "doc_id", "text", portable = true),
+          "doc_id")
+        val incoming = docs.join(released.select("doc_id"), Seq("doc_id"), "left_anti")
+        val incBanded = Dedup.bandedBuckets(
+          Dedup.minhashSignatures(incoming, "doc_id", "text", portable = true),
+          "doc_id")
+        Dedup.minhashPairsAgainst(incBanded, refBanded, "doc_id")
+      },
+      Some {
+        val bands = (0 until 8).map { b =>
+          (0 until 4).map(r => s"a.h${b * 4 + r} = b.h${b * 4 + r}")
+            .mkString("(", " AND ", ")")
+        }.mkString("\n   OR ")
+        val slots = (0 until 32).map(minhashSlotSql).mkString(",\n    ")
+        s"""WITH $shingleCtes, hs AS (
+           |  SELECT doc_id,
+           |    CAST(('0x' || substring(md5(sh), 1, 15)) AS UBIGINT) AS h1,
+           |    CAST(('0x' || substring(md5(sh), 17, 15)) AS UBIGINT) AS h2
+           |  FROM sh
+           |), sig AS (
+           |  SELECT doc_id,
+           |    $slots
+           |  FROM hs GROUP BY doc_id
+           |), rel AS (
+           |  SELECT doc_id FROM documents
+           |  WHERE CAST(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS UBIGINT) AS BIGINT) <
+           |    CAST(floor(0.5 * 1152921504606846976.0) AS BIGINT)
+           |)
+           |SELECT DISTINCT a.doc_id AS doc_id, b.doc_id AS ref_id
+           |FROM sig a JOIN sig b ON a.doc_id <> b.doc_id
+           |WHERE a.doc_id NOT IN (SELECT doc_id FROM rel)
+           |  AND b.doc_id IN (SELECT doc_id FROM rel)
+           |  AND ($bands)""".stripMargin
+      }),
+
     // TF-IDF: tf * ln(N/df) — a two-aggregate dataflow, no ML-lib state.
     Q("t5_tfidf",
       (s, d) => {

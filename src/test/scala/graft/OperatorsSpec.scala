@@ -83,6 +83,55 @@ class OperatorsSpec extends SparkSpec {
     assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))
   }
 
+  test("incremental near-dup: persisted band index == live reference; semi-drop never multiplies") {
+    import spark.implicits._
+    val release = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "one two three four five six seven eight"),
+      (3L, "lorem ipsum dolor sit amet consectetur adipiscing")).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta"), // near-dup of 1
+      (11L, "totally fresh content nine ten eleven twelve"),
+      (12L, "one two three four five six seven eight")        // near-dup of 2
+    ).toDF("doc_id", "text")
+    val refBanded = Dedup.bandedBuckets(
+      Dedup.minhashSignatures(release, "doc_id", "text"), "doc_id")
+    val incBanded = Dedup.bandedBuckets(
+      Dedup.minhashSignatures(batch, "doc_id", "text"), "doc_id")
+
+    // freeze-time persist, batch-time read: identical pairs to the live join
+    val dir = java.nio.file.Files.createTempDirectory("graft-bandidx").toString
+    Dedup.writeMinhashBandIndex(refBanded, dir)
+    val fromDisk = Dedup.minhashPairsAgainst(
+      incBanded, Dedup.readMinhashBandIndex(spark, dir), "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val live = Dedup.minhashPairsAgainst(incBanded, refBanded, "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(fromDisk == live)
+    assert(live.contains((10L, 1L)) && live.contains((12L, 2L)))
+    assert(!live.exists(_._1 == 11L)) // fresh doc collides with nothing
+
+    // a later release appends to the same index; the new batch's dups
+    // against EITHER release surface through one read
+    val release2 = Seq((4L, "totally fresh content nine ten eleven twelve"))
+      .toDF("doc_id", "text")
+    Dedup.writeMinhashBandIndex(
+      Dedup.bandedBuckets(Dedup.minhashSignatures(release2, "doc_id", "text"), "doc_id"),
+      dir, append = true)
+    val afterAppend = Dedup.minhashPairsAgainst(
+      incBanded, Dedup.readMinhashBandIndex(spark, dir), "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(afterAppend == live + ((11L, 4L)))
+
+    // the drop path is a left_anti on the pair ids — row count can only
+    // shrink, whatever the collision fan-out
+    val kept = batch.join(
+        Dedup.minhashPairsAgainst(incBanded, refBanded, "doc_id").select("doc_id"),
+        Seq("doc_id"), "left_anti")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(11L))
+  }
+
   test("nearDupClusters: transitive closure over pairs, min-id labels, singletons alone") {
     import spark.implicits._
     val docs = (1L to 6L).toDF("doc_id")
