@@ -78,6 +78,54 @@ object DocScaleRehearsal {
         println(f"""{"rehearsal":"$name","docs":"$tag","warm":$warm%.2f,"s1":$s1%.2f,"s2":$s2%.2f}""")
       }
     }
+
+    // ------------------------------------------------------------------
+    // Incremental-maintenance leg: the O(new) contract under load. Both
+    // paths maintain a persisted artifact of the K× corpus and then absorb
+    // a small batch; the claim worth rehearsing is that batch cost tracks
+    // the BATCH, not the history.
+    // ------------------------------------------------------------------
+    import graft.operators.{Dedup, Similarity}
+    def timed[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val a = f; (a, (System.nanoTime() - t0) / 1e9)
+    }
+    val docsK = spark.read.parquet(s"$dir/documents.parquet")
+    val batch = spark.read.parquet(s"$src/documents.parquet")
+      .limit(500).select((col("doc_id") + lit(900000000L)).as("doc_id"),
+        col("text"), col("lang"), col("source"), col("n_chars"))
+
+    // (a) near-dup band index: freeze-time build over K× docs vs per-batch
+    // join of a 500-doc crawl against the persisted index
+    val bandDir = s"target/docscale_x${k}_bandidx"
+    val (_, tFreeze) = timed {
+      Dedup.writeMinhashBandIndex(
+        Dedup.bandedBuckets(
+          Dedup.minhashSignatures(docsK, "doc_id", "text"), "doc_id"), bandDir)
+    }
+    val (nPairs, tBatch) = timed {
+      Dedup.minhashPairsAgainst(
+        Dedup.bandedBuckets(
+          Dedup.minhashSignatures(batch, "doc_id", "text"), "doc_id"),
+        Dedup.readMinhashBandIndex(spark, bandDir), "doc_id").count()
+    }
+    println(f"""{"rehearsal":"bandidx_incremental","docs":"${k}x","freeze_s":$tFreeze%.2f,"batch500_s":$tBatch%.2f,"batch_pairs":$nPairs}""")
+
+    // (b) IVF index: full build+save over K× embeddings vs appending a
+    // 500-vector batch (fresh ids) to the saved index
+    val embK = spark.read.parquet(s"$dir/embeddings.parquet")
+    val ivfDir = s"target/docscale_x${k}_ivf"
+    val (_, tBuild) = timed {
+      val m = Similarity.ivfIndex(embK, "vec_id", "embedding")
+      Similarity.saveIvfIndex(m, ivfDir)
+      m.unpersist()
+    }
+    val vBatch = spark.read.parquet(s"$src/embeddings.parquet")
+      .limit(500).select((col("vec_id") + lit(900000000L)).as("vec_id"),
+        col("embedding"), col("label"))
+    val (cellsTouched, tAppend) = timed {
+      Similarity.appendToIvfIndex(spark, ivfDir, vBatch, "vec_id", "embedding")
+    }
+    println(f"""{"rehearsal":"ivf_incremental","docs":"${k}x","build_s":$tBuild%.2f,"append500_s":$tAppend%.2f,"cells_touched":$cellsTouched}""")
     spark.stop()
   }
 }
