@@ -126,6 +126,33 @@ object DocScaleRehearsal {
       Similarity.appendToIvfIndex(spark, ivfDir, vBatch, "vec_id", "embedding")
     }
     println(f"""{"rehearsal":"ivf_incremental","docs":"${k}x","build_s":$tBuild%.2f,"append500_s":$tAppend%.2f,"cells_touched":$cellsTouched}""")
+
+    // (c) the full nightly loop: absorb a 500-doc crawl batch into a rolling
+    // corpus whose history is the K× corpus (sidecars seeded once)
+    val rollDir = s"target/docscale_x${k}_rolling"
+    if (!Files.exists(Paths.get(s"$rollDir/_seeded"))) {
+      docsK.select(col("doc_id"), col("text"), col("lang"), col("source"))
+        .write.mode("overwrite").parquet(s"$rollDir/docs")
+      graft.sinks.RollingCuration.rebuildSidecars(spark, rollDir)
+      Files.write(Paths.get(s"$rollDir/_seeded"), Array.emptyByteArray)
+    }
+    // fresh content (salted like the replicas) so the batch runs the FULL
+    // path — signature compute, both history joins, and the 3-artifact
+    // append — not just the exact-dup short-circuit
+    val jsonl = s"target/docscale_x${k}_batch.jsonl"
+    if (!Files.exists(Paths.get(jsonl))) {
+      val lines = batch.select(to_json(struct(
+          col("doc_id"),
+          regexp_replace(col("text"), " ", " zq ").as("text"),
+          col("lang"), col("source"))))
+        .collect().map(_.getString(0))
+      Files.write(Paths.get(jsonl),
+        lines.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
+    val (report, tAbsorb) = timed {
+      graft.sinks.RollingCuration.absorbBatch(spark, jsonl, rollDir)
+    }
+    println(f"""{"rehearsal":"rolling_absorb","docs":"${k}x","absorb500_s":$tAbsorb%.2f,"appended":${report.appended},"near_dropped":${report.nearDups},"exact_dropped":${report.historyDups}}""")
     spark.stop()
   }
 }
