@@ -384,4 +384,31 @@ class PropertySpec extends SparkSpec {
         s"doc score not the sum of token weights: $words")
     }
   }
+
+  test("property: bigram_counts histogram == exploded substr on random unicode") {
+    import spark.implicits._
+    import graft.functions.BigramCountsOps.bigram_counts
+    // char pool spanning 1–4 UTF-8 bytes, incl. spaces trim touches,
+    // newlines, combining marks and astral-plane emoji
+    val charGen = Gen.oneOf(
+      Gen.alphaNumChar.map(_.toString),
+      Gen.oneOf(" ", "\n", "\t", "é", "ß", "日", "本", "́", "😀", "👍", "𝕏"))
+    val docGen = Gen.choose(0, 30).flatMap(n => Gen.listOfN(n, charGen).map(_.mkString))
+    val corpusGen = Gen.choose(1, 8).flatMap(n => Gen.listOfN(n, docGen))
+    forAllSeeded(corpusGen, 10) { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val t = trim(col("text"))
+      val exploded = docs.select(col("doc_id"),
+          explode(when(length(t) >= 2,
+              transform(sequence(lit(1), length(t) - 1), i => t.substr(i, lit(2))))
+            .otherwise(array().cast("array<string>"))).as("bg"))
+        .groupBy("doc_id", "bg").agg(count(lit(1)).as("cd"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      val hist = docs.select(col("doc_id"),
+          explode(bigram_counts(trim(col("text")))).as(Seq("bg", "cd")))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      assert(hist == exploded, s"histogram mismatch on ${texts.map(_.take(40))}")
+    }
+  }
 }
