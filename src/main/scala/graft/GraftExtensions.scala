@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{BlockSubsidy, ScriptToAddressExpr, VecDotF}
+import graft.functions.{BigramCountsExpr, BlockSubsidy, ScriptToAddressExpr, VecDotF}
 
 /** SQL-surface registration of the engine's native expressions
   * (SURVEY.md §2.10): configure
@@ -15,6 +15,7 @@ import graft.functions.{BlockSubsidy, ScriptToAddressExpr, VecDotF}
   * {{{
   *   SELECT block_subsidy(height), script_to_address(script) FROM outputs
   *   SELECT vec_dot_f(a.embedding, b.embedding) FROM ...
+  *   SELECT doc_id, explode(bigram_counts(trim(text))) FROM documents
   * }}}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
@@ -42,5 +43,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("vec_dot_f"),
       info("vec_dot_f", "vec_dot_f(a ARRAY<FLOAT>, b ARRAY<FLOAT>) -> DOUBLE dot product"),
       arity("vec_dot_f", 2)(args => VecDotF(args(0), args(1)))))
+    ext.injectFunction((
+      FunctionIdentifier("bigram_counts"),
+      info("bigram_counts", "bigram_counts(s STRING) -> MAP<STRING,BIGINT> character-bigram histogram"),
+      arity("bigram_counts", 1)(args => BigramCountsExpr(args.head))))
   }
 }

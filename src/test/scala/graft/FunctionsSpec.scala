@@ -42,6 +42,9 @@ class FunctionsSpec extends SparkSpec {
     assert(r.getLong(0) == 2500000000L)
     assert(r.getString(1) == "<undecodable>")
     assert(r.getDouble(2) == 9.0)
+    val bg = spark.sql("SELECT bigram_counts('abab') AS m").head()
+      .getMap[String, Long](0)
+    assert(bg == Map("ab" -> 2L, "ba" -> 1L))
   }
 
   test("script_to_address: real Base58Check/bech32 through codegen path") {
