@@ -280,10 +280,32 @@ object Dedup {
     * (freeze-time; `mode=append` lets successive releases extend it — the
     * band key is stable across batches, so appended batches are immediately
     * joinable). Layout: plain parquet (id, band, bucket).
+    *
+    * `capPerBucket = Some((idCol, m))` bounds join fan-out against the
+    * index: only the `m` smallest-id members of each (band, bucket) are
+    * written, so one degenerate bucket (a release full of near-empty docs
+    * collapsing to one signature) cannot multiply an incoming batch by the
+    * bucket's population — the write-time analogue of the self-join's
+    * star cap. Detection is preserved: an incoming doc is flagged by
+    * colliding with ANY member, and ≥1 member always survives; only the
+    * per-ref-id provenance list is truncated for degenerate signatures.
+    * Deterministic (min-id keep), so rebuilds reproduce the index exactly.
+    * Under `append` the cap applies per written batch; a global re-cap is
+    * the rebuild path.
     */
   def writeMinhashBandIndex(banded: DataFrame, dir: String,
-      append: Boolean = false): Unit =
-    banded.write.mode(if (append) "append" else "overwrite").parquet(dir)
+      append: Boolean = false,
+      capPerBucket: Option[(String, Int)] = None): Unit = {
+    val out = capPerBucket match {
+      case Some((idCol, m)) =>
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("band", "bucket").orderBy(col(idCol))
+        banded.withColumn("_rn", row_number().over(w))
+          .where(col("_rn") <= m).drop("_rn")
+      case None => banded
+    }
+    out.write.mode(if (append) "append" else "overwrite").parquet(dir)
+  }
 
   /** Load a [[writeMinhashBandIndex]]-written index; disk-backed, no scan
     * until joined.

@@ -130,6 +130,26 @@ class OperatorsSpec extends SparkSpec {
         Seq("doc_id"), "left_anti")
       .select("doc_id").as[Long].collect().toSet
     assert(kept == Set(11L))
+
+    // write-time bucket cap: a degenerate release (many docs, one
+    // signature) keeps only the m min-id members per bucket, but an
+    // incoming dup is still flagged — detection survives, fan-out is
+    // bounded
+    val degenerate = (1L to 50L).map(i => (i, "same tiny doc")).toDF("doc_id", "text")
+    val degBanded = Dedup.bandedBuckets(
+      Dedup.minhashSignatures(degenerate, "doc_id", "text"), "doc_id")
+    val capDir = java.nio.file.Files.createTempDirectory("graft-bandcap").toString
+    Dedup.writeMinhashBandIndex(degBanded, capDir, capPerBucket = Some(("doc_id", 3)))
+    val capped = Dedup.readMinhashBandIndex(spark, capDir)
+    val perBucket = capped.groupBy("band", "bucket").count()
+      .select("count").as[Long].collect()
+    assert(perBucket.nonEmpty && perBucket.forall(_ <= 3))
+    assert(capped.select("doc_id").distinct().as[Long].collect().toSet == Set(1L, 2L, 3L))
+    val dupProbe = Seq((99L, "same tiny doc")).toDF("doc_id", "text")
+    val flagged = Dedup.minhashPairsAgainst(
+      Dedup.bandedBuckets(Dedup.minhashSignatures(dupProbe, "doc_id", "text"), "doc_id"),
+      capped, "doc_id")
+    assert(flagged.select("doc_id").as[Long].collect().toSet == Set(99L))
   }
 
   test("nearDupClusters: transitive closure over pairs, min-id labels, singletons alone") {
