@@ -334,6 +334,27 @@ object Similarity {
     } finally { assigned.unpersist(); () }
   }
 
+  /** Semantic near-dups of a NEW batch against an already-indexed corpus —
+    * the embedding-space member of the engine's incremental-against-history
+    * family (exact = fingerprint sidecar, lexical = MinHash band index,
+    * semantic = this): each batch vector probes its nprobe nearest cells of
+    * the release's saved IVF index and keeps history neighbors with cosine
+    * ≥ `tau` (SemDeDup's dup criterion, applied cross-corpus). Cost is the
+    * probe join — O(batch × probed cells), never O(history²) and never a
+    * rebuild. Drop flagged ids with a left_anti on `idCol`; the miss rate
+    * is IVF's (1 − recall), the accepted approximation of the indexed path
+    * (recall spec-gated in `SimilaritySpec`).
+    *
+    * @return (idCol, ref_id, score) — batch id, colliding history id,
+    *         exact cosine; one row per (batch, history) dup pair
+    */
+  def semanticDupsAgainst(model: IvfModel, batch: DataFrame,
+      k: Int = 5, nprobe: Int = 8, tau: Double = 0.95): DataFrame =
+    ivfProbe(model, batch, k, nprobe)
+      .where(col("score") >= tau)
+      .select(col("query_id").as(model.idCol), col(model.idCol).as("ref_id"),
+        col("score"))
+
   /** Load a [[saveIvfIndex]]-written index. The cells stay DISK-BACKED (no
     * persist): probes read only the pruned cell partitions, which is the
     * point of the on-disk layout — callers probing the same cells repeatedly

@@ -249,6 +249,29 @@ class SimilaritySpec extends SparkSpec {
     built.unpersist()
   }
 
+  test("semanticDupsAgainst: batch re-embeds of indexed content flagged; fresh vectors pass") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sf)
+    val built = Similarity.ivfIndex(emb, "vec_id", "embedding", nlist = 16)
+    // batch: two exact re-embeds of indexed vectors under new ids + one
+    // orthogonal-ish fresh vector (a basis vector is near-orthogonal to
+    // unit-norm random embeddings — cosine far below tau)
+    val copies = emb.filter(col("vec_id").isin(7L, 19L))
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+    val dim = emb.select("embedding").head().getSeq[Float](0).length
+    val fresh = Seq((2000000L, Array.tabulate(dim)(i => if (i == 0) 1.0f else 0.0f)))
+      .toDF("vec_id", "embedding")
+    val dups = Similarity.semanticDupsAgainst(built, copies.unionByName(fresh),
+        tau = 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val flaggedIds = dups.map(_._1).toSet
+    assert(flaggedIds == Set(1000007L, 1000019L))
+    // the exact copy's top hit is its original at cosine ~1
+    assert(dups.filter(_._1 == 1000007L).exists(d => d._2 == 7L && d._3 > 0.999))
+    assert(dups.filter(_._1 == 1000019L).exists(d => d._2 == 19L && d._3 > 0.999))
+    built.unpersist()
+  }
+
   test("semanticDedup: transitive groups collapse to the min id; singletons survive") {
     import spark.implicits._
     // group {1,2,3}: 1~2 and 2~3 at cos 1.0 (transitive via 2); {4,5}: a
