@@ -126,6 +126,13 @@ object DocScaleRehearsal {
       Similarity.appendToIvfIndex(spark, ivfDir, vBatch, "vec_id", "embedding")
     }
     println(f"""{"rehearsal":"ivf_incremental","docs":"${k}x","build_s":$tBuild%.2f,"append500_s":$tAppend%.2f,"cells_touched":$cellsTouched}""")
+    // semantic dup check of the same 500-vector batch against the saved
+    // K× index — probe-join cost, no rebuild
+    val loaded = Similarity.loadIvfIndex(spark, ivfDir, "vec_id", "embedding")
+    val (nSemDups, tSem) = timed {
+      Similarity.semanticDupsAgainst(loaded, vBatch, tau = 0.95).count()
+    }
+    println(f"""{"rehearsal":"semantic_dups_against","docs":"${k}x","check500_s":$tSem%.2f,"dups":$nSemDups}""")
 
     // (c) the full nightly loop: absorb a 500-doc crawl batch into a rolling
     // corpus whose history is the K× corpus (sidecars seeded once)
