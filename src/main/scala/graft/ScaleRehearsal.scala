@@ -43,6 +43,48 @@ object ScaleRehearsal {
       val s2 = once()
       println(f"""{"rehearsal":"$name","scale":$scale,"warm":$warm%.2f,"s1":$s1%.2f,"s2":$s2%.2f}""")
     }
+
+    // Incremental wallet clustering vs full re-cluster: stored labeling
+    // covers the chain below the last 1000 best-chain heights, the "day's
+    // batch" is the tip's funders. On this corpus the delta is legitimately
+    // EMPTY (the generator's address pool recurs from genesis, so every tip
+    // funder is stored and already co-clustered — a hash-parity tx split
+    // gives the same result), which is itself the operating claim: the
+    // incremental path certifies stored == full and writes NOTHING, where
+    // the full path re-derives and rewrites every row. Non-trivial deltas
+    // (new addresses, cluster merges) are property-gated against full
+    // recompute on random graphs in PropertySpec.
+    {
+      import org.apache.spark.sql.functions._
+      Graft.releaseCaches()
+      val rin = graft.chain.BlkCorpus.silver(spark, "rin")
+      val ctx = graft.chain.BlkCorpus.silver(spark, "ctx")
+      val tipStart = ctx.agg(max("height")).head.get(0)
+        .asInstanceOf[Number].intValue - 1000
+      val funders = rin.join(ctx.select("tx_hash", "height"), "tx_hash")
+        .select(col("tx_hash"), col("src_address"), col("height"))
+      val baseFunders = funders.where(col("height") <= tipStart).drop("height")
+      val batchFunders = funders.where(col("height") > tipStart).drop("height")
+      val baseAddrs = baseFunders.select(col("src_address").as("address")).distinct()
+      val stored = graft.chain.WalletCluster.clusters(baseAddrs, baseFunders)
+        .persist()
+      stored.count()
+      val (delta, tDelta) = timed {
+        val d = graft.chain.WalletCluster.incrementalClusters(stored, batchFunders)
+        val rows = d.collect()
+        rows
+      }
+      val allAddrs = funders.select(col("src_address").as("address")).distinct()
+      val (full, tFull) = timed {
+        graft.chain.WalletCluster.clusters(allAddrs, baseFunders.unionByName(batchFunders))
+          .collect()
+      }
+      val storedMap = stored.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      val upserted = storedMap ++ delta.map(r => r.getString(0) -> r.getString(1))
+      val fullMap = full.map(r => r.getString(0) -> r.getString(1)).toMap
+      stored.unpersist()
+      println(f"""{"rehearsal":"wallet_incremental","scale":$scale,"delta_s":$tDelta%.2f,"full_s":$tFull%.2f,"delta_rows":${delta.length},"full_rows":${full.length},"exact":${upserted == fullMap}}""")
+    }
     spark.stop()
   }
 }

@@ -121,4 +121,56 @@ object WalletCluster {
     Option(lastResult.getAndSet(outRdd)).foreach(_.unpersist(blocking = false))
     outDf
   }
+
+  /** INCREMENTAL wallet clustering — the chain-side member of the engine's
+    * O(new)-against-history family: a day's new transactions update the
+    * stored labeling without re-clustering the address universe. The
+    * standard contraction trick: each stored component is already
+    * represented by its label, so the batch's funders are mapped through
+    * `oldLabels` (unseen addresses map to themselves) and [[clusters]] runs
+    * on the CONTRACTED graph — vertices are the touched labels plus the
+    * batch's new addresses, never the universe. Because stored labels are
+    * component MINIMA, composition preserves the invariant: the contracted
+    * component's min over {old labels, new addresses} IS the merged
+    * component's min member, so incremental-then-upsert equals a full
+    * recompute exactly (property-gated against [[clusters]] on the unioned
+    * history).
+    *
+    * @param oldLabels  the stored labeling — (address, wallet_id)
+    * @param newFunders (tx_hash, src_address) funding pairs of the NEW
+    *                   batch only
+    * @return the DELTA: (address, wallet_id) ONLY for addresses whose
+    *         stored row must change — new addresses, plus members of
+    *         stored clusters merged by the batch. Upsert into the stored
+    *         labeling; an empty batch yields an empty delta.
+    */
+  def incrementalClusters(oldLabels: DataFrame, newFunders: DataFrame): DataFrame = {
+    val old = oldLabels.select(col("address"), col("wallet_id"))
+    val funders = newFunders
+      .select(col("tx_hash"), col("src_address").as("address")).distinct()
+    // contract: funder → its stored component label (itself when unseen)
+    val contracted = funders.join(old, Seq("address"), "left")
+      .select(col("tx_hash"),
+        coalesce(col("wallet_id"), col("address")).as("src_address"))
+      .distinct()
+    val nodes = contracted.select(col("src_address").as("address")).distinct()
+    // (contracted node → merged-component label); routing, star edges and
+    // cache discipline are clusters' own
+    val relabel = clusters(nodes, contracted)
+      .select(col("address").as("node"), col("wallet_id").as("new_id"))
+
+    // members of stored clusters whose label moves
+    val movedLabels = relabel.where(col("node") =!= col("new_id"))
+    val movedMembers = old
+      .join(movedLabels, old("wallet_id") === movedLabels("node"))
+      .select(col("address"), col("new_id").as("wallet_id"))
+    // batch addresses not stored yet (insert, merged label or self)
+    val newAddrs = funders.select("address").distinct()
+      .join(old.select("address"), Seq("address"), "left_anti")
+    val newRows = newAddrs
+      .join(relabel, newAddrs("address") === relabel("node"), "left")
+      .select(col("address"),
+        coalesce(col("new_id"), col("address")).as("wallet_id"))
+    movedMembers.unionByName(newRows)
+  }
 }

@@ -385,6 +385,39 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: incremental wallet clustering upsert == full recompute") {
+    import spark.implicits._
+    import graft.chain.WalletCluster
+    // random co-spend batches over a small address pool: each tx funds from
+    // 1–3 addresses; base history then an incremental batch
+    val txGen = Gen.choose(1, 3).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(0, 14)).map(_.distinct.map(i => f"a$i%02d")))
+    val txsGen = Gen.choose(0, 6).flatMap(n => Gen.listOfN(n, txGen))
+    forAllSeeded(Gen.zip(txsGen, txsGen), 8) { case (baseTxs, batchTxs) =>
+      def fundersDf(txs: Seq[Seq[String]], tag: String) =
+        txs.zipWithIndex.flatMap { case (addrs, i) =>
+          addrs.map(a => (s"$tag$i", a))
+        }.toDF("tx_hash", "src_address")
+      val baseFunders = fundersDf(baseTxs, "b")
+      val batchFunders = fundersDf(batchTxs, "n")
+      val baseAddrs = baseTxs.flatten.distinct.toDF("address")
+      val allAddrs = (baseTxs.flatten ++ batchTxs.flatten).distinct.toDF("address")
+
+      val stored = WalletCluster.clusters(baseAddrs, baseFunders)
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      val delta = WalletCluster.incrementalClusters(
+          stored.toSeq.toDF("address", "wallet_id"), batchFunders)
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      val full = WalletCluster.clusters(allAddrs,
+          baseFunders.unionByName(batchFunders))
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(stored ++ delta == full,
+        s"upsert != full: base=$baseTxs batch=$batchTxs delta=$delta")
+      // minimality: every delta row is a real change (new or relabeled)
+      assert(delta.forall { case (a, w) => !stored.get(a).contains(w) })
+    }
+  }
+
   test("property: bigram_counts histogram == exploded substr on random unicode") {
     import spark.implicits._
     import graft.functions.BigramCountsOps.bigram_counts
