@@ -10,8 +10,8 @@ import graft.sources.DocSource
 
 /** The ROLLING form of the curation pipeline: a corpus directory that
   * absorbs nightly crawl batches through the full incremental gauntlet —
-  * quarantine split → within-batch exact dedup → exact + near-dup against
-  * everything already accumulated → quality gate → append — paying O(batch)
+  * quarantine split → within-batch exact + near-dup → exact + near-dup
+  * against everything already accumulated → quality gate → append — O(batch)
   * per night, never O(corpus). (The reference's loop has the same rolling
   * shape for blocks: `BlockchainToGraph.java:31-47,79-100` resumes from a
   * persisted best-height cursor and ingests only blk files past it.)
@@ -40,8 +40,8 @@ object RollingCuration {
 
   final case class BatchReport(
       ingested: Long, quarantined: Long, withinBatchDups: Long,
-      historyDups: Long, nearDups: Long, qualityRejected: Long,
-      appended: Long)
+      withinBatchNearDups: Long, historyDups: Long, nearDups: Long,
+      qualityRejected: Long, appended: Long)
 
   /** Absorb one JSONL crawl batch into the rolling corpus at `dir`.
     * Quality gate = p0's: ≥ `minTokens` tokens and ≤ `maxPunct` punctuation
@@ -62,19 +62,30 @@ object RollingCuration {
         .agg(min("doc_id").as("doc_id")).select("doc_id")
       val unique = docs.join(keepIds, Seq("doc_id"), "left_semi")
 
+      // within-batch NEAR-dup: LSH candidates over the batch, transitive
+      // keep-min (the batch-local complement of the history band check).
+      // Signatures are computed ONCE here and reused for the history join.
+      val sigs = Dedup.minhashSignatures(unique, "doc_id", "text")
+      val nearKeep = Dedup.nearDupClusters(
+          unique.select("doc_id"),
+          Dedup.minhashCandidatePairs(sigs, "doc_id"))
+        .where(col("doc_id") === col("cluster_id")).select("doc_id")
+      val uniqueNear = unique.join(nearKeep, Seq("doc_id"), "left_semi")
+
       // history checks ride the sidecars (absent on the first batch)
       val hasHistory = Files.exists(Paths.get(dir, "_fingerprints"))
       val afterExact =
-        if (!hasHistory) unique
-        else unique.join(
+        if (!hasHistory) uniqueNear
+        else uniqueNear.join(
           spark.read.parquet(s"$dir/_fingerprints"),
-          md5(unique("text")) === col("fp"), "left_anti")
+          md5(uniqueNear("text")) === col("fp"), "left_anti")
       val afterNear =
         if (!hasHistory) afterExact
         else {
           val collided = Dedup.minhashPairsAgainst(
             Dedup.bandedBuckets(
-              Dedup.minhashSignatures(afterExact, "doc_id", "text"), "doc_id"),
+              sigs.join(afterExact.select("doc_id"), Seq("doc_id"), "left_semi"),
+              "doc_id"),
             spark.read.parquet(s"$dir/_bandidx"), "doc_id").select("doc_id")
           afterExact.join(collided, Seq("doc_id"), "left_anti")
         }
@@ -87,7 +98,8 @@ object RollingCuration {
         .persist()
       try {
         val nUnique = unique.count()
-        val nAfterExact = if (!hasHistory) nUnique else afterExact.count()
+        val nUniqueNear = uniqueNear.count()
+        val nAfterExact = if (!hasHistory) nUniqueNear else afterExact.count()
         val nAfterNear = if (!hasHistory) nAfterExact else afterNear.count()
         val nAppended = survivors.count()
 
@@ -103,7 +115,8 @@ object RollingCuration {
         BatchReport(
           ingested = nIngested, quarantined = nQuarantined,
           withinBatchDups = nIngested - nUnique,
-          historyDups = nUnique - nAfterExact,
+          withinBatchNearDups = nUnique - nUniqueNear,
+          historyDups = nUniqueNear - nAfterExact,
           nearDups = nAfterExact - nAfterNear,
           qualityRejected = nAfterNear - nAppended,
           appended = nAppended)

@@ -16,18 +16,21 @@ class RollingCurationSpec extends SparkSpec {
   test("rolling curation: batches absorb O(batch); replay appends nothing; freeze verifies") {
     val dir = Files.createTempDirectory("graft-rolling").toString
 
-    // batch 1 into an empty corpus: a within-batch dup, a quality reject, a
-    // quarantine line
+    // batch 1 into an empty corpus: a within-batch exact dup, a
+    // within-batch NEAR-dup (doc 5 vs doc 2, one word changed — min id 2
+    // kept), a quality reject, a quarantine line
     val batch1 = writeJsonl(Seq(
       """{"doc_id":1,"text":"alpha beta gamma delta epsilon zeta","lang":"en","source":"a"}""",
       """{"doc_id":2,"text":"the quick brown fox jumps over the lazy sleeping dog tonight","lang":"en","source":"a"}""",
       """{"doc_id":3,"text":"alpha beta gamma delta epsilon zeta","lang":"en","source":"b"}""",
       """{"doc_id":4,"text":"bad!!!! ????","lang":"en","source":"b"}""",
+      """{"doc_id":5,"text":"the quick brown fox jumps over the lazy sleeping dog forever","lang":"en","source":"b"}""",
       """this line is not json at all"""))
     val r1 = RollingCuration.absorbBatch(spark, batch1, dir)
     assert(r1 == RollingCuration.BatchReport(
-      ingested = 4, quarantined = 1, withinBatchDups = 1,
-      historyDups = 0, nearDups = 0, qualityRejected = 1, appended = 2))
+      ingested = 5, quarantined = 1, withinBatchDups = 1,
+      withinBatchNearDups = 1, historyDups = 0, nearDups = 0,
+      qualityRejected = 1, appended = 2))
 
     // batch 2: an exact re-crawl of doc 1, a near-dup of doc 2 (one word
     // changed), and one fresh doc — only the fresh doc lands
@@ -38,7 +41,8 @@ class RollingCurationSpec extends SparkSpec {
     val r2 = RollingCuration.absorbBatch(spark, batch2, dir)
     assert(r2 == RollingCuration.BatchReport(
       ingested = 3, quarantined = 0, withinBatchDups = 0,
-      historyDups = 1, nearDups = 1, qualityRejected = 0, appended = 1))
+      withinBatchNearDups = 0, historyDups = 1, nearDups = 1,
+      qualityRejected = 0, appended = 1))
 
     // replay of batch 2 (the crash-recovery path): its survivor is now an
     // exact duplicate of what the first run appended — nothing lands
