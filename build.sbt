@@ -10,10 +10,22 @@ libraryDependencies ++= Seq(
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
 )
 Test / fork := true
+// The round driver parses the LAST line of the captured run log as the bench
+// JSON; sbt's "[success] Total time" trailer has made that parse fail every
+// round. Suppress it so graft.Bench's final println IS the last line.
+Global / showSuccess := false
 // Per-test durations in the report: the suite's wall time is a standing
 // complaint (33 min at r8) — you cannot trim what you cannot see.
 Test / testOptions += Tests.Argument("-oD")
 run / fork := true
+// Inherit sbt's stdio in the forked run JVM instead of relaying through the
+// sbt logger: relayed stdout gets an "[info] " prefix and relayed stderr is
+// buffered into one "[error]" block AFTER all stdout — both of which have
+// kept the driver's last-line JSON parse of graft.Bench's output failing.
+// With StdoutOutput the process writes the terminal directly, so Bench's
+// final println is the last line of the log (showSuccess=false above kills
+// the "[success] Total time" trailer that would otherwise follow).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

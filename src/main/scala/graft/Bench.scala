@@ -44,6 +44,14 @@ object Bench {
   }
 
   def main(args: Array[String]): Unit = {
+    // The driver parses the LAST line of the captured run log as the result
+    // JSON. sbt relays forked stderr as one buffered [error]-prefixed block
+    // AFTER all forked stdout, so ANY stderr write (ours, Spark's, a JVM
+    // shutdown hook's) lands after the final JSON println and kills the
+    // parse — 12 rounds of "parsed": null. Merge stderr into stdout at the
+    // JVM level (log4j2.properties does the same for the logging path with
+    // target=SYSTEM_OUT follow=true) so ordering with our printlns holds.
+    System.setErr(System.out)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -197,12 +205,16 @@ object Bench {
     val valid = failures.isEmpty && unstableNames.isEmpty
     def strArr(xs: Seq[String]): String = xs.map("\"" + _ + "\"").mkString("[", ",", "]")
     val json = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"spread":$spread,"spread_raw":$spreadRaw,"runs":$runs,"sf":"$sfDir","valid":$valid,"unstable":${strArr(unstableNames)},"failures":${strArr(failures.reverse)}}"""
-    // JSON first, diagnostics after, JSON again last: whichever end of the
-    // log the driver's truncation keeps, a complete copy survives.
+    // JSON first, diagnostics after, JSON again LAST: whichever end of the
+    // log the driver's truncation keeps, a complete copy survives — and the
+    // final copy must be the last line of the whole process output, because
+    // that is what the driver parses. Everything below is ordered for that:
+    // diagnostics on stdout, spark.stop() BEFORE the final println (its WARN
+    // chatter goes to stdout via log4j2.properties), logging forced OFF so
+    // shutdown hooks that fire after main() cannot print, and build.sbt's
+    // showSuccess := false so sbt appends no "[success] Total time" trailer.
     println(json)
-    Console.flush()
-    diag.foreach(System.err.println)
-    System.err.flush()
+    diag.foreach(println)
     // The driver stores only a truncated tail of the run log, which has cut
     // up to 10 of the per-query timings from every BENCH artifact so far —
     // the file is the lossless channel (committed as bench/ each round).
@@ -218,7 +230,10 @@ object Bench {
     val tracked = java.nio.file.Paths.get("bench/BENCH_FULL_latest.json")
     if (only.isEmpty && java.nio.file.Files.isDirectory(tracked.getParent))
       java.nio.file.Files.writeString(tracked, json + "\n")
-    println(json)
     spark.stop()
+    org.apache.logging.log4j.core.config.Configurator.setRootLevel(
+      org.apache.logging.log4j.Level.OFF)
+    println(json)
+    Console.flush()
   }
 }
