@@ -14,6 +14,9 @@ Test / fork := true
 // JSON; sbt's "[success] Total time" trailer has made that parse fail every
 // round. Suppress it so graft.Bench's final println IS the last line.
 Global / showSuccess := false
+// showSuccess is consumed by sbt's command layer, not a task — exclude it
+// from the unused-key lint that can't see that.
+Global / excludeLintKeys += showSuccess
 // Per-test durations in the report: the suite's wall time is a standing
 // complaint (33 min at r8) — you cannot trim what you cannot see.
 Test / testOptions += Tests.Argument("-oD")

@@ -122,10 +122,10 @@ object DocScaleRehearsal {
     val vBatch = spark.read.parquet(s"$src/embeddings.parquet")
       .limit(500).select((col("vec_id") + lit(900000000L)).as("vec_id"),
         col("embedding"), col("label"))
-    val (cellsTouched, tAppend) = timed {
+    val (stats, tAppend) = timed {
       Similarity.appendToIvfIndex(spark, ivfDir, vBatch, "vec_id", "embedding")
     }
-    println(f"""{"rehearsal":"ivf_incremental","docs":"${k}x","build_s":$tBuild%.2f,"append500_s":$tAppend%.2f,"cells_touched":$cellsTouched}""")
+    println(f"""{"rehearsal":"ivf_incremental","docs":"${k}x","build_s":$tBuild%.2f,"append500_s":$tAppend%.2f,"cells_touched":${stats.touchedCells},"max_cell":${stats.maxCell},"skew":${stats.skew}%.2f}""")
     // semantic dup check of the same 500-vector batch against the saved
     // K× index — probe-join cost, no rebuild
     val loaded = Similarity.loadIvfIndex(spark, ivfDir, "vec_id", "embedding")
@@ -133,6 +133,22 @@ object DocScaleRehearsal {
       Similarity.semanticDupsAgainst(loaded, vBatch, tau = 0.95).count()
     }
     println(f"""{"rehearsal":"semantic_dups_against","docs":"${k}x","check500_s":$tSem%.2f,"dups":$nSemDups}""")
+    // DRIFTED append (runs LAST against this index — it deliberately skews
+    // it): 500 near-copies of one history vector all land in one cell, so
+    // the cell-balance stats must move (maxCell/skew jump) where the uniform
+    // batch above left them flat. This is the silent-skew signal
+    // appendToIvfIndex exists to surface; a monitoring loop alerts on the
+    // skew delta and schedules the retrain-and-rebuild.
+    import spark.implicits._
+    val seedVec = embK.select(col("embedding")).head().getSeq[Float](0).toArray
+    val drifted = spark.range(500).map { i =>
+      val v = seedVec.clone(); v(0) = v(0) + 1e-4f * i  // near-identical: one cell
+      (950000000L + i, v)
+    }.toDF("vec_id", "embedding")
+    val (dStats, tDrift) = timed {
+      Similarity.appendToIvfIndex(spark, ivfDir, drifted, "vec_id", "embedding")
+    }
+    println(f"""{"rehearsal":"ivf_drifted_append","docs":"${k}x","append500_s":$tDrift%.2f,"cells_touched":${dStats.touchedCells},"max_cell":${dStats.maxCell},"skew":${dStats.skew}%.2f,"max_cell_delta":${dStats.maxCell - stats.maxCell}}""")
 
     // (c) the full nightly loop: absorb a 500-doc crawl batch into a rolling
     // corpus whose history is the K× corpus (sidecars seeded once)

@@ -28,6 +28,7 @@ object Graft {
     graph.GraphAnalytics.release()
     operators.ChainOps.release()
     operators.Dedup.release()
+    operators.TextOps.release()
     operators.Similarity.release()
     operators.ProductQuantizer.release()
     queries.BlkScale.release()

@@ -184,6 +184,20 @@ object Similarity {
     def unpersist(): Unit = { cells.unpersist(); () }
   }
 
+  /** Post-append health of an on-disk IVF index ([[appendToIvfIndex]]):
+    * what the append touched plus the cell-size distribution of the WHOLE
+    * index afterwards. maxCell (and maxCell/meanCell) climbing across
+    * appends is the silent-skew signal that schedules the periodic
+    * retrain-and-rebuild.
+    */
+  final case class IvfAppendStats(
+      touchedCells: Int, newVectors: Long, nonEmptyCells: Int,
+      maxCell: Long, meanCell: Double, p99Cell: Long) {
+    def skew: Double = maxCell / meanCell
+    def json: String =
+      f"""{"touched_cells":$touchedCells,"new_vectors":$newVectors,"non_empty_cells":$nonEmptyCells,"max_cell":$maxCell,"mean_cell":$meanCell%.2f,"p99_cell":$p99Cell,"skew":$skew%.2f}"""
+  }
+
   /** Memo for the convenience ivfTopK(corpus, ...) overload, keyed on the
     * corpus' canonicalized analyzed plan + parameters — the second probe of
     * the same logical corpus reuses the built index instead of re-scanning.
@@ -257,7 +271,8 @@ object Similarity {
     * directories are never even listed, the file-level form of IVF's
     * nprobe/nlist scan reduction.
     */
-  def ivfProbe(model: IvfModel, queries: DataFrame, k: Int, nprobe: Int = 8): DataFrame = {
+  def ivfProbe(model: IvfModel, queries: DataFrame, k: Int, nprobe: Int = 8,
+      excludeSelf: Boolean = true): DataFrame = {
     val spark = model.cells.sparkSession
     import spark.implicits._
     val idCol = model.idCol
@@ -270,9 +285,13 @@ object Similarity {
     val probedCells = probeRows.map(_._1).distinct.map(Integer.valueOf).toSeq
     val w = Window.partitionBy("query_id")
       .orderBy(col("score").desc, col(idCol).asc)
-    model.cells.where(col("cell").isin(probedCells: _*))
+    // excludeSelf drops the id-equal pair — right when queries ARE corpus
+    // rows (self is always the degenerate top-1). Cross-corpus probes
+    // (semanticDupsAgainst) pass false: there id equality means a REPLAYED
+    // id, and its indexed row is exactly the dup the caller must see.
+    val base = model.cells.where(col("cell").isin(probedCells: _*))
       .join(broadcast(probes), "cell")
-      .where(col(idCol) =!= col("query_id"))
+    (if (excludeSelf) base.where(col(idCol) =!= col("query_id")) else base)
       .select(col("query_id"), col(idCol),
         cosine(col(model.vecCol), col("_qv")).as("score"))
       .withColumn("rank", row_number().over(w))
@@ -312,11 +331,20 @@ object Similarity {
     * drifts, and the periodic retrain-and-rebuild remains the full-build
     * path — the same split as bulk-catch-up vs incremental gold.
     *
-    * @return number of distinct cells that received new vectors
+    * The returned [[IvfAppendStats]] carry the REBUILD TRIGGER SIGNAL for
+    * that degradation: post-append max/mean/p99 cell sizes over the whole
+    * index. A drifting feed shows up as maxCell (and maxCell/meanCell)
+    * climbing append over append — probe cost is proportional to the probed
+    * cells' sizes, so a hot cell is a latency cliff long before it is a
+    * correctness problem. Monitor the ratio; rebuild when it crosses the
+    * deployment's probe-latency budget (the stats are also mirrored to
+    * `dir/_cellstats.json` so ops tooling can watch the index without a
+    * Spark session). Cell sizes come from `cells/` partition metadata
+    * (cell is a partition column; the count never reads vector data).
     */
   def appendToIvfIndex(
       spark: org.apache.spark.sql.SparkSession, dir: String,
-      newDocs: DataFrame, idCol: String, vecCol: String): Int = {
+      newDocs: DataFrame, idCol: String, vecCol: String): IvfAppendStats = {
     import spark.implicits._
     val centroids = spark.read.parquet(s"$dir/centroids")
       .select(col("cell"), col("centroid"))
@@ -329,8 +357,18 @@ object Similarity {
       .persist()
     try {
       val touched = assigned.select("cell").distinct().count().toInt
+      val newVecs = assigned.count()
       assigned.write.mode("append").partitionBy("cell").parquet(s"$dir/cells")
-      touched
+      val sizes = spark.read.parquet(s"$dir/cells")
+        .groupBy("cell").count().select("count").as[Long].collect().sorted
+      val stats = IvfAppendStats(
+        touchedCells = touched, newVectors = newVecs,
+        nonEmptyCells = sizes.length, maxCell = sizes.last,
+        meanCell = sizes.sum.toDouble / sizes.length,
+        p99Cell = sizes(((sizes.length - 1) * 99) / 100))
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(dir, "_cellstats.json"), stats.json + "\n")
+      stats
     } finally { assigned.unpersist(); () }
   }
 
@@ -345,12 +383,22 @@ object Similarity {
     * is IVF's (1 − recall), the accepted approximation of the indexed path
     * (recall spec-gated in `SimilaritySpec`).
     *
+    * Id reuse is safe here: the probe runs WITHOUT ivfProbe's self-exclusion
+    * (that exclusion is for corpus-as-its-own-queries probes), so a replayed
+    * batch re-checked under its original ids still collides with its own
+    * indexed rows (cosine 1.0) and is flagged instead of re-appended.
+    *
+    * Pair-list cap: each batch doc reports at most `k` history dups (its k
+    * nearest above `tau`) — raise `k` if a consumer needs the full pair set
+    * for a doc with many dups. The DROP decision (left_anti on `idCol`) is
+    * unaffected by the cap: a doc with >k dups still has ≥1 reported pair.
+    *
     * @return (idCol, ref_id, score) — batch id, colliding history id,
-    *         exact cosine; one row per (batch, history) dup pair
+    *         exact cosine; up to k rows per batch doc
     */
   def semanticDupsAgainst(model: IvfModel, batch: DataFrame,
       k: Int = 5, nprobe: Int = 8, tau: Double = 0.95): DataFrame =
-    ivfProbe(model, batch, k, nprobe)
+    ivfProbe(model, batch, k, nprobe, excludeSelf = false)
       .where(col("score") >= tau)
       .select(col("query_id").as(model.idCol), col(model.idCol).as("ref_id"),
         col("score"))

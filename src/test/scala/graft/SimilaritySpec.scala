@@ -211,7 +211,8 @@ class SimilaritySpec extends SparkSpec {
         }.toMap
     }
     val before = fileSigs()
-    val touched = Similarity.appendToIvfIndex(spark, dir, extra, "vec_id", "embedding")
+    val stats = Similarity.appendToIvfIndex(spark, dir, extra, "vec_id", "embedding")
+    val touched = stats.touchedCells
     val after = fileSigs()
 
     // pre-existing cell files untouched byte-for-byte; new files confined to
@@ -246,6 +247,21 @@ class SimilaritySpec extends SparkSpec {
     val hit = Similarity.ivfProbe(loaded, q, k = 1, nprobe = 4)
       .select("vec_id").as[Long].head()
     assert(hit == probeVec._1)
+
+    // cell-balance stats: the rebuild trigger signal. Cross-check against a
+    // direct count over the appended index, and the _cellstats.json mirror.
+    val cellSizes = loaded.cells.groupBy("cell").count()
+      .select(col("count")).as[Long].collect()
+    assert(stats.newVectors == extra.count())
+    assert(stats.nonEmptyCells == cellSizes.length)
+    assert(stats.maxCell == cellSizes.max)
+    assert(math.abs(stats.meanCell - cellSizes.sum.toDouble / cellSizes.length) < 1e-9)
+    assert(stats.p99Cell <= stats.maxCell && stats.p99Cell > 0)
+    assert(stats.skew >= 1.0)
+    val sidecar = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(dir, "_cellstats.json"))
+    assert(sidecar.contains(s""""max_cell":${stats.maxCell}"""))
+    assert(sidecar.contains(s""""touched_cells":$touched"""))
     built.unpersist()
   }
 
@@ -269,6 +285,16 @@ class SimilaritySpec extends SparkSpec {
     // the exact copy's top hit is its original at cosine ~1
     assert(dups.filter(_._1 == 1000007L).exists(d => d._2 == 7L && d._3 > 0.999))
     assert(dups.filter(_._1 == 1000019L).exists(d => d._2 == 19L && d._3 > 0.999))
+
+    // REPLAYED ids: a batch re-checked under its ORIGINAL ids (crash-replay
+    // of an already-appended feed) must still collide with its own indexed
+    // rows — the probe here runs without ivfProbe's self-exclusion, so the
+    // id-equal pair is reported instead of silently skipped and re-appended.
+    val replay = emb.filter(col("vec_id").isin(7L, 19L))
+    val replayDups = Similarity.semanticDupsAgainst(built, replay, tau = 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(replayDups.map(_._1).toSet == Set(7L, 19L))
+    assert(replayDups.exists(d => d._1 == 7L && d._2 == 7L && d._3 > 0.999))
     built.unpersist()
   }
 
