@@ -153,11 +153,11 @@ object DocScaleRehearsal {
     // (c) the full nightly loop: absorb a 500-doc crawl batch into a rolling
     // corpus whose history is the K× corpus (sidecars seeded once)
     val rollDir = s"target/docscale_x${k}_rolling"
-    if (!Files.exists(Paths.get(s"$rollDir/_seeded"))) {
+    if (!Files.exists(Paths.get(s"$rollDir/_seeded2"))) {
       docsK.select(col("doc_id"), col("text"), col("lang"), col("source"))
         .write.mode("overwrite").parquet(s"$rollDir/docs")
       graft.sinks.RollingCuration.rebuildSidecars(spark, rollDir)
-      Files.write(Paths.get(s"$rollDir/_seeded"), Array.emptyByteArray)
+      Files.write(Paths.get(s"$rollDir/_seeded2"), Array.emptyByteArray)
     }
     // fresh content (salted like the replicas) so the batch runs the FULL
     // path — signature compute, both history joins, and the 3-artifact
@@ -176,6 +176,25 @@ object DocScaleRehearsal {
       graft.sinks.RollingCuration.absorbBatch(spark, jsonl, rollDir)
     }
     println(f"""{"rehearsal":"rolling_absorb","docs":"${k}x","absorb500_s":$tAbsorb%.2f,"appended":${report.appended},"near_dropped":${report.nearDups},"exact_dropped":${report.historyDups}}""")
+    // VERIFIED absorb of a second fresh batch (new ids, different salt):
+    // same full path plus the exact-Jaccard confirm within batch and the
+    // band-agreement confirm against history — the measured overhead of
+    // verifyTau over the drop-on-collision default above.
+    val jsonl2 = s"target/docscale_x${k}_batch2.jsonl"
+    if (!Files.exists(Paths.get(jsonl2))) {
+      val lines = batch.select(to_json(struct(
+          (col("doc_id") + lit(500000L)).as("doc_id"),
+          regexp_replace(col("text"), " ", " zr ").as("text"),
+          col("lang"), col("source"))))
+        .collect().map(_.getString(0))
+      Files.write(Paths.get(jsonl2),
+        lines.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
+    val (reportV, tAbsorbV) = timed {
+      graft.sinks.RollingCuration.absorbBatch(spark, jsonl2, rollDir,
+        verifyTau = Some(0.7))
+    }
+    println(f"""{"rehearsal":"rolling_absorb_verified","docs":"${k}x","absorb500_s":$tAbsorbV%.2f,"appended":${reportV.appended},"near_dropped":${reportV.nearDups},"exact_dropped":${reportV.historyDups}}""")
     spark.stop()
   }
 }

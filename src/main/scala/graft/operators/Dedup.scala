@@ -276,6 +276,40 @@ object Dedup {
         Seq("band", "bucket"))
       .select(col(idCol), col("ref_id")).distinct()
 
+  /** [[minhashPairsAgainst]] with a VERIFICATION signal, for when the
+    * reference text is unavailable by design (the band index stores 24-byte
+    * signature rows, not documents): the fraction of agreeing bands is
+    * itself a similarity estimate — P(band match) = J^r for rowsPerBand=r,
+    * so Ĵ = (matched/numBands)^(1/r). A FALSE-POSITIVE collision (two
+    * dissimilar docs sharing one 64-bit band bucket by accident) estimates
+    * Ĵ = (1/B)^(1/r) — e.g. 0.59 at the default 32/4 — while genuine
+    * near-dups agree on most bands and estimate near 1; thresholding on Ĵ
+    * separates them without ever reading reference text. The estimate is
+    * quantized to B+1 levels (at 32/4: 0.59, 0.71, 0.78, 0.84, …, 1.0), so
+    * pick `tau` consciously against that grid.
+    *
+    * Same join as the unverified form plus a (id, ref) count — still linear
+    * in collisions, still O(new) in history.
+    *
+    * @return (idCol, ref_id, matched_bands, est_jaccard)
+    */
+  def minhashBandAgreement(
+      incomingBanded: DataFrame, refBanded: DataFrame, idCol: String,
+      numHashes: Int = 32, rowsPerBand: Int = 4): DataFrame = {
+    val numBands = numHashes / rowsPerBand
+    incomingBanded.join(
+        refBanded.select(col(idCol).as("ref_id"), col("band"), col("bucket")),
+        Seq("band", "bucket"))
+      // countDistinct, not count: an append-mode index replaying a freeze
+      // can hold duplicate (ref, band, bucket) rows — a band still agrees
+      // at most once.
+      .groupBy(col(idCol), col("ref_id"))
+      .agg(countDistinct("band").as("matched_bands"))
+      .withColumn("est_jaccard",
+        round(pow(col("matched_bands").cast("double") / lit(numBands.toDouble),
+          lit(1.0 / rowsPerBand)), 6))
+  }
+
   /** Persist a release's banded signature index next to the shipped corpus
     * (freeze-time; `mode=append` lets successive releases extend it — the
     * band key is stable across batches, so appended batches are immediately

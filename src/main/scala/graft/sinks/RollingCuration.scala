@@ -18,20 +18,29 @@ import graft.sources.DocSource
   *
   * Three appendable sidecar artifacts make the history checks O(new):
   *  - `docs/`          the accumulated corpus (parquet, append)
-  *  - `_fingerprints/` 32-hex md5(text) per kept doc — the exact-dup check
-  *    joins 16-byte digests, never bodies ([[Dedup.exactAgainst]]'s shape
-  *    with the reference side precomputed)
+  *  - `_fingerprints/` (fp, doc_id) per kept doc — fp is 32-hex md5(text),
+  *    so the exact-dup check joins 16-byte digests, never bodies
+  *    ([[Dedup.exactAgainst]]'s shape with the reference side precomputed),
+  *    and the id column makes doc_id a real key: an id already absorbed is
+  *    dropped even when its text changed (first-wins — a re-crawl that
+  *    mutates content does NOT shadow the shipped row, so `docs/` and every
+  *    keyed artifact over it stay duplicate-free on doc_id).
   *  - `_bandidx/`      MinHash band index ([[Dedup.writeMinhashBandIndex]])
   *    — the near-dup check equi-joins (band, bucket), never re-shingles
   *
+  * Each history check gates on ITS OWN sidecar's existence: a crash between
+  * the fingerprint append and the band-index append leaves the next absorb
+  * degraded (that one check skipped) rather than failing on a missing path.
+  * The documented repair for any sidecar damage stays the same —
+  * [[rebuildSidecars]] then re-absorb the batch (dups append nothing). A
+  * corpus accumulated under the pre-doc_id fingerprint schema migrates the
+  * same way: one [[rebuildSidecars]] call.
+  *
   * Replay-idempotent by construction: a replayed batch's survivors are now
   * EXACT duplicates of rows the first run appended, so every one of them
-  * is dropped by the fingerprint check and the replay appends nothing
+  * is dropped by the id + fingerprint checks and the replay appends nothing
   * (spec-gated) — the same convergence contract as the streaming gold
-  * sink's replayed micro-batch. The three appends are not atomic as a
-  * group; a crash between them can only lose sidecar rows for appended
-  * docs, and the documented repair is to re-absorb the batch (dups append
-  * nothing) after `rebuildSidecars`.
+  * sink's replayed micro-batch.
   *
   * Periodic FREEZE stays [[CorpusRelease.write]] over `docs/` — the rolling
   * directory is the accumulator, the release is the attested artifact.
@@ -40,17 +49,30 @@ object RollingCuration {
 
   final case class BatchReport(
       ingested: Long, quarantined: Long, withinBatchDups: Long,
-      withinBatchNearDups: Long, historyDups: Long, nearDups: Long,
-      qualityRejected: Long, appended: Long)
+      withinBatchNearDups: Long, idCollisions: Long, historyDups: Long,
+      nearDups: Long, qualityRejected: Long, appended: Long)
 
   /** Absorb one JSONL crawl batch into the rolling corpus at `dir`.
     * Quality gate = p0's: ≥ `minTokens` tokens and ≤ `maxPunct` punctuation
-    * ratio. Near-dup candidates against history are DROPPED (candidate =
-    * band collision; the conservative choice for a training corpus — false
+    * ratio.
+    *
+    * `verifyTau = None` (default): near-dup CANDIDATES are dropped (candidate
+    * = band collision; the conservative choice for a training corpus — false
     * positives cost one fresh doc, false negatives ship a near-dup).
+    *
+    * `verifyTau = Some(tau)` trades that recall bias for precision: a
+    * within-batch candidate pair must confirm at exact n-gram Jaccard ≥ tau
+    * (the d3 machinery — both texts are in the batch), and a history
+    * collision must confirm at band-agreement estimated Jaccard ≥ tau
+    * ([[Dedup.minhashBandAgreement]] — history text is unavailable by
+    * design, but the index holds all bands, and a one-band accident
+    * estimates Ĵ≈0.59 at the default 32/4 parameters while real near-dups
+    * estimate near 1). With verification on, a false-positive collision
+    * costs one extra join instead of one fresh document.
     */
   def absorbBatch(spark: SparkSession, jsonlPath: String, dir: String,
-      minTokens: Int = 5, maxPunct: Double = 0.2): BatchReport = {
+      minTokens: Int = 5, maxPunct: Double = 0.2,
+      verifyTau: Option[Double] = None): BatchReport = {
     val (docs0, quarantine) = DocSource.readJsonl(spark, jsonlPath)
     val docs = docs0.persist()
     try {
@@ -62,31 +84,52 @@ object RollingCuration {
         .agg(min("doc_id").as("doc_id")).select("doc_id")
       val unique = docs.join(keepIds, Seq("doc_id"), "left_semi")
 
-      // within-batch NEAR-dup: LSH candidates over the batch, transitive
-      // keep-min (the batch-local complement of the history band check).
-      // Signatures are computed ONCE here and reused for the history join.
+      // within-batch NEAR-dup: LSH candidates over the batch, optionally
+      // verified at exact Jaccard (texts in hand), then transitive keep-min
+      // (the batch-local complement of the history band check). Signatures
+      // are computed ONCE here and reused for the history join.
       val sigs = Dedup.minhashSignatures(unique, "doc_id", "text")
-      val nearKeep = Dedup.nearDupClusters(
-          unique.select("doc_id"),
-          Dedup.minhashCandidatePairs(sigs, "doc_id"))
+      val candidates = Dedup.minhashCandidatePairs(sigs, "doc_id")
+      val pairs = verifyTau match {
+        case None => candidates
+        case Some(tau) =>
+          // exact Jaccard only over candidate MEMBERS — the pair set after
+          // LSH is a small fraction of the batch, so the verify join is
+          // batch-bounded, not batch².
+          val members = candidates.select(col("id1").as("doc_id"))
+            .unionByName(candidates.select(col("id2").as("doc_id"))).distinct()
+          val verified = Dedup.ngramJaccardPairs(
+            unique.join(members, Seq("doc_id"), "left_semi"),
+            "doc_id", "text", threshold = tau)
+          candidates.join(verified.select("id1", "id2"), Seq("id1", "id2"), "left_semi")
+      }
+      val nearKeep = Dedup.nearDupClusters(unique.select("doc_id"), pairs)
         .where(col("doc_id") === col("cluster_id")).select("doc_id")
       val uniqueNear = unique.join(nearKeep, Seq("doc_id"), "left_semi")
 
-      // history checks ride the sidecars (absent on the first batch)
-      val hasHistory = Files.exists(Paths.get(dir, "_fingerprints"))
-      val afterExact =
-        if (!hasHistory) uniqueNear
-        else uniqueNear.join(
-          spark.read.parquet(s"$dir/_fingerprints"),
-          md5(uniqueNear("text")) === col("fp"), "left_anti")
-      val afterNear =
-        if (!hasHistory) afterExact
+      // history checks ride the sidecars — each gated on its OWN existence
+      // (absent on the first batch; individually absent after a mid-append
+      // crash, where the absorb degrades instead of failing)
+      val fps = if (Files.exists(Paths.get(dir, "_fingerprints")))
+        Some(spark.read.parquet(s"$dir/_fingerprints")) else None
+      // id key check first: an already-absorbed doc_id never re-enters,
+      // even re-crawled with changed text (first-wins)
+      val afterIds = fps.fold(uniqueNear)(f =>
+        uniqueNear.join(f.select("doc_id"), Seq("doc_id"), "left_anti"))
+      val afterExact = fps.fold(afterIds)(f =>
+        afterIds.join(f, md5(afterIds("text")) === f("fp"), "left_anti"))
+      val afterNear = if (!Files.exists(Paths.get(dir, "_bandidx"))) afterExact
         else {
-          val collided = Dedup.minhashPairsAgainst(
-            Dedup.bandedBuckets(
-              sigs.join(afterExact.select("doc_id"), Seq("doc_id"), "left_semi"),
-              "doc_id"),
-            spark.read.parquet(s"$dir/_bandidx"), "doc_id").select("doc_id")
+          val batchBanded = Dedup.bandedBuckets(
+            sigs.join(afterExact.select("doc_id"), Seq("doc_id"), "left_semi"),
+            "doc_id")
+          val refBanded = spark.read.parquet(s"$dir/_bandidx")
+          val collided = (verifyTau match {
+            case None => Dedup.minhashPairsAgainst(batchBanded, refBanded, "doc_id")
+            case Some(tau) =>
+              Dedup.minhashBandAgreement(batchBanded, refBanded, "doc_id")
+                .where(col("est_jaccard") >= tau)
+          }).select("doc_id")
           afterExact.join(collided, Seq("doc_id"), "left_anti")
         }
 
@@ -99,13 +142,15 @@ object RollingCuration {
       try {
         val nUnique = unique.count()
         val nUniqueNear = uniqueNear.count()
-        val nAfterExact = if (!hasHistory) nUniqueNear else afterExact.count()
-        val nAfterNear = if (!hasHistory) nAfterExact else afterNear.count()
+        val nAfterIds = if (fps.isEmpty) nUniqueNear else afterIds.count()
+        val nAfterExact = if (fps.isEmpty) nAfterIds else afterExact.count()
+        val nAfterNear =
+          if (afterNear eq afterExact) nAfterExact else afterNear.count()
         val nAppended = survivors.count()
 
         if (nAppended > 0) {
           survivors.write.mode("append").parquet(s"$dir/docs")
-          survivors.select(md5(col("text")).as("fp"))
+          survivors.select(md5(col("text")).as("fp"), col("doc_id"))
             .write.mode("append").parquet(s"$dir/_fingerprints")
           Dedup.writeMinhashBandIndex(
             Dedup.bandedBuckets(
@@ -116,7 +161,8 @@ object RollingCuration {
           ingested = nIngested, quarantined = nQuarantined,
           withinBatchDups = nIngested - nUnique,
           withinBatchNearDups = nUnique - nUniqueNear,
-          historyDups = nUniqueNear - nAfterExact,
+          idCollisions = nUniqueNear - nAfterIds,
+          historyDups = nAfterIds - nAfterExact,
           nearDups = nAfterExact - nAfterNear,
           qualityRejected = nAfterNear - nAppended,
           appended = nAppended)
@@ -125,12 +171,13 @@ object RollingCuration {
   }
 
   /** Recompute both sidecars from `docs/` — the crash repair (and the
-    * migration path for a corpus accumulated before the sidecars existed).
-    * One corpus scan; after it, [[absorbBatch]] is O(batch) again.
+    * migration path for a corpus accumulated before the sidecars, or before
+    * the fingerprint sidecar carried doc_id). One corpus scan; after it,
+    * [[absorbBatch]] is O(batch) again.
     */
   def rebuildSidecars(spark: SparkSession, dir: String): Unit = {
     val docs = spark.read.parquet(s"$dir/docs")
-    docs.select(md5(col("text")).as("fp"))
+    docs.select(md5(col("text")).as("fp"), col("doc_id"))
       .write.mode("overwrite").parquet(s"$dir/_fingerprints")
     Dedup.writeMinhashBandIndex(
       Dedup.bandedBuckets(
