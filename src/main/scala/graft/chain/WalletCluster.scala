@@ -173,4 +173,101 @@ object WalletCluster {
         coalesce(col("new_id"), col("address")).as("wallet_id"))
     movedMembers.unionByName(newRows)
   }
+
+  /** REORG repair for the stored labeling — the retraction half of
+    * [[incrementalClusters]], completing the one derived property the
+    * reference never finished (`AddressWalletID`, TransactionGraph.java:137)
+    * with the delete-path semantics it wrote for every aggregate it DID
+    * finish (BlockchainToGraph.java:568–777). Co-spend merges are monotone,
+    * so a reorg that drops the merging transaction can SPLIT a stored
+    * component; no edge-level inverse exists, and the repair mirrors the
+    * gold sink's contract instead: derive the affected set from the reorged
+    * range, recompute exactly that set from best-chain bronze, leave
+    * everything else untouched.
+    *
+    *  1. affected components = stored labels of the invalidated txs'
+    *     funders (every component containing a removed edge; no other
+    *     component can split, because its internal edges are all intact).
+    *  2. their members' co-spend edges are re-derived from `bestFunders`
+    *     restricted to member-funded txs — including new-branch txs, so a
+    *     replacement block re-mining the same tx re-creates the edge.
+    *  3. funders of those txs OUTSIDE the affected set join the re-cluster
+    *     CONTRACTED through their stored label (their components cannot
+    *     split; min-label composition keeps the merged min exact, as in
+    *     [[incrementalClusters]]).
+    *
+    * Cost: the components step is O(affected members + their txs); the one
+    * corpus-sized input, `bestFunders`, is consumed through semi-joins that
+    * push down to the bronze scan — the same rare-path bronze read the
+    * partitioned gold sink's reorg recompute performs.
+    *
+    * NOT handled here: txs present ONLY in the replacement blocks and
+    * funded entirely by unaffected addresses — those are ordinary NEW
+    * transactions; feed them through [[incrementalClusters]] after this
+    * repair (the property suite gates exactly that composition against a
+    * full recompute of the post-reorg chain).
+    *
+    * @param oldLabels    the stored labeling — (address, wallet_id), built
+    *                     on the pre-reorg best chain
+    * @param invalidated  (tx_hash, src_address) funding pairs of the
+    *                     reorged-OUT blocks (the edges being retracted)
+    * @param bestFunders  (tx_hash, src_address) funding pairs of the
+    *                     current post-reorg best chain
+    * @return REPLACEMENT rows (address, wallet_id) for every stored member
+    *         of an affected component (split members re-label, possibly to
+    *         themselves), plus every member of an unaffected component
+    *         whose label changes through a merge. Upsert into the store;
+    *         unaffected rows are never emitted. A member address absent
+    *         from the post-reorg chain keeps a singleton self-labeled row —
+    *         semantically a one-address wallet; the next full recompute
+    *         drops it with the rest of the vanished universe.
+    */
+  def repairAfterReorg(
+      oldLabels: DataFrame, invalidated: DataFrame,
+      bestFunders: DataFrame): DataFrame = {
+    val old = oldLabels.select(col("address"), col("wallet_id"))
+    val invAddrs = invalidated.select(col("src_address").as("address")).distinct()
+    // 1. components with >=1 retracted edge
+    val affected = old.join(invAddrs, Seq("address"), "left_semi")
+      .select(col("wallet_id")).distinct()
+    val members = old.join(affected, Seq("wallet_id"), "left_semi")
+      .select("address")
+    // 2. every best-chain tx a member funds, and ALL funders of those txs
+    val bf = bestFunders
+      .select(col("tx_hash"), col("src_address").as("address")).distinct()
+    val relevantTxs = bf.join(members, Seq("address"), "left_semi")
+      .select("tx_hash").distinct()
+    val relevantPairs = bf.join(relevantTxs, Seq("tx_hash"), "left_semi")
+    // 3. members stay raw nodes; outside funders contract to their stored
+    //    label (or themselves when unseen — a brand-new replacement-branch
+    //    address)
+    val contracted = relevantPairs
+      .join(members.withColumn("_member", lit(true)), Seq("address"), "left")
+      .join(old, Seq("address"), "left")
+      .select(col("tx_hash"),
+        when(col("_member").isNotNull, col("address"))
+          .otherwise(coalesce(col("wallet_id"), col("address")))
+          .as("src_address"))
+      .distinct()
+    // membership-only members (all their edges were retracted) cluster as
+    // singletons via the node universe
+    val nodes = contracted.select(col("src_address").as("address"))
+      .unionByName(members).distinct()
+    val relabel = clusters(nodes, contracted)
+      .select(col("address").as("node"), col("wallet_id").as("new_id"))
+
+    val memberRows = members
+      .join(relabel, members("address") === relabel("node"))
+      .select(col("address"), col("new_id").as("wallet_id"))
+    // unaffected components pulled into a merge: node was a stored LABEL
+    // (not a member address) and its id moved — relabel all its members,
+    // exactly incrementalClusters' moved-label step
+    val movedLabels = relabel
+      .where(col("node") =!= col("new_id"))
+      .join(members, relabel("node") === members("address"), "left_anti")
+    val movedMembers = old
+      .join(movedLabels, old("wallet_id") === movedLabels("node"))
+      .select(col("address"), col("new_id").as("wallet_id"))
+    memberRows.unionByName(movedMembers)
+  }
 }

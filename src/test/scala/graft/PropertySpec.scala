@@ -418,6 +418,57 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: reorg repair + incremental == full recompute of the post-reorg chain") {
+    import spark.implicits._
+    import graft.chain.WalletCluster
+    // three random co-spend batches over one small address pool: common
+    // history, the branch reorged OUT (its edges retract — components may
+    // split), and the replacement branch (its edges apply — components may
+    // merge). The shared pool makes all interactions (split, re-merge via
+    // replacement tx, pure add, orphaned address) reachable.
+    val txGen = Gen.choose(1, 3).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(0, 14)).map(_.distinct.map(i => f"a$i%02d")))
+    val txsGen = Gen.choose(0, 6).flatMap(n => Gen.listOfN(n, txGen))
+    forAllSeeded(Gen.zip(txsGen, txsGen, txsGen), 8) {
+      case (commonTxs, oldBranchTxs, newBranchTxs) =>
+        def fundersDf(txs: Seq[Seq[String]], tag: String) =
+          txs.zipWithIndex.flatMap { case (addrs, i) =>
+            addrs.map(a => (s"$tag$i", a))
+          }.toDF("tx_hash", "src_address")
+        val common = fundersDf(commonTxs, "c")
+        val oldBr = fundersDf(oldBranchTxs, "o")
+        val newBr = fundersDf(newBranchTxs, "n")
+        val preAddrs = (commonTxs ++ oldBranchTxs).flatten.distinct.toDF("address")
+        val postUniverse = (commonTxs ++ newBranchTxs).flatten.distinct
+
+        val stored = WalletCluster.clusters(preAddrs, common.unionByName(oldBr))
+          .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+        val bestFunders = common.unionByName(newBr)
+        val repair = WalletCluster.repairAfterReorg(
+            stored.toSeq.toDF("address", "wallet_id"), oldBr, bestFunders)
+          .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+        val afterRepair = stored ++ repair
+        val delta = WalletCluster.incrementalClusters(
+            afterRepair.toSeq.toDF("address", "wallet_id"), newBr)
+          .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+        val maintained = afterRepair ++ delta
+
+        val full = WalletCluster.clusters(postUniverse.toDF("address"), bestFunders)
+          .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+        postUniverse.foreach { a =>
+          assert(maintained.get(a).contains(full(a)),
+            s"label diverges at $a: maintained=${maintained.get(a)} full=${full(a)} " +
+              s"common=$commonTxs old=$oldBranchTxs new=$newBranchTxs")
+        }
+        // addresses that existed only on the reorged-out branch stay as
+        // documented singletons (label = self) until a full recompute
+        (maintained.keySet -- postUniverse).foreach { a =>
+          assert(maintained(a) == a,
+            s"orphaned $a not a singleton: ${maintained(a)}")
+        }
+    }
+  }
+
   test("property: bigram_counts histogram == exploded substr on random unicode") {
     import spark.implicits._
     import graft.functions.BigramCountsOps.bigram_counts

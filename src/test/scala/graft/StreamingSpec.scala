@@ -130,6 +130,75 @@ class StreamingSpec extends SparkSpec {
     assert(all2.contains("b"))
   }
 
+  test("incrementalWalletLabels: streamed reorg splits stored components; replay writes nothing") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = Files.createTempDirectory("graft-stream-w").toString
+    // block rows carry their txs' funding lists inline: (tx_hash, funders)
+    val input = MemoryStream[(String, String, Long, Seq[(String, Seq[String])])]
+    val blocks = input.toDF().toDF("hash", "parent_hash", "ts", "txs")
+      .select(col("hash"),
+        when(col("parent_hash") === "", lit(null)).otherwise(col("parent_hash")).as("parent_hash"),
+        col("ts"), col("txs"))
+    def fundersOf(s: org.apache.spark.sql.SparkSession,
+        df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+      df.select(explode(col("txs")).as("t"))
+        .select(col("t._1").as("tx_hash"), explode(col("t._2")).as("src_address"))
+    val writer = ChainStream.incrementalWalletLabels(
+      blocks, s"$tmp/bronze", fundersOf, s"$tmp/labels", s"$tmp/ckpt", slots = 8)
+    def labels(): Map[String, String] = spark.read.parquet(s"$tmp/labels/labels")
+      .select("address", "wallet_id").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    def storeFiles(): Map[String, String] = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(s"$tmp/labels/labels"))
+        .iterator().asScala
+        .filter(f => f.getFileName.toString.endsWith(".parquet"))
+        .map { f =>
+          val h = java.security.MessageDigest.getInstance("MD5")
+            .digest(java.nio.file.Files.readAllBytes(f))
+          f.toString -> h.map("%02x".format(_)).mkString
+        }.toMap
+    }
+
+    // Batch 1: g <- a <- b; t3 in block b co-spends (a2,a3), chaining the
+    // t1 {a1,a2} and t2 {a3,a4} wallets into one component labeled a1
+    input.addData(
+      ("g", "", 1000L, Seq(("t1", Seq("a1", "a2")))),
+      ("a", "g", 1100L, Seq(("t2", Seq("a3", "a4")))),
+      ("b", "a", 1200L, Seq(("t3", Seq("a2", "a3")))))
+    writer.start().awaitTermination()
+    assert(labels() == Map("a1" -> "a1", "a2" -> "a1", "a3" -> "a1", "a4" -> "a1"))
+
+    // Batch 2: longer fork b2 <- c2 reorgs b out — t3's merge RETRACTS (the
+    // stored component splits) while the replacement branch's t4 co-spends
+    // (a4,a5), merging a new address into the {a3,a4} side
+    input.addData(
+      ("b2", "a", 1201L, Seq(("t4", Seq("a4", "a5")))),
+      ("c2", "b2", 1300L, Seq.empty[(String, Seq[String])]))
+    writer.start().awaitTermination()
+    assert(labels() == Map(
+      "a1" -> "a1", "a2" -> "a1", "a3" -> "a3", "a4" -> "a3", "a5" -> "a3"))
+    // repaired store == full recompute of the post-reorg chain
+    val bronze = spark.read.parquet(s"$tmp/bronze").dropDuplicates("hash")
+    val best = BestChain.annotate(bronze).where(col("is_on_best_chain")).select("hash")
+    val bestFunders = fundersOf(spark, bronze.join(best, Seq("hash"), "left_semi"))
+    val full = graft.chain.WalletCluster.clusters(
+        bestFunders.select(col("src_address").as("address")).distinct(), bestFunders)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(labels() == full)
+
+    // Batch 3: replay of batch 2 (crash-recovery path) — bronze dedupes,
+    // the best chain is unchanged, and no label slot is rewritten
+    val fpBefore = storeFiles()
+    input.addData(
+      ("b2", "a", 1201L, Seq(("t4", Seq("a4", "a5")))),
+      ("c2", "b2", 1300L, Seq.empty[(String, Seq[String])]))
+    writer.start().awaitTermination()
+    assert(storeFiles() == fpBefore, "replayed batch rewrote label slots")
+    assert(labels() == full)
+  }
+
   test("graceful shutdown: stop lands on a batch boundary; resume has no duplicates") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
