@@ -75,7 +75,7 @@ object DocScaleRehearsal {
         val warm = once()
         val s1 = once()
         val s2 = once()
-        println(f"""{"rehearsal":"$name","docs":"$tag","warm":$warm%.2f,"s1":$s1%.2f,"s2":$s2%.2f}""")
+        Rehearsal.emit(f"""{"rehearsal":"$name","docs":"$tag","warm":$warm%.2f,"s1":$s1%.2f,"s2":$s2%.2f}""")
       }
     }
 
@@ -108,7 +108,7 @@ object DocScaleRehearsal {
           Dedup.minhashSignatures(batch, "doc_id", "text"), "doc_id"),
         Dedup.readMinhashBandIndex(spark, bandDir), "doc_id").count()
     }
-    println(f"""{"rehearsal":"bandidx_incremental","docs":"${k}x","freeze_s":$tFreeze%.2f,"batch500_s":$tBatch%.2f,"batch_pairs":$nPairs}""")
+    Rehearsal.emit(f"""{"rehearsal":"bandidx_incremental","docs":"${k}x","freeze_s":$tFreeze%.2f,"batch500_s":$tBatch%.2f,"batch_pairs":$nPairs}""")
 
     // (b) IVF index: full build+save over K× embeddings vs appending a
     // 500-vector batch (fresh ids) to the saved index
@@ -125,14 +125,14 @@ object DocScaleRehearsal {
     val (stats, tAppend) = timed {
       Similarity.appendToIvfIndex(spark, ivfDir, vBatch, "vec_id", "embedding")
     }
-    println(f"""{"rehearsal":"ivf_incremental","docs":"${k}x","build_s":$tBuild%.2f,"append500_s":$tAppend%.2f,"cells_touched":${stats.touchedCells},"max_cell":${stats.maxCell},"skew":${stats.skew}%.2f}""")
+    Rehearsal.emit(f"""{"rehearsal":"ivf_incremental","docs":"${k}x","build_s":$tBuild%.2f,"append500_s":$tAppend%.2f,"cells_touched":${stats.touchedCells},"max_cell":${stats.maxCell},"skew":${stats.skew}%.2f}""")
     // semantic dup check of the same 500-vector batch against the saved
     // K× index — probe-join cost, no rebuild
     val loaded = Similarity.loadIvfIndex(spark, ivfDir, "vec_id", "embedding")
     val (nSemDups, tSem) = timed {
       Similarity.semanticDupsAgainst(loaded, vBatch, tau = 0.95).count()
     }
-    println(f"""{"rehearsal":"semantic_dups_against","docs":"${k}x","check500_s":$tSem%.2f,"dups":$nSemDups}""")
+    Rehearsal.emit(f"""{"rehearsal":"semantic_dups_against","docs":"${k}x","check500_s":$tSem%.2f,"dups":$nSemDups}""")
     // DRIFTED append (runs LAST against this index — it deliberately skews
     // it): 500 near-copies of one history vector all land in one cell, so
     // the cell-balance stats must move (maxCell/skew jump) where the uniform
@@ -148,7 +148,7 @@ object DocScaleRehearsal {
     val (dStats, tDrift) = timed {
       Similarity.appendToIvfIndex(spark, ivfDir, drifted, "vec_id", "embedding")
     }
-    println(f"""{"rehearsal":"ivf_drifted_append","docs":"${k}x","append500_s":$tDrift%.2f,"cells_touched":${dStats.touchedCells},"max_cell":${dStats.maxCell},"skew":${dStats.skew}%.2f,"max_cell_delta":${dStats.maxCell - stats.maxCell}}""")
+    Rehearsal.emit(f"""{"rehearsal":"ivf_drifted_append","docs":"${k}x","append500_s":$tDrift%.2f,"cells_touched":${dStats.touchedCells},"max_cell":${dStats.maxCell},"skew":${dStats.skew}%.2f,"max_cell_delta":${dStats.maxCell - stats.maxCell}}""")
 
     // (c) the full nightly loop: absorb a 500-doc crawl batch into a rolling
     // corpus whose history is the K× corpus (sidecars seeded once)
@@ -175,7 +175,7 @@ object DocScaleRehearsal {
     val (report, tAbsorb) = timed {
       graft.sinks.RollingCuration.absorbBatch(spark, jsonl, rollDir)
     }
-    println(f"""{"rehearsal":"rolling_absorb","docs":"${k}x","absorb500_s":$tAbsorb%.2f,"appended":${report.appended},"near_dropped":${report.nearDups},"exact_dropped":${report.historyDups}}""")
+    Rehearsal.emit(f"""{"rehearsal":"rolling_absorb","docs":"${k}x","absorb500_s":$tAbsorb%.2f,"appended":${report.appended},"near_dropped":${report.nearDups},"exact_dropped":${report.historyDups}}""")
     // VERIFIED absorb of a second fresh batch (new ids, different salt):
     // same full path plus the exact-Jaccard confirm within batch and the
     // band-agreement confirm against history — the measured overhead of
@@ -194,7 +194,7 @@ object DocScaleRehearsal {
       graft.sinks.RollingCuration.absorbBatch(spark, jsonl2, rollDir,
         verifyTau = Some(0.7))
     }
-    println(f"""{"rehearsal":"rolling_absorb_verified","docs":"${k}x","absorb500_s":$tAbsorbV%.2f,"appended":${reportV.appended},"near_dropped":${reportV.nearDups},"exact_dropped":${reportV.historyDups}}""")
+    Rehearsal.emit(f"""{"rehearsal":"rolling_absorb_verified","docs":"${k}x","absorb500_s":$tAbsorbV%.2f,"appended":${reportV.appended},"near_dropped":${reportV.nearDups},"exact_dropped":${reportV.historyDups}}""")
     spark.stop()
   }
 }

@@ -30,7 +30,7 @@ object ScaleRehearsal {
     }
     val (_, matSec) = timed(graft.chain.BlkCorpus.ensureMaterialized(spark))
     val nBlocks = spark.read.parquet(graft.chain.BlkCorpus.bronzeDir("blocks")).count()
-    println(f"""{"rehearsal":"materialize","scale":$scale,"blocks":$nBlocks,"sec":$matSec%.1f}""")
+    Rehearsal.emit(f"""{"rehearsal":"materialize","scale":$scale,"blocks":$nBlocks,"sec":$matSec%.1f}""")
     val names = Seq("bk0_e2e_pipeline", "bk1_best_chain",
       "bk4_address_stats", "bk7_utxo_set")
     names.foreach { name =>
@@ -41,7 +41,7 @@ object ScaleRehearsal {
       val warm = once()
       val s1 = once()
       val s2 = once()
-      println(f"""{"rehearsal":"$name","scale":$scale,"warm":$warm%.2f,"s1":$s1%.2f,"s2":$s2%.2f}""")
+      Rehearsal.emit(f"""{"rehearsal":"$name","scale":$scale,"warm":$warm%.2f,"s1":$s1%.2f,"s2":$s2%.2f}""")
     }
 
     // Incremental wallet clustering vs full re-cluster: stored labeling
@@ -83,7 +83,49 @@ object ScaleRehearsal {
       val upserted = storedMap ++ delta.map(r => r.getString(0) -> r.getString(1))
       val fullMap = full.map(r => r.getString(0) -> r.getString(1)).toMap
       stored.unpersist()
-      println(f"""{"rehearsal":"wallet_incremental","scale":$scale,"delta_s":$tDelta%.2f,"full_s":$tFull%.2f,"delta_rows":${delta.length},"full_rows":${full.length},"exact":${upserted == fullMap}}""")
+      Rehearsal.emit(f"""{"rehearsal":"wallet_incremental","scale":$scale,"delta_s":$tDelta%.2f,"full_s":$tFull%.2f,"delta_rows":${delta.length},"full_rows":${full.length},"exact":${upserted == fullMap}}""")
+    }
+
+    // Reorg REPAIR vs full re-cluster at corpus scale: stored labeling
+    // covers the whole best chain; a depth-100 reorg then retracts the tip
+    // blocks' co-spends. On this corpus the recurring address pool chains
+    // most addresses into one component, so the affected set legitimately
+    // spans most of the universe and repair cost approaches a full
+    // recompute — the number worth watching here is `exact` (repair ==
+    // recompute of the truncated chain, at 50k/500k-block scale) plus the
+    // affected fraction; O(affected) cost scaling is property-gated on
+    // random graphs whose components are small (PropertySpec).
+    {
+      import org.apache.spark.sql.functions._
+      Graft.releaseCaches()
+      val rin = graft.chain.BlkCorpus.silver(spark, "rin")
+      val ctx = graft.chain.BlkCorpus.silver(spark, "ctx")
+      val tip = ctx.agg(max("height")).head.get(0).asInstanceOf[Number].intValue
+      val forkH = tip - 100
+      val funders = rin.join(ctx.select("tx_hash", "height"), "tx_hash")
+        .select(col("tx_hash"), col("src_address"), col("height"))
+      val allFunders = funders.drop("height")
+      val keptFunders = funders.where(col("height") <= forkH).drop("height")
+      val invFunders = funders.where(col("height") > forkH).drop("height")
+      val allAddrs = allFunders.select(col("src_address").as("address")).distinct()
+      val stored = graft.chain.WalletCluster.clusters(allAddrs, allFunders).persist()
+      val nStored = stored.count()
+      val (rep, tRepair) = timed {
+        graft.chain.WalletCluster.repairAfterReorg(stored, invFunders, keptFunders)
+          .collect()
+      }
+      val keptAddrs = keptFunders.select(col("src_address").as("address")).distinct()
+      val (full, tFull) = timed {
+        graft.chain.WalletCluster.clusters(keptAddrs, keptFunders).collect()
+      }
+      val storedMap = stored.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      stored.unpersist()
+      val repaired = storedMap ++ rep.map(r => r.getString(0) -> r.getString(1))
+      val fullMap = full.map(r => r.getString(0) -> r.getString(1)).toMap
+      // repaired matches full on the post-reorg universe; orphans singleton
+      val exact = fullMap.forall { case (a, w) => repaired.get(a).contains(w) } &&
+        (repaired.keySet -- fullMap.keySet).forall(a => repaired(a) == a)
+      Rehearsal.emit(f"""{"rehearsal":"wallet_reorg_repair","scale":$scale,"depth":100,"repair_s":$tRepair%.2f,"full_s":$tFull%.2f,"repair_rows":${rep.length},"stored_rows":$nStored,"exact":$exact}""")
     }
     spark.stop()
   }

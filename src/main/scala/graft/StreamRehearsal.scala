@@ -88,7 +88,7 @@ object StreamRehearsal {
       .filter(_.numInputRows > 0)
     val perBatch = batches.map(p => p.batchDuration / 1e3)
     val blocks = spark.read.parquet(bronzeDir).dropDuplicates("hash").count()
-    println(
+    Rehearsal.emit(
       f"""{"rehearsal":"stream_catchup","scale":${graft.chain.BlkCorpus.Scale},"files":$nFiles,"files_per_trigger":$filesPerTrigger,"blocks":$blocks,"batches":${batches.size},"wall_s":$wallSec%.1f,"batch_s":[${perBatch.map(d => f"$d%.1f").mkString(",")}]}""")
 
     // Convergence gate: streamed gold ≡ the batch path's annotation.
@@ -101,7 +101,7 @@ object StreamRehearsal {
     val missing = batch.exceptAll(streamed).count()
     val extra = streamed.exceptAll(batch).count()
     val converged = missing == 0 && extra == 0
-    println(
+    Rehearsal.emit(
       s"""{"rehearsal":"stream_convergence","key":"${key.mkString(",")}","missing":$missing,"extra":$extra,"converged":$converged}""")
     if (!converged)
       throw new IllegalStateException(
@@ -171,7 +171,7 @@ object StreamRehearsal {
     val gold = canon(spark.read.parquet(goldDir))
     val expect = canon(graft.chain.BlkCorpus.annotated(spark))
     val converged = gold.exceptAll(expect).isEmpty && expect.exceptAll(gold).isEmpty
-    println(
+    Rehearsal.emit(
       f"""{"rehearsal":"kill_resume","batches_before_kill":$batchesBeforeKill,"resumed_batches":$resumedBatches,"resume_s":$resumeSec%.1f,"replayed_rows":$replayedRows,"converged":$converged}""")
     if (!converged) throw new IllegalStateException(
       "kill-resume diverged from batch annotation")
@@ -219,7 +219,7 @@ object StreamRehearsal {
     val nTips = gold.getAs[Long]("n_tips")
     val expectTip = best.last.getInt(1)
     val ok = exit == 0 && tipHeight == expectTip && nTips == best.length
-    println(
+    Rehearsal.emit(
       f"""{"rehearsal":"node_follow_catchup","lines":${best.length},"wall_s":$wallSec%.1f,"exit":$exit,"tip_height":$tipHeight,"n_tips":$nTips,"ok":$ok}""")
     if (!ok) throw new IllegalStateException(
       s"node-follow diverged: exit=$exit tip=$tipHeight/$expectTip n=$nTips/${best.length}")
@@ -280,7 +280,7 @@ object StreamRehearsal {
     val raw = Files.list(Paths.get(graft.chain.BlkCorpus.rawDir)).iterator().asScala
       .map(_.toString).filter(_.matches(".*blk.*\\.dat")).toSeq.sorted
     val catchup = raw.grouped(8).map(g => syncOnce(headersOf(g))).toSeq
-    println(
+    Rehearsal.emit(
       s"""{"rehearsal":"partitioned_sink_catchup","batches":${catchup.size},"changed_buckets":[${catchup.map(_._1).mkString(",")}],"written_mb":[${catchup.map(c => f"${c._2 / 1e6}%.1f").mkString(",")}],"gold_mb":${f"${catchup.last._3 / 1e6}%.1f"}}""")
 
     // Steady state: five single-block tip extensions — the per-block sync
@@ -295,7 +295,7 @@ object StreamRehearsal {
       r
     }
     val goldMb = f"${follows.last._3 / 1e6}%.1f"
-    println(
+    Rehearsal.emit(
       s"""{"rehearsal":"partitioned_sink_tip_follow","appends":${follows.size},"changed_buckets":[${follows.map(_._1).mkString(",")}],"written_kb":[${follows.map(c => f"${c._2 / 1e3}%.0f").mkString(",")}],"sync_s":[${follows.map(c => f"${c._4}%.2f").mkString(",")}],"gold_mb":$goldMb}""")
   }
 }
