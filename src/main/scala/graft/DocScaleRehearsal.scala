@@ -134,21 +134,25 @@ object DocScaleRehearsal {
     }
     Rehearsal.emit(f"""{"rehearsal":"semantic_dups_against","docs":"${k}x","check500_s":$tSem%.2f,"dups":$nSemDups}""")
     // DRIFTED append (runs LAST against this index — it deliberately skews
-    // it): 500 near-copies of one history vector all land in one cell, so
-    // the cell-balance stats must move (maxCell/skew jump) where the uniform
+    // it): near-copies of one history vector all land in one cell, so the
+    // cell-balance stats must move (maxCell/skew jump) where the uniform
     // batch above left them flat. This is the silent-skew signal
     // appendToIvfIndex exists to surface; a monitoring loop alerts on the
-    // skew delta and schedules the retrain-and-rebuild.
+    // skew delta and schedules the retrain-and-rebuild. The batch is sized
+    // past the current max cell (this corpus's replica structure already
+    // gives one centroid a whole replica) so the DELTA is visible in
+    // maxCell itself, not just in the target cell's private growth.
     import spark.implicits._
     val seedVec = embK.select(col("embedding")).head().getSeq[Float](0).toArray
-    val drifted = spark.range(500).map { i =>
-      val v = seedVec.clone(); v(0) = v(0) + 1e-4f * i  // near-identical: one cell
+    val nDrift = stats.maxCell + 5000
+    val drifted = spark.range(nDrift).map { i =>
+      val v = seedVec.clone(); v(0) = v(0) + 1e-6f * i  // near-identical: one cell
       (950000000L + i, v)
     }.toDF("vec_id", "embedding")
     val (dStats, tDrift) = timed {
       Similarity.appendToIvfIndex(spark, ivfDir, drifted, "vec_id", "embedding")
     }
-    Rehearsal.emit(f"""{"rehearsal":"ivf_drifted_append","docs":"${k}x","append500_s":$tDrift%.2f,"cells_touched":${dStats.touchedCells},"max_cell":${dStats.maxCell},"skew":${dStats.skew}%.2f,"max_cell_delta":${dStats.maxCell - stats.maxCell}}""")
+    Rehearsal.emit(f"""{"rehearsal":"ivf_drifted_append","docs":"${k}x","n_drift":$nDrift,"append_s":$tDrift%.2f,"cells_touched":${dStats.touchedCells},"max_cell":${dStats.maxCell},"skew":${dStats.skew}%.2f,"max_cell_delta":${dStats.maxCell - stats.maxCell}}""")
 
     // (c) the full nightly loop: absorb a 500-doc crawl batch into a rolling
     // corpus whose history is the K× corpus (sidecars seeded once)

@@ -230,44 +230,73 @@ object WalletCluster {
     // 1. components with >=1 retracted edge
     val affected = old.join(invAddrs, Seq("address"), "left_semi")
       .select(col("wallet_id")).distinct()
-    val members = old.join(affected, Seq("wallet_id"), "left_semi")
-      .select("address")
-    // 2. every best-chain tx a member funds, and ALL funders of those txs
     val bf = bestFunders
       .select(col("tx_hash"), col("src_address").as("address")).distinct()
-    val relevantTxs = bf.join(members, Seq("address"), "left_semi")
-      .select("tx_hash").distinct()
-    val relevantPairs = bf.join(relevantTxs, Seq("tx_hash"), "left_semi")
-    // 3. members stay raw nodes; outside funders contract to their stored
-    //    label (or themselves when unseen — a brand-new replacement-branch
-    //    address)
-    val contracted = relevantPairs
-      .join(members.withColumn("_member", lit(true)), Seq("address"), "left")
-      .join(old, Seq("address"), "left")
-      .select(col("tx_hash"),
-        when(col("_member").isNotNull, col("address"))
-          .otherwise(coalesce(col("wallet_id"), col("address")))
-          .as("src_address"))
-      .distinct()
-    // membership-only members (all their edges were retracted) cluster as
-    // singletons via the node universe
-    val nodes = contracted.select(col("src_address").as("address"))
-      .unionByName(members).distinct()
-    val relabel = clusters(nodes, contracted)
-      .select(col("address").as("node"), col("wallet_id").as("new_id"))
+    // Materialized once: the route decision needs the count, and either
+    // route reads the member set several times.
+    val (members, membersRdd, nMembers) = ChainOps.rebaseCounted(
+      old.join(affected, Seq("wallet_id"), "left_semi").select("address"))
+    try {
+      // MASS-reorg route: when the affected components span most of the
+      // store (one giant co-spend component is common on dense corpora),
+      // the contraction machinery below re-clusters nearly everything
+      // anyway and its derivation joins make it SLOWER than the recompute
+      // it exists to avoid (measured 4× at corpus scale). Recompute the
+      // best-chain labeling once and diff against the store — same output
+      // contract, cost capped at one full clustering. The store count is
+      // parquet-metadata-cheap for a parquet-backed labeling.
+      if (nMembers * 2 >= old.count()) {
+        val fresh = clusters(
+            bf.select("address").distinct(),
+            bf.select(col("tx_hash"), col("address").as("src_address")))
+          .select(col("address"), col("wallet_id").as("new_id"))
+        val changed = old.join(fresh, Seq("address"))
+          .where(col("wallet_id") =!= col("new_id"))
+          .select(col("address"), col("new_id").as("wallet_id"))
+        // members absent from the post-reorg chain: singleton themselves
+        val orphaned = members.join(fresh, Seq("address"), "left_anti")
+          .join(old, Seq("address"))
+          .where(col("wallet_id") =!= col("address"))
+          .select(col("address"), col("address").as("wallet_id"))
+        return changed.unionByName(orphaned)
+      }
+      // 2. every best-chain tx a member funds, and ALL funders of those txs
+      val relevantTxs = bf.join(members, Seq("address"), "left_semi")
+        .select("tx_hash").distinct()
+      val relevantPairs = bf.join(relevantTxs, Seq("tx_hash"), "left_semi")
+      // 3. members stay raw nodes; outside funders contract to their stored
+      //    label (or themselves when unseen — a brand-new replacement-branch
+      //    address)
+      val contracted = relevantPairs
+        .join(members.withColumn("_member", lit(true)), Seq("address"), "left")
+        .join(old, Seq("address"), "left")
+        .select(col("tx_hash"),
+          when(col("_member").isNotNull, col("address"))
+            .otherwise(coalesce(col("wallet_id"), col("address")))
+            .as("src_address"))
+        .distinct()
+      // membership-only members (all their edges were retracted) cluster as
+      // singletons via the node universe
+      val nodes = contracted.select(col("src_address").as("address"))
+        .unionByName(members).distinct()
+      val relabel = clusters(nodes, contracted)
+        .select(col("address").as("node"), col("wallet_id").as("new_id"))
 
-    val memberRows = members
-      .join(relabel, members("address") === relabel("node"))
-      .select(col("address"), col("new_id").as("wallet_id"))
-    // unaffected components pulled into a merge: node was a stored LABEL
-    // (not a member address) and its id moved — relabel all its members,
-    // exactly incrementalClusters' moved-label step
-    val movedLabels = relabel
-      .where(col("node") =!= col("new_id"))
-      .join(members, relabel("node") === members("address"), "left_anti")
-    val movedMembers = old
-      .join(movedLabels, old("wallet_id") === movedLabels("node"))
-      .select(col("address"), col("new_id").as("wallet_id"))
-    memberRows.unionByName(movedMembers)
+      val memberRows = members
+        .join(relabel, members("address") === relabel("node"))
+        .select(col("address"), col("new_id").as("wallet_id"))
+      // unaffected components pulled into a merge: node was a stored LABEL
+      // (not a member address) and its id moved — relabel all its members,
+      // exactly incrementalClusters' moved-label step
+      val movedLabels = relabel
+        .where(col("node") =!= col("new_id"))
+        .join(members, relabel("node") === members("address"), "left_anti")
+      val movedMembers = old
+        .join(movedLabels, old("wallet_id") === movedLabels("node"))
+        .select(col("address"), col("new_id").as("wallet_id"))
+      // Collected by every caller before the register is reused; the
+      // member set is small (affected components only) on this route.
+      memberRows.unionByName(movedMembers)
+    } finally { membersRdd.unpersist(blocking = false); () }
   }
 }
