@@ -403,6 +403,49 @@ object Similarity {
       .select(col("query_id").as(model.idCol), col(model.idCol).as("ref_id"),
         col("score"))
 
+  /** The acting half of [[appendToIvfIndex]]'s cell-balance signal: read
+    * the `_cellstats.json` sidecar and, when the recorded skew
+    * (maxCell/meanCell) exceeds `maxSkew`, rebuild the index IN PLACE from
+    * its own stored vectors — centroids retrained on the drifted
+    * distribution, every vector reassigned, stats sidecar refreshed. Wire
+    * it after each append (or on a maintenance schedule) and the
+    * append-only index becomes self-healing: appends stay O(new), and the
+    * full-build cost is paid exactly when the drift signal says the probe
+    * latency needs it.
+    *
+    * The old cells are `localCheckpoint`ed before the overwrite (the
+    * rebuild reads the path it rewrites); an index too large for executor
+    * storage would write to a sibling directory and swap instead.
+    *
+    * @return true when a rebuild happened
+    */
+  def rebuildIvfIndexIfSkewed(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      idCol: String, vecCol: String, maxSkew: Double,
+      nlist: Int = 64, maxIter: Int = 5): Boolean = {
+    val statsPath = java.nio.file.Paths.get(dir, "_cellstats.json")
+    if (!java.nio.file.Files.exists(statsPath)) return false
+    val skew = """"skew":([0-9.eE+-]+)""".r
+      .findFirstMatchIn(java.nio.file.Files.readString(statsPath))
+      .map(_.group(1).toDouble)
+    if (!skew.exists(_ > maxSkew)) return false
+    val vectors = spark.read.parquet(s"$dir/cells")
+      .select(col(idCol), col(vecCol)).localCheckpoint(true)
+    val model = ivfIndex(vectors, idCol, vecCol, nlist, maxIter)
+    saveIvfIndex(model, dir)
+    import spark.implicits._
+    val sizes = model.cells.groupBy("cell").count()
+      .select("count").as[Long].collect().sorted
+    model.unpersist()
+    val stats = IvfAppendStats(
+      touchedCells = sizes.length, newVectors = 0L,
+      nonEmptyCells = sizes.length, maxCell = sizes.last,
+      meanCell = sizes.sum.toDouble / sizes.length,
+      p99Cell = sizes(((sizes.length - 1) * 99) / 100))
+    java.nio.file.Files.writeString(statsPath, stats.json + "\n")
+    true
+  }
+
   /** Load a [[saveIvfIndex]]-written index. The cells stay DISK-BACKED (no
     * persist): probes read only the pruned cell partitions, which is the
     * point of the on-disk layout — callers probing the same cells repeatedly

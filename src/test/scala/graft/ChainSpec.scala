@@ -152,6 +152,45 @@ class ChainSpec extends SparkSpec {
     }
   }
 
+  test("repairAfterReorg: contraction route for small reorgs, recompute-diff route for mass reorgs") {
+    import spark.implicits._
+    // 12 two-address components: tx "t$i" co-spends (x$i, y$i); stored
+    // labeling = 24 rows, each pair labeled by its x (x < y lexically)
+    val txs = (0 until 12).flatMap(i => Seq((f"t$i%02d", f"x$i%02d"), (f"t$i%02d", f"y$i%02d")))
+    val all = txs.toDF("tx_hash", "src_address")
+    val universe = txs.map(_._2).distinct.toDF("address")
+    val stored = WalletCluster.clusters(universe, all).persist()
+    assert(stored.count() == 24)
+
+    // SMALL reorg: only t00 retracts → members = 2 of 24 → contraction
+    // route, which emits replacement rows for every member of the affected
+    // component (the x00 row is a no-op re-assertion of its own label)
+    val inv1 = all.where(col("tx_hash") === "t00")
+    val best1 = all.where(col("tx_hash") =!= "t00")
+    val small = WalletCluster.repairAfterReorg(stored, inv1, best1)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(small == Map("x00" -> "x00", "y00" -> "y00"))
+
+    // MASS reorg: t00..t06 retract → members = 14 of 24 → recompute-diff
+    // route, which emits ONLY rows whose label changes: the y of each
+    // split pair (each x already labels itself)
+    val hot = (0 until 7).map(i => f"t$i%02d")
+    val inv2 = all.where(col("tx_hash").isin(hot: _*))
+    val best2 = all.where(!col("tx_hash").isin(hot: _*))
+    val mass = WalletCluster.repairAfterReorg(stored, inv2, best2)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(mass == (0 until 7).map(i => f"y$i%02d" -> f"y$i%02d").toMap)
+
+    // both routes converge to the same state as a full recompute
+    val storedMap = stored.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    stored.unpersist()
+    def full(best: org.apache.spark.sql.DataFrame): Map[String, String] =
+      WalletCluster.clusters(universe, best)
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(storedMap ++ small == full(best1))
+    assert(storedMap ++ mass == full(best2))
+  }
+
   test("ChainOps.depths handles multi-chain forests") {
     import spark.implicits._
     val nodes = Seq(

@@ -265,6 +265,47 @@ class SimilaritySpec extends SparkSpec {
     built.unpersist()
   }
 
+  test("rebuildIvfIndexIfSkewed: drift past the threshold triggers an in-place retrain that rebalances") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sf)
+    val base = emb.filter(col("vec_id") < 250)
+    val built = Similarity.ivfIndex(base, "vec_id", "embedding", nlist = 16)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-rebuild").toString
+    Similarity.saveIvfIndex(built, dir)
+    built.unpersist()
+    val dim = emb.select("embedding").head().getSeq[Float](0).length
+    // drifted mass: a new angular region (around e1) with internal variance
+    // borrowed from the base vectors, so a retrain CAN spread it over many
+    // cells — under the old centroids it concentrates in very few
+    val drift = base.select((col("vec_id") + 100000L).as("vec_id"),
+      transform(col("embedding"),
+        (x, i) => (x * lit(0.3f) + when(i === 0, lit(1.0f)).otherwise(lit(0.0f)))
+          .cast("float")).as("embedding"))
+    val driftAll = drift.unionByName(
+      drift.select((col("vec_id") + 100000L).as("vec_id"), col("embedding")))
+    val stats = Similarity.appendToIvfIndex(spark, dir, driftAll, "vec_id", "embedding")
+    assert(stats.skew > 4.0, s"fixture did not skew the index: ${stats.json}")
+
+    // below the threshold: untouched
+    assert(!Similarity.rebuildIvfIndexIfSkewed(spark, dir, "vec_id", "embedding",
+      maxSkew = stats.skew + 1))
+    // above: retrains in place, preserves the vector set, rebalances
+    val before = spark.read.parquet(s"$dir/cells")
+      .select("vec_id").as[Long].collect().toSet
+    assert(Similarity.rebuildIvfIndexIfSkewed(spark, dir, "vec_id", "embedding",
+      maxSkew = 4.0, nlist = 16))
+    val after = spark.read.parquet(s"$dir/cells")
+      .select("vec_id").as[Long].collect().toSet
+    assert(after == before, "rebuild lost or invented vectors")
+    val newSkew = """"skew":([0-9.eE+-]+)""".r
+      .findFirstMatchIn(java.nio.file.Files.readString(
+        java.nio.file.Paths.get(dir, "_cellstats.json"))).get.group(1).toDouble
+    assert(newSkew < stats.skew, s"retrain did not reduce skew: $newSkew vs ${stats.skew}")
+    // signal cleared: the same threshold no longer triggers
+    assert(!Similarity.rebuildIvfIndexIfSkewed(spark, dir, "vec_id", "embedding",
+      maxSkew = math.max(4.0, newSkew + 0.01)))
+  }
+
   test("semanticDupsAgainst: batch re-embeds of indexed content flagged; fresh vectors pass") {
     import spark.implicits._
     val emb = Tables.embeddings(spark, sf)
