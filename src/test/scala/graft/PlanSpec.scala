@@ -150,4 +150,33 @@ class PlanSpec extends SparkSpec {
       .queryExecution.explainString(FormattedMode)
     assert(pExact.contains("NestedLoopJoin") || pExact.contains("CartesianProduct"), pExact)
   }
+
+  test("band-agreement verify is the same (band,bucket) equi-join plus one pair-grain aggregate") {
+    import org.apache.spark.sql.functions.col
+    val docs = graft.tables.Tables.documents(spark, sf).where(col("doc_id") < 100)
+    val banded = graft.operators.Dedup.bandedBuckets(
+      graft.operators.Dedup.minhashSignatures(docs, "doc_id", "text"), "doc_id")
+    val p = graft.operators.Dedup
+      .minhashBandAgreement(banded, banded.select(col("doc_id"), col("band"), col("bucket")), "doc_id")
+      .queryExecution.explainString(FormattedMode)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // the estimate is an aggregate over the SAME collision join the
+    // unverified path runs — verification adds no new scan of either side
+    assert(p.contains("HashAggregate"), p)
+  }
+
+  test("reorg repair's contraction path: equi-joins only, no quadratic fallback") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // 12 components so the member fraction stays below the mass-reorg route
+    val txs = (0 until 12).flatMap(i => Seq((f"t$i%02d", f"x$i%02d"), (f"t$i%02d", f"y$i%02d")))
+    val all = txs.toDF("tx_hash", "src_address")
+    val stored = txs.map(t => (t._2, t._2.replace('y', 'x'))).distinct
+      .toDF("address", "wallet_id")
+    val p = graft.chain.WalletCluster
+      .repairAfterReorg(stored, all.where(col("tx_hash") === "t00"),
+        all.where(col("tx_hash") =!= "t00"))
+      .queryExecution.explainString(FormattedMode)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
 }
