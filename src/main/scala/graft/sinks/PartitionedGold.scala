@@ -139,17 +139,20 @@ object PartitionedGold {
     changed
   }
 
-  /** Overwrite ONLY the height buckets present in `df` (dynamic mode);
-    * all other partitions keep their files byte-identical.
+  /** Overwrite ONLY the partitions present in `df` (dynamic mode); all
+    * other partitions keep their files byte-identical. `partitionCol`
+    * defaults to the height bucket; any discrete column works (the wallet
+    * label store partitions by address hash slot).
     */
-  def overwriteAffected(df: DataFrame, path: String): Unit = {
+  def overwriteAffected(df: DataFrame, path: String,
+      partitionCol: String = BucketCol): Unit = {
     val spark = df.sparkSession
     val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try
       df.write
         .mode(SaveMode.Overwrite)
-        .partitionBy(BucketCol)
+        .partitionBy(partitionCol)
         .parquet(path)
     finally prev match {
       case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)

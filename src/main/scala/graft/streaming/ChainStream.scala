@@ -130,19 +130,21 @@ object ChainStream {
     *    [[graft.chain.WalletCluster.incrementalClusters]] applies their
     *    co-spend merges on the contracted graph.
     *
-    * The store is hash-slot-partitioned parquet written through
-    * [[graft.sinks.PartitionedGold.syncAffected]], so only slots holding a
-    * changed label are rewritten — a quiet batch writes nothing, and a
-    * replayed batch (exactly-once resume) produces identical slot
-    * signatures and writes nothing. Write ordering is store-then-cursor: a
-    * crash between them leaves a stale `_bestchain`, so the next batch
-    * re-derives a change set that includes already-applied blocks — both
-    * update paths converge on replay (repair is a recompute of the affected
-    * set; an applied merge contracts to a no-op), so the store still
-    * converges. The new store is `localCheckpoint`ed before the write
-    * because it is derived FROM the path being overwritten; a deployment
-    * whose label table outgrows executor storage would flip between two
-    * generation directories instead.
+    * The store is hash-slot-partitioned parquet, and the per-batch write is
+    * O(changed) in COMPUTE as well as bytes: the changed-row set is known
+    * exactly (both update paths emit deltas; repair output is additionally
+    * diffed against the store so no-op re-assertions don't count), its
+    * slots are derived from the delta alone, and only those slots' full
+    * content — store rows in the slot minus replaced rows, plus the delta —
+    * is materialized (a `localCheckpoint` of slot-sized data, breaking the
+    * read-from-overwritten-path cycle) and dynamically overwritten. A quiet
+    * or replayed batch has an empty delta and writes NOTHING, leaving every
+    * slot file byte-identical (spec-gated). Write ordering is
+    * store-then-cursor: a crash between them leaves a stale `_bestchain`,
+    * so the next batch re-derives a change set that includes
+    * already-applied blocks — both update paths then produce empty deltas
+    * against the already-updated store, so the store converges without
+    * rewrites.
     *
     * @param fundersOf (spark, blockRows) => (tx_hash, src_address) funding
     *                  pairs — the same extraction the batch queries use
@@ -171,35 +173,58 @@ object ChainStream {
           bronze.join(bestHashes, Seq("hash"), "left_semi"))
         val storePath = s"$labelsDir/labels"
         val cursorPath = s"$labelsDir/_bestchain"
-        def writeStore(labels: DataFrame): Unit = {
-          val slotted = labels
-            .withColumn("slot", pmod(xxhash64(col("address")), lit(slots)).cast("int"))
-            .localCheckpoint(true) // the plan reads storePath; break it before overwriting
-          graft.sinks.PartitionedGold.syncAffected(slotted, storePath, "slot", 1)
-          ()
-        }
+        val bucket = graft.sinks.PartitionedGold.BucketCol
+        def slotOf(addr: org.apache.spark.sql.Column) =
+          pmod(xxhash64(addr), lit(slots)).cast("int")
         def upsert(store: DataFrame, delta: DataFrame): DataFrame =
           delta.unionByName(
             store.join(delta.select("address"), Seq("address"), "left_anti"))
+        // only rows whose label REALLY differs from the store count as
+        // changes — repair's contraction route re-asserts every member
+        def minimize(store: DataFrame, rows: DataFrame): DataFrame =
+          rows.join(store.withColumnRenamed("wallet_id", "_old"),
+              Seq("address"), "left")
+            .where(!(col("_old") <=> col("wallet_id")))
+            .select("address", "wallet_id")
         if (!fsExists(spark, storePath) || !fsExists(spark, cursorPath)) {
           // bootstrap (or cursor lost): one full clustering of the best chain
           val addrs = bestFunders.select(col("src_address").as("address")).distinct()
-          writeStore(WalletCluster.clusters(addrs, bestFunders))
+          WalletCluster.clusters(addrs, bestFunders)
+            .withColumn(bucket, slotOf(col("address")))
+            .write.mode("overwrite").partitionBy(bucket).parquet(storePath)
         } else {
           val stored = spark.read.parquet(storePath).select("address", "wallet_id")
           val prevBest = spark.read.parquet(cursorPath)
           val invalidated = prevBest.join(bestHashes, Seq("hash"), "left_anti")
           val arrived = bestHashes.join(prevBest, Seq("hash"), "left_anti")
-          val afterRepair =
-            if (invalidated.isEmpty) stored
-            else upsert(stored, WalletCluster.repairAfterReorg(
+          val repairChanges =
+            if (invalidated.isEmpty) None
+            else Some(minimize(stored, WalletCluster.repairAfterReorg(
               stored,
               fundersOf(spark, bronze.join(invalidated, Seq("hash"), "left_semi")),
-              bestFunders))
+              bestFunders)))
+          val afterRepair = repairChanges.fold(stored)(upsert(stored, _))
           val delta = WalletCluster.incrementalClusters(
             afterRepair,
             fundersOf(spark, bronze.join(arrived, Seq("hash"), "left_semi")))
-          writeStore(upsert(afterRepair, delta))
+          // combined changed-row set vs the ON-DISK store
+          val changes = repairChanges.fold(delta)(upsert(_, delta))
+          val slotted = changes.withColumn(bucket, slotOf(col("address")))
+          val changedSlots = slotted.select(bucket).distinct()
+            .collect().map(_.getInt(0))
+          if (changedSlots.nonEmpty) {
+            // full content of ONLY the changed slots; localCheckpoint is
+            // slot-sized, not store-sized, and breaks the cycle of reading
+            // the path being overwritten
+            val content = spark.read.parquet(storePath)
+              .select("address", "wallet_id")
+              .withColumn(bucket, slotOf(col("address")))
+              .where(col(bucket).isin(changedSlots.map(Integer.valueOf): _*))
+              .join(changes.select("address"), Seq("address"), "left_anti")
+              .unionByName(slotted)
+              .localCheckpoint(true)
+            graft.sinks.PartitionedGold.overwriteAffected(content, storePath, bucket)
+          }
         }
         bestHashes.write.mode("overwrite").parquet(cursorPath)
         ()
