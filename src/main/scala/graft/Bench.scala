@@ -19,7 +19,7 @@ object Bench {
     "o1_topk", "e1_tumbling_counts", "e3_session_window", "e4_funnel",
     "d1_exact_dedup", "d2_fingerprint_dedup", "d3b_ngram_jaccard_capped",
     "d4_minhash_pairs", "d7_neardup_clusters", "d8_span_dedup",
-    "d11_neardup_against_release",
+    "d11_neardup_against_release", "d12_band_agreement",
     "t13_decontaminate_bloom",
     "t1_token_stats", "t5_tfidf", "t6_winnow_fingerprint", "t7_decontamination",
     "t9_pii_metrics", "t11_chunk_documents",

@@ -228,6 +228,80 @@ object Blockchain {
          |)
          |SELECT address, min(wallet) AS wallet_id FROM lbl GROUP BY address""".stripMargin)),
 
+    // The reorg-repair path under the oracle gate: cluster the PRE-reorg
+    // chain into a stored labeling, invalidate the best-chain blocks at
+    // height >= 3 (the b3a branch — tx3's co-spend retracts, splitting the
+    // {A,B} wallet; the stale b3b becomes the tip), repair the store with
+    // repairAfterReorg, and emit the post-reorg universe's labels. The
+    // oracle knows nothing of the repair: it recomputes min-label
+    // propagation over the POST-reorg chain from scratch — matching it
+    // hash-exact proves repair-then-upsert lands on chain-semantics truth.
+    Q("bc9_reorg_repair",
+      (s, _) => {
+        val ann = BestChain.annotate(F.blocksDf(s))
+        val cTxsPre = GoldStats.chainTxs(F.transactionsDf(s), ann)
+        val rinAll = Enrich.resolvedInputs(F.txInputsDf(s), F.txOutputsDf(s))
+        val rinPre = rinAll.join(cTxsPre.select("tx_hash"), Seq("tx_hash"), "left_semi")
+        val outsPre = F.txOutputsDf(s).join(cTxsPre.select("tx_hash"), Seq("tx_hash"), "left_semi")
+        val universePre = outsPre.select("address")
+          .union(rinPre.select(col("src_address").as("address"))).distinct()
+        val stored = WalletCluster.clusters(universePre, rinPre.select("tx_hash", "src_address"))
+
+        val invBlocks = ann.where(col("is_on_best_chain") && col("height") >= 3).select("hash")
+        val keptBlocks = F.blocksDf(s).join(invBlocks, Seq("hash"), "left_anti")
+        val keptTxs = GoldStats.chainTxs(F.transactionsDf(s), BestChain.annotate(keptBlocks))
+        val invTxs = F.transactionsDf(s)
+          .join(invBlocks.withColumnRenamed("hash", "block_hash"), Seq("block_hash"), "left_semi")
+        val invFunders = rinAll.join(invTxs.select("tx_hash"), Seq("tx_hash"), "left_semi")
+          .select("tx_hash", "src_address")
+        val keptFunders = rinAll.join(keptTxs.select("tx_hash"), Seq("tx_hash"), "left_semi")
+          .select("tx_hash", "src_address")
+
+        val repair = WalletCluster.repairAfterReorg(stored, invFunders, keptFunders)
+        val repaired = repair.unionByName(
+          stored.join(repair.select("address"), Seq("address"), "left_anti"))
+        val outsPost = F.txOutputsDf(s).join(keptTxs.select("tx_hash"), Seq("tx_hash"), "left_semi")
+        val universePost = outsPost.select("address")
+          .union(keptFunders.select(col("src_address").as("address"))).distinct()
+        universePost.join(repaired, Seq("address"), "left")
+          .select(col("address"), coalesce(col("wallet_id"), col("address")).as("wallet_id"))
+      },
+      Some(s"""WITH RECURSIVE ${chainCte.stripPrefix("WITH ")},
+         |inv AS (
+         |  SELECT h.hash FROM h JOIN chain c ON h.hash = c.hash WHERE h.height >= 3
+         |), blocks2 AS (
+         |  SELECT * FROM blocks WHERE hash NOT IN (SELECT hash FROM inv)
+         |), h2(hash, height) AS (
+         |  SELECT hash, 0 FROM blocks2 WHERE parent_hash IS NULL
+         |  UNION ALL
+         |  SELECT b.hash, h2.height + 1 FROM blocks2 b JOIN h2 ON b.parent_hash = h2.hash
+         |), tip2 AS (
+         |  SELECT hash, height FROM h2 ORDER BY height DESC, hash LIMIT 1
+         |), chain2(hash) AS (
+         |  SELECT hash FROM tip2
+         |  UNION ALL
+         |  SELECT b.parent_hash FROM blocks2 b JOIN chain2 c ON b.hash = c.hash
+         |  WHERE b.parent_hash IS NOT NULL
+         |), ctx2 AS (
+         |  SELECT t.tx_hash FROM transactions t JOIN chain2 c ON t.block_hash = c.hash
+         |), rin2 AS (
+         |  SELECT i.tx_hash, o.address AS src_address
+         |  FROM tx_inputs i JOIN tx_outputs o
+         |    ON i.prev_tx_hash = o.tx_hash AND i.prev_index = o.idx
+         |  WHERE i.tx_hash IN (SELECT tx_hash FROM ctx2)
+         |), addrs2 AS (
+         |  SELECT address FROM tx_outputs WHERE tx_hash IN (SELECT tx_hash FROM ctx2)
+         |  UNION SELECT src_address FROM rin2
+         |), pairs2 AS (
+         |  SELECT DISTINCT a.src_address AS x, b.src_address AS y
+         |  FROM rin2 a JOIN rin2 b ON a.tx_hash = b.tx_hash
+         |), lbl2(address, wallet) AS (
+         |  SELECT address, address FROM addrs2
+         |  UNION
+         |  SELECT p.x, l.wallet FROM pairs2 p JOIN lbl2 l ON p.y = l.address
+         |)
+         |SELECT address, min(wallet) AS wallet_id FROM lbl2 GROUP BY address""".stripMargin)),
+
     // Value-flow graph degrees (the SQL-checkable face of the GraphX layer).
     Q("g1_flow_degrees",
       (s, _) => {

@@ -628,6 +628,59 @@ object Pipeline {
            |  AND ($bands)""".stripMargin
       }),
 
+    // d11's collision pairs with the VERIFICATION signal: matched-band count
+    // per pair and the estimated Jaccard (matched/B)^(1/r) — the quantity
+    // RollingCuration's verifyTau thresholds when history text is
+    // unavailable. Oracle recomputes signatures, counts agreeing bands per
+    // pair (bucket collision ≡ slot equality, as in d4) and applies the same
+    // 6-dp-rounded pow — a one-band accident reads 0.594604, a true near-dup
+    // reads near 1.
+    Q("d12_band_agreement",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val released = Sampling.stratifiedSample(docs, "doc_id", "lang",
+          Map.empty, defaultRate = 0.5)
+        val refBanded = Dedup.bandedBuckets(
+          Dedup.minhashSignatures(released, "doc_id", "text", portable = true),
+          "doc_id")
+        val incoming = docs.join(released.select("doc_id"), Seq("doc_id"), "left_anti")
+        val incBanded = Dedup.bandedBuckets(
+          Dedup.minhashSignatures(incoming, "doc_id", "text", portable = true),
+          "doc_id")
+        Dedup.minhashBandAgreement(incBanded, refBanded, "doc_id")
+      },
+      Some {
+        val slots = (0 until 32).map(minhashSlotSql).mkString(",\n    ")
+        val bandCases = (0 until 8).map { b =>
+          val eq = (0 until 4).map(r => s"a.h${b * 4 + r} = b.h${b * 4 + r}")
+            .mkString("(", " AND ", ")")
+          s"(CASE WHEN $eq THEN 1 ELSE 0 END)"
+        }.mkString(" +\n    ")
+        s"""WITH $shingleCtes, hs AS (
+           |  SELECT doc_id,
+           |    CAST(('0x' || substring(md5(sh), 1, 15)) AS UBIGINT) AS h1,
+           |    CAST(('0x' || substring(md5(sh), 17, 15)) AS UBIGINT) AS h2
+           |  FROM sh
+           |), sig AS (
+           |  SELECT doc_id,
+           |    $slots
+           |  FROM hs GROUP BY doc_id
+           |), rel AS (
+           |  SELECT doc_id FROM documents
+           |  WHERE CAST(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS UBIGINT) AS BIGINT) <
+           |    CAST(floor(0.5 * 1152921504606846976.0) AS BIGINT)
+           |), agree AS (
+           |  SELECT a.doc_id AS doc_id, b.doc_id AS ref_id,
+           |    CAST($bandCases AS BIGINT) AS matched_bands
+           |  FROM sig a JOIN sig b ON a.doc_id <> b.doc_id
+           |  WHERE a.doc_id NOT IN (SELECT doc_id FROM rel)
+           |    AND b.doc_id IN (SELECT doc_id FROM rel)
+           |)
+           |SELECT doc_id, ref_id, matched_bands,
+           |  round(pow(matched_bands / 8.0, 0.25), 6) AS est_jaccard
+           |FROM agree WHERE matched_bands >= 1""".stripMargin
+      }),
+
     // TF-IDF: tf * ln(N/df) — a two-aggregate dataflow, no ML-lib state.
     Q("t5_tfidf",
       (s, d) => {
