@@ -469,6 +469,47 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: minhashBandAgreement == brute-force band comparison of the signatures") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    // random word-soup docs over a small vocabulary so band collisions at
+    // every agreement level are reachable (identical docs → 8/8, shared
+    // phrases → partial, disjoint → absent)
+    val wordGen = Gen.choose(0, 11).map(i => s"w$i")
+    val docGen = Gen.choose(3, 12).flatMap(n => Gen.listOfN(n, wordGen).map(_.mkString(" ")))
+    val corpusGen = Gen.choose(2, 6).flatMap(n => Gen.listOfN(n, docGen))
+    forAllSeeded(Gen.zip(corpusGen, corpusGen), 6) { case (incTexts, refTexts) =>
+      val inc = incTexts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val ref = refTexts.zipWithIndex.map { case (t, i) => (1000L + i, t) }
+        .toDF("doc_id", "text")
+      val incSigs = Dedup.minhashSignatures(inc, "doc_id", "text")
+      val refSigs = Dedup.minhashSignatures(ref, "doc_id", "text")
+      val got = Dedup.minhashBandAgreement(
+          Dedup.bandedBuckets(incSigs, "doc_id"),
+          Dedup.bandedBuckets(refSigs, "doc_id"), "doc_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+          ((r.getLong(2), r.getDouble(3)))).toMap
+      // brute force: compare raw signature slots band by band
+      val incRaw = incSigs.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      val refRaw = refSigs.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      val expected = (for {
+        (i, si) <- incRaw; (j, sj) <- refRaw
+        m = (0 until 8).count(b => (0 until 4).forall(r => si(b * 4 + r) == sj(b * 4 + r)))
+        if m >= 1
+      } yield (i, j) -> m).toMap
+      assert(got.keySet == expected.keySet,
+        s"pair sets differ: inc=$incTexts ref=$refTexts")
+      expected.foreach { case (pair, m) =>
+        val (gotM, gotEst) = got(pair)
+        assert(gotM == m, s"matched_bands at $pair: $gotM vs $m")
+        val est = BigDecimal(math.pow(m / 8.0, 0.25))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        assert(gotEst == est, s"est_jaccard at $pair: $gotEst vs $est")
+      }
+    }
+  }
+
   test("property: bigram_counts histogram == exploded substr on random unicode") {
     import spark.implicits._
     import graft.functions.BigramCountsOps.bigram_counts
