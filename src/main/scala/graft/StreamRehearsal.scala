@@ -110,7 +110,78 @@ object StreamRehearsal {
     partitionedSinkLeg(spark)
     nodeFollowLeg(spark)
     killResumeLeg(spark)
+    walletLabelsLeg(spark)
     spark.stop()
+  }
+
+  /** The round-13 surface at corpus scale: maintain the WALLET LABELING as
+    * the 50k-block corpus streams in out of chain order —
+    * [[streaming.ChainStream.incrementalWalletLabels]] bootstraps on the
+    * first batch, then per batch applies arrived blocks' co-spends
+    * incrementally and routes every best-chain flip (the drain crosses ~200
+    * stale forks and the 140-deep double-spend branch, so REAL reorg
+    * repairs fire mid-stream) through `repairAfterReorg`. Gate: the final
+    * store equals a from-scratch clustering of the final best chain's
+    * funders, exceptAll both ways.
+    */
+  private def walletLabelsLeg(spark: SparkSession): Unit = {
+    val workDir = Paths.get("target/stream_rehearsal_wallet")
+    deleteRecursively(workDir)
+    val rawDir = graft.chain.BlkCorpus.rawDir
+    val txsB = graft.chain.BlkCorpus.bronze(spark, "transactions")
+    // ALL resolved inputs (bucketed zero-exchange outpoint join), not the
+    // best-chain-restricted silver: invalidated funders live on stale
+    // branches by definition
+    val rinAll = graft.chain.Enrich.resolvedInputs(
+        graft.chain.BlkCorpus.bronze(spark, "tx_inputs"),
+        graft.chain.BlkCorpus.bronze(spark, "tx_outputs"))
+      .select("tx_hash", "src_address").distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    rinAll.count()
+    def fundersOf(s: SparkSession,
+        blockRows: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+      rinAll.join(
+        txsB.join(blockRows.select(col("hash").as("block_hash")),
+            Seq("block_hash"), "left_semi")
+          .select("tx_hash"),
+        Seq("tx_hash"), "left_semi")
+    val headers = graft.streaming.ChainStream
+      .blkFileStream(spark, rawDir, maxFilesPerTrigger = 8)
+      .select(
+        col("hash"),
+        when(col("parent_hash") === "0" * 64, lit(null))
+          .otherwise(col("parent_hash")).as("parent_hash"),
+        col("ts"))
+    val t0 = System.nanoTime()
+    val q = graft.streaming.ChainStream.incrementalWalletLabels(
+      headers, s"$workDir/bronze", fundersOf,
+      s"$workDir/labels", s"$workDir/ckpt").start()
+    q.awaitTermination()
+    val wallSec = (System.nanoTime() - t0) / 1e9
+    val nBatches = q.recentProgress.count(_.numInputRows > 0)
+
+    val ann = graft.chain.BlkCorpus.annotated(spark)
+    val bestTxs = graft.chain.GoldStats.chainTxs(txsB, ann).select("tx_hash")
+    val bestFunders = rinAll.join(bestTxs, Seq("tx_hash"), "left_semi")
+    val expect = graft.chain.WalletCluster.clusters(
+      bestFunders.select(col("src_address").as("address")).distinct(), bestFunders)
+    val store = spark.read.parquet(s"$workDir/labels/labels")
+      .select("address", "wallet_id")
+    // every best-chain label exact; extra rows are allowed ONLY as the
+    // documented orphans — self-labeled singletons for addresses that
+    // funded exclusively on branches reorged away mid-drain (a disagreeing
+    // row for a best-chain address would also show up in `missing`)
+    val missing = expect.exceptAll(store).count()
+    val extras = store.exceptAll(expect)
+    val staleExtras = extras.where(col("address") =!= col("wallet_id")).count()
+    val orphanSingletons = extras.where(col("address") === col("wallet_id")).count()
+    val nLabels = store.count()
+    rinAll.unpersist(blocking = false)
+    val converged = missing == 0 && staleExtras == 0
+    Rehearsal.emit(
+      f"""{"rehearsal":"wallet_labels_catchup","scale":${graft.chain.BlkCorpus.Scale},"batches":$nBatches,"wall_s":$wallSec%.1f,"labels":$nLabels,"missing":$missing,"stale_extras":$staleExtras,"orphan_singletons":$orphanSingletons,"converged":$converged}""")
+    if (!converged) throw new IllegalStateException(
+      s"streamed wallet labels diverged: missing=$missing stale=$staleExtras")
   }
 
   /** Kill-resume leg (T5 at corpus scale): start the same catch-up, kill the
