@@ -288,6 +288,11 @@ object Dedup {
     * quantized to B+1 levels (at 32/4: 0.59, 0.71, 0.78, 0.84, …, 1.0), so
     * pick `tau` consciously against that grid.
     *
+    * `numHashes`/`rowsPerBand` must MATCH the banding that produced both
+    * inputs (the [[bandedBuckets]] defaults, and therefore any
+    * [[writeMinhashBandIndex]]-persisted index built with them) — a
+    * mismatched B silently rescales every estimate.
+    *
     * Same join as the unverified form plus a (id, ref) count — still linear
     * in collisions, still O(new) in history.
     *
