@@ -208,21 +208,49 @@ object Bench {
       .mkString("{", ",", "}")
     val spread = results.map { case (k, (_, s, _)) => "\"" + k + "\":" + r3(s) }
       .mkString("{", ",", "}")
-    val spreadRaw = results.map { case (k, (_, _, r)) => "\"" + k + "\":" + r3(r) }
-      .mkString("{", ",", "}")
+    // spread_raw has never differed from spread on a valid run (trimming only
+    // kicks in past 6 samples); it nearly doubles the artifact, so it ships
+    // only under the debug flag.
+    val spreadRaw =
+      if (sys.env.get("SPARK_GRAFT_BENCH_DEBUG").exists(_ != "0"))
+        ",\"spread_raw\":" + results
+          .map { case (k, (_, _, r)) => "\"" + k + "\":" + r3(r) }
+          .mkString("{", ",", "}")
+      else ""
     val total = results.map(_._2._1).sum
     val valid = failures.isEmpty && unstableNames.isEmpty
+    // Name lists on the COMPACT line are capped: the line must stay under the
+    // driver's ~2,000-char tail window even in the pathological all-unstable
+    // case. The full artifact carries the uncapped lists.
     def strArr(xs: Seq[String]): String = xs.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val json = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"spread":$spread,"spread_raw":$spreadRaw,"runs":$runs,"sf":"$sfDir","valid":$valid,"unstable":${strArr(unstableNames)},"failures":${strArr(failures.reverse)}}"""
-    // JSON first, diagnostics after, JSON again LAST: whichever end of the
-    // log the driver's truncation keeps, a complete copy survives — and the
-    // final copy must be the last line of the whole process output, because
-    // that is what the driver parses. Everything below is ordered for that:
-    // diagnostics on stdout, spark.stop() BEFORE the final println (its WARN
-    // chatter goes to stdout via log4j2.properties), logging forced OFF so
-    // shutdown hooks that fire after main() cannot print, and build.sbt's
-    // showSuccess := false so sbt appends no "[success] Total time" trailer.
-    println(json)
+    def cappedArr(xs: Seq[String]): String = {
+      val shown = if (xs.length > 8) xs.take(8) :+ s"+${xs.length - 8} more" else xs
+      strArr(shown)
+    }
+    val fullJson = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"spread":$spread$spreadRaw,"runs":$runs,"sf":"$sfDir","valid":$valid,"unstable":${strArr(unstableNames)},"failures":${strArr(failures.reverse)}}"""
+    // The driver's tail window is ~2,000 chars and it parses the LAST line of
+    // the captured log as JSON — a 3.5 KB line survives complete at EOF but
+    // arrives front-truncated in the window (the r13 failure mode: the full
+    // line with spread + spread_raw was 3,523 chars). The final line is
+    // therefore a COMPACT summary: the per-query medians stay (the documented
+    // contract, ~1,450 chars at 45 queries) but spreads live only in
+    // target/bench.json / bench/BENCH_FULL_latest.json — and a hard guard
+    // drops "queries" too if the line would ever approach the window.
+    def compactLine(withQueries: Boolean): String = {
+      val q = if (withQueries) s""","queries":$qs""" else ""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","runs":$runs,"sf":"$sfDir","valid":$valid,"unstable":${cappedArr(unstableNames)},"failures":${cappedArr(failures.reverse)}$q,"detail":"bench/BENCH_FULL_latest.json"}"""
+    }
+    val withQ = compactLine(withQueries = true)
+    val compactJson = if (withQ.length <= 1800) withQ else compactLine(withQueries = false)
+    // Full JSON first, diagnostics after, compact JSON LAST: whichever end of
+    // the log the driver's truncation keeps, a parseable copy survives — and
+    // the final line is what the driver parses, so it must be both last and
+    // small. Everything below is ordered for that: diagnostics on stdout,
+    // spark.stop() BEFORE the final println (its WARN chatter goes to stdout
+    // via log4j2.properties), logging forced OFF so shutdown hooks that fire
+    // after main() cannot print, and build.sbt's showSuccess := false so sbt
+    // appends no "[success] Total time" trailer.
+    println(fullJson)
     diag.foreach(println)
     // The driver stores only a truncated tail of the run log, which has cut
     // up to 10 of the per-query timings from every BENCH artifact so far —
@@ -230,7 +258,7 @@ object Bench {
     val out = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench.json"))
     Option(out.getParent).foreach(java.nio.file.Files.createDirectories(_))
-    java.nio.file.Files.writeString(out, json + "\n")
+    java.nio.file.Files.writeString(out, fullJson + "\n")
     // Second copy into the TRACKED bench/ dir (when run from the repo root):
     // the driver's end-of-round snapshot commits uncommitted files, so its
     // own bench run self-archives losslessly without driver cooperation.
@@ -238,11 +266,11 @@ object Bench {
     // the round artifact — they must not clobber the full archive.
     val tracked = java.nio.file.Paths.get("bench/BENCH_FULL_latest.json")
     if (only.isEmpty && java.nio.file.Files.isDirectory(tracked.getParent))
-      java.nio.file.Files.writeString(tracked, json + "\n")
+      java.nio.file.Files.writeString(tracked, fullJson + "\n")
     spark.stop()
     org.apache.logging.log4j.core.config.Configurator.setRootLevel(
       org.apache.logging.log4j.Level.OFF)
-    println(json)
+    println(compactJson)
     Console.flush()
   }
 }

@@ -47,6 +47,10 @@ object StreamRehearsal {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.unionOutputPartitioning", "false")
       .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
+      // recentProgress retains only this many entries (default 100); the
+      // corpus-scale drains report batch counts from it, and a long drain
+      // would silently undercount the emitted `batches` metric.
+      .config("spark.sql.streaming.numRecentProgressUpdates", "10000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

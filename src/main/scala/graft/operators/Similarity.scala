@@ -198,6 +198,64 @@ object Similarity {
       f"""{"touched_cells":$touchedCells,"new_vectors":$newVectors,"non_empty_cells":$nonEmptyCells,"max_cell":$maxCell,"mean_cell":$meanCell%.2f,"p99_cell":$p99Cell,"skew":$skew%.2f}"""
   }
 
+  private def statsFromCells(
+      touched: Int, newVecs: Long, cells: Map[Int, Long]): IvfAppendStats = {
+    val sizes = cells.values.toArray.sorted
+    IvfAppendStats(
+      touchedCells = touched, newVectors = newVecs,
+      nonEmptyCells = sizes.length, maxCell = sizes.last,
+      meanCell = sizes.sum.toDouble / sizes.length,
+      p99Cell = sizes(((sizes.length - 1) * 99) / 100))
+  }
+
+  // ------------------------------------------------- sidecar I/O (Hadoop FS)
+  // The `_cellstats.json` sidecar goes through the Hadoop FileSystem API, not
+  // java.nio — an index on HDFS or an object store gets the same skew signal
+  // a local one does (java.nio would silently no-op there). The sidecar also
+  // carries the RUNNING per-cell counts, so each append can merge its own
+  // O(new) counts instead of re-listing the whole (and growing) index.
+
+  private def hadoopFs(spark: org.apache.spark.sql.SparkSession, path: String) = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    (p.getFileSystem(spark.sessionState.newHadoopConf()), p)
+  }
+
+  private def writeCellStats(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      stats: IvfAppendStats, cells: Map[Int, Long]): Unit = {
+    val (fs, p) = hadoopFs(spark, s"$dir/_cellstats.json")
+    val cellsJson = cells.toSeq.sortBy(_._1)
+      .map { case (c, n) => "\"" + c + "\":" + n }.mkString("{", ",", "}")
+    val line = stats.json.dropRight(1) + s""","cells":$cellsJson}""" + "\n"
+    val out = fs.create(p, /*overwrite=*/ true)
+    try out.write(line.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** The sidecar's running per-cell counts, if a sidecar exists and carries
+    * them (pre-r14 sidecars were summary-only — those bootstrap via the
+    * one-time partition-metadata scan).
+    */
+  private def readSidecar(
+      spark: org.apache.spark.sql.SparkSession, dir: String): Option[String] = {
+    val (fs, p) = hadoopFs(spark, s"$dir/_cellstats.json")
+    if (!fs.exists(p)) None
+    else {
+      val buf = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
+      val in = fs.open(p)
+      try in.readFully(0, buf) finally in.close()
+      Some(new String(buf, java.nio.charset.StandardCharsets.UTF_8))
+    }
+  }
+
+  private def parseCells(sidecar: String): Option[Map[Int, Long]] =
+    """"cells":\{([^}]*)\}""".r.findFirstMatchIn(sidecar).map { m =>
+      m.group(1).split(",").iterator.filter(_.nonEmpty).map { kv =>
+        val Array(k, v) = kv.split(":")
+        k.replace("\"", "").trim.toInt -> v.trim.toLong
+      }.toMap
+    }
+
   /** Memo for the convenience ivfTopK(corpus, ...) overload, keyed on the
     * corpus' canonicalized analyzed plan + parameters — the second probe of
     * the same logical corpus reuses the built index instead of re-scanning.
@@ -339,8 +397,18 @@ object Similarity {
     * correctness problem. Monitor the ratio; rebuild when it crosses the
     * deployment's probe-latency budget (the stats are also mirrored to
     * `dir/_cellstats.json` so ops tooling can watch the index without a
-    * Spark session). Cell sizes come from `cells/` partition metadata
-    * (cell is a partition column; the count never reads vector data).
+    * Spark session).
+    *
+    * Cell sizes are RUNNING counts carried in the sidecar: each append
+    * merges its own per-cell counts (an O(new) aggregate over the batch
+    * being appended anyway) into the previous sidecar's map, so computing
+    * the signal never re-lists the whole — and growing — index. The
+    * one-time bootstrap (no sidecar, or a pre-running-count sidecar) reads
+    * `cells/` partition metadata (cell is a partition column; the count
+    * never reads vector data). A crash between the parquet append and the
+    * sidecar write leaves the sidecar one batch behind — the next append's
+    * merge under-counts by that batch; the rebuild path refreshes the map
+    * exactly, so the drift never compounds past a rebuild.
     */
   def appendToIvfIndex(
       spark: org.apache.spark.sql.SparkSession, dir: String,
@@ -356,18 +424,26 @@ object Similarity {
       .toDF("cell", idCol, vecCol)
       .persist()
     try {
-      val touched = assigned.select("cell").distinct().count().toInt
-      val newVecs = assigned.count()
+      // this batch's per-cell counts — O(new), ≤ nlist rows collected
+      val batchCells = assigned.groupBy("cell").count()
+        .as[(Int, Long)].collect().toMap
+      val touched = batchCells.size
+      val newVecs = batchCells.values.sum
+      // prior counts BEFORE the append, so bootstrap-by-scan (sidecar absent)
+      // cannot double-count the batch being written
+      val prior: Map[Int, Long] = readSidecar(spark, dir).flatMap(parseCells)
+        .getOrElse {
+          val (fs, cellsPath) = hadoopFs(spark, s"$dir/cells")
+          if (!fs.exists(cellsPath)) Map.empty[Int, Long]
+          else spark.read.parquet(s"$dir/cells").groupBy("cell").count()
+            .as[(Int, Long)].collect().toMap
+        }
       assigned.write.mode("append").partitionBy("cell").parquet(s"$dir/cells")
-      val sizes = spark.read.parquet(s"$dir/cells")
-        .groupBy("cell").count().select("count").as[Long].collect().sorted
-      val stats = IvfAppendStats(
-        touchedCells = touched, newVectors = newVecs,
-        nonEmptyCells = sizes.length, maxCell = sizes.last,
-        meanCell = sizes.sum.toDouble / sizes.length,
-        p99Cell = sizes(((sizes.length - 1) * 99) / 100))
-      java.nio.file.Files.writeString(
-        java.nio.file.Paths.get(dir, "_cellstats.json"), stats.json + "\n")
+      val merged = (prior.keySet ++ batchCells.keySet).iterator
+        .map(c => c -> (prior.getOrElse(c, 0L) + batchCells.getOrElse(c, 0L)))
+        .toMap
+      val stats = statsFromCells(touched, newVecs, merged)
+      writeCellStats(spark, dir, stats, merged)
       stats
     } finally { assigned.unpersist(); () }
   }
@@ -413,9 +489,15 @@ object Similarity {
     * full-build cost is paid exactly when the drift signal says the probe
     * latency needs it.
     *
-    * The old cells are `localCheckpoint`ed before the overwrite (the
-    * rebuild reads the path it rewrites); an index too large for executor
-    * storage would write to a sibling directory and swap instead.
+    * Crash-safe by construction: the rebuilt index is written COMPLETELY
+    * into a sibling `_rebuild/` directory while the live `cells/` and
+    * `centroids/` stay untouched (they are also the rebuild's input — no
+    * checkpoint of the vectors is ever needed, reliable or otherwise), then
+    * swapped in with directory renames. A crash before the swap leaves the
+    * live index intact (a stale `_rebuild/` is deleted on the next run); a
+    * crash mid-swap leaves the displaced copy under `_prev/` for manual
+    * recovery — at no point is the only copy of the vectors in volatile
+    * executor storage.
     *
     * @return true when a rebuild happened
     */
@@ -423,26 +505,34 @@ object Similarity {
       spark: org.apache.spark.sql.SparkSession, dir: String,
       idCol: String, vecCol: String, maxSkew: Double,
       nlist: Int = 64, maxIter: Int = 5): Boolean = {
-    val statsPath = java.nio.file.Paths.get(dir, "_cellstats.json")
-    if (!java.nio.file.Files.exists(statsPath)) return false
+    val sidecar = readSidecar(spark, dir)
+    if (sidecar.isEmpty) return false
     val skew = """"skew":([0-9.eE+-]+)""".r
-      .findFirstMatchIn(java.nio.file.Files.readString(statsPath))
-      .map(_.group(1).toDouble)
+      .findFirstMatchIn(sidecar.get).map(_.group(1).toDouble)
     if (!skew.exists(_ > maxSkew)) return false
-    val vectors = spark.read.parquet(s"$dir/cells")
-      .select(col(idCol), col(vecCol)).localCheckpoint(true)
+    val (fs, _) = hadoopFs(spark, dir)
+    def hp(s: String) = new org.apache.hadoop.fs.Path(s)
+    fs.delete(hp(s"$dir/_rebuild"), true)
+    fs.delete(hp(s"$dir/_prev"), true)
+    // build the replacement entirely beside the live index, reading from it
+    val vectors = spark.read.parquet(s"$dir/cells").select(col(idCol), col(vecCol))
     val model = ivfIndex(vectors, idCol, vecCol, nlist, maxIter)
-    saveIvfIndex(model, dir)
+    saveIvfIndex(model, s"$dir/_rebuild")
     import spark.implicits._
-    val sizes = model.cells.groupBy("cell").count()
-      .select("count").as[Long].collect().sorted
+    val cellSizes = model.cells.groupBy("cell").count()
+      .as[(Int, Long)].collect().toMap
     model.unpersist()
-    val stats = IvfAppendStats(
-      touchedCells = sizes.length, newVectors = 0L,
-      nonEmptyCells = sizes.length, maxCell = sizes.last,
-      meanCell = sizes.sum.toDouble / sizes.length,
-      p99Cell = sizes(((sizes.length - 1) * 99) / 100))
-    java.nio.file.Files.writeString(statsPath, stats.json + "\n")
+    // swap: displace the live copies, promote the rebuilt ones, then clean up
+    fs.mkdirs(hp(s"$dir/_prev"))
+    fs.rename(hp(s"$dir/cells"), hp(s"$dir/_prev/cells"))
+    fs.rename(hp(s"$dir/centroids"), hp(s"$dir/_prev/centroids"))
+    fs.rename(hp(s"$dir/_rebuild/cells"), hp(s"$dir/cells"))
+    fs.rename(hp(s"$dir/_rebuild/centroids"), hp(s"$dir/centroids"))
+    fs.delete(hp(s"$dir/_prev"), true)
+    fs.delete(hp(s"$dir/_rebuild"), true)
+    val stats = statsFromCells(
+      touched = cellSizes.size, newVecs = 0L, cells = cellSizes)
+    writeCellStats(spark, dir, stats, cellSizes)
     true
   }
 

@@ -116,6 +116,26 @@ object ChainStream {
     hPath.getFileSystem(spark.sessionState.newHadoopConf()).exists(hPath)
   }
 
+  private def fsWriteText(spark: SparkSession, path: String, text: String): Unit = {
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(hPath, /*overwrite=*/ true)
+    try out.write(text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  private def fsReadText(spark: SparkSession, path: String): Option[String] = {
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(hPath)) None
+    else {
+      val buf = new Array[Byte](fs.getFileStatus(hPath).getLen.toInt)
+      val in = fs.open(hPath)
+      try in.readFully(0, buf) finally in.close()
+      Some(new String(buf, java.nio.charset.StandardCharsets.UTF_8))
+    }
+  }
+
   /** Streaming maintenance of the WALLET LABELING (T4 applied to the one
     * derived property the reference declared but never finished —
     * `AddressWalletID`, TransactionGraph.java:137): each micro-batch lands
@@ -173,6 +193,7 @@ object ChainStream {
           bronze.join(bestHashes, Seq("hash"), "left_semi"))
         val storePath = s"$labelsDir/labels"
         val cursorPath = s"$labelsDir/_bestchain"
+        val slotsPath = s"$labelsDir/_slots"
         val bucket = graft.sinks.PartitionedGold.BucketCol
         def slotOf(addr: org.apache.spark.sql.Column) =
           pmod(xxhash64(addr), lit(slots)).cast("int")
@@ -186,12 +207,24 @@ object ChainStream {
               Seq("address"), "left")
             .where(!(col("_old") <=> col("wallet_id")))
             .select("address", "wallet_id")
-        if (!fsExists(spark, storePath) || !fsExists(spark, cursorPath)) {
-          // bootstrap (or cursor lost): one full clustering of the best chain
+        // Slot assignment is a pure function of (address, slots), so the
+        // store is only readable-for-overwrite under the SAME slots value it
+        // was written with: resuming with a different value would route an
+        // address's replacement row to a different slot partition and leave
+        // the stale row behind — duplicate, conflicting labels with no
+        // error. The value is persisted beside the store on bootstrap and
+        // validated every batch; a disagreement (or a pre-sidecar store) is
+        // treated as store loss and re-bootstraps under the current value.
+        val storedSlots = fsReadText(spark, slotsPath).map(_.trim.toInt)
+        if (!fsExists(spark, storePath) || !fsExists(spark, cursorPath) ||
+            !storedSlots.contains(slots)) {
+          // bootstrap (or cursor lost / slots disagree): one full clustering
+          // of the best chain
           val addrs = bestFunders.select(col("src_address").as("address")).distinct()
           WalletCluster.clusters(addrs, bestFunders)
             .withColumn(bucket, slotOf(col("address")))
             .write.mode("overwrite").partitionBy(bucket).parquet(storePath)
+          fsWriteText(spark, slotsPath, slots.toString + "\n")
         } else {
           val stored = spark.read.parquet(storePath).select("address", "wallet_id")
           val prevBest = spark.read.parquet(cursorPath)

@@ -306,6 +306,56 @@ class SimilaritySpec extends SparkSpec {
       maxSkew = math.max(4.0, newSkew + 0.01)))
   }
 
+  test("cellstats sidecar + rebuild through the Hadoop FS API: file:-prefixed URI, running counts exact across appends") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sf)
+    val base = emb.filter(col("vec_id") < 200)
+    val built = Similarity.ivfIndex(base, "vec_id", "embedding", nlist = 16)
+    // `file:`-prefixed absolute URI — the sidecar and swap paths must go
+    // through the Hadoop FileSystem API (a java.nio path would throw or
+    // silently miss here), the local stand-in for an object-store deployment
+    val rawDir = java.nio.file.Files.createTempDirectory("graft-ivf-fsuri")
+    val dir = "file:" + rawDir.toString
+    Similarity.saveIvfIndex(built, dir)
+    built.unpersist()
+
+    def directCells(): Map[Int, Long] =
+      spark.read.parquet(s"$dir/cells").groupBy("cell").count()
+        .as[(Int, Long)].collect().toMap
+    def sidecar(): String = java.nio.file.Files.readString(
+      rawDir.resolve("_cellstats.json"))
+
+    // two consecutive appends: the second one's sidecar counts must come
+    // from MERGING the first sidecar's map (no full-index rescan) and still
+    // agree exactly with a direct count over the on-disk index
+    val extra1 = emb.filter(col("vec_id") >= 200 && col("vec_id") < 300)
+      .select((col("vec_id") + 500000L).as("vec_id"), col("embedding"))
+    val extra2 = emb.filter(col("vec_id") >= 300 && col("vec_id") < 350)
+      .select((col("vec_id") + 600000L).as("vec_id"), col("embedding"))
+    Similarity.appendToIvfIndex(spark, dir, extra1, "vec_id", "embedding")
+    assert(sidecar().contains("\"cells\":{"), "sidecar must carry running counts")
+    val stats2 = Similarity.appendToIvfIndex(spark, dir, extra2, "vec_id", "embedding")
+    val direct = directCells()
+    assert(stats2.nonEmptyCells == direct.size)
+    assert(stats2.maxCell == direct.values.max)
+    assert(math.abs(stats2.meanCell - direct.values.sum.toDouble / direct.size) < 1e-9)
+
+    // rebuild through the same URI: swap machinery (sibling dir + renames)
+    // must leave exactly one complete index behind, same vector set
+    val before = spark.read.parquet(s"$dir/cells")
+      .select("vec_id").as[Long].collect().toSet
+    assert(Similarity.rebuildIvfIndexIfSkewed(spark, dir, "vec_id", "embedding",
+      maxSkew = 0.5, nlist = 16)) // any index has skew >= 1 — forces the rebuild
+    val after = spark.read.parquet(s"$dir/cells")
+      .select("vec_id").as[Long].collect().toSet
+    assert(after == before, "rebuild via file: URI lost or invented vectors")
+    assert(!java.nio.file.Files.exists(rawDir.resolve("_rebuild")))
+    assert(!java.nio.file.Files.exists(rawDir.resolve("_prev")))
+    // post-rebuild sidecar refreshed with the rebuilt index's exact counts
+    val rebuilt = directCells()
+    assert(sidecar().contains(s""""non_empty_cells":${rebuilt.size}"""))
+  }
+
   test("semanticDupsAgainst: batch re-embeds of indexed content flagged; fresh vectors pass") {
     import spark.implicits._
     val emb = Tables.embeddings(spark, sf)

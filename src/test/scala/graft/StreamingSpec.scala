@@ -199,6 +199,53 @@ class StreamingSpec extends SparkSpec {
     assert(labels() == full)
   }
 
+  test("incrementalWalletLabels: resuming with a different slots value re-bootstraps instead of corrupting the store") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = Files.createTempDirectory("graft-stream-ws").toString
+    val input = MemoryStream[(String, String, Long, Seq[(String, Seq[String])])]
+    val blocks = input.toDF().toDF("hash", "parent_hash", "ts", "txs")
+      .select(col("hash"),
+        when(col("parent_hash") === "", lit(null)).otherwise(col("parent_hash")).as("parent_hash"),
+        col("ts"), col("txs"))
+    def fundersOf(s: org.apache.spark.sql.SparkSession,
+        df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+      df.select(explode(col("txs")).as("t"))
+        .select(col("t._1").as("tx_hash"), explode(col("t._2")).as("src_address"))
+    def labels(): Map[String, String] = spark.read.parquet(s"$tmp/labels/labels")
+      .select("address", "wallet_id").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+
+    // bootstrap under slots=8 — the sidecar records the store's slot count
+    input.addData(("g", "", 1000L, Seq(("t1", Seq("a1", "a2")))))
+    ChainStream.incrementalWalletLabels(
+        blocks, s"$tmp/bronze", fundersOf, s"$tmp/labels", s"$tmp/ckpt", slots = 8)
+      .start().awaitTermination()
+    assert(labels() == Map("a1" -> "a1", "a2" -> "a1"))
+    assert(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$tmp/labels/_slots")).trim == "8")
+
+    // resume the SAME store with slots=4: slot assignment disagrees with the
+    // on-disk layout, so the maintainer must re-bootstrap under the new
+    // value — a silent continue would leave a2's replacement row in one slot
+    // and its stale row in another
+    input.addData(("a", "g", 1100L, Seq(("t2", Seq("a2", "a3")))))
+    ChainStream.incrementalWalletLabels(
+        blocks, s"$tmp/bronze", fundersOf, s"$tmp/labels", s"$tmp/ckpt", slots = 4)
+      .start().awaitTermination()
+    assert(labels() == Map("a1" -> "a1", "a2" -> "a1", "a3" -> "a1"))
+    assert(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$tmp/labels/_slots")).trim == "4")
+    // one row per address (no stale duplicates across slot partitions), and
+    // every row sits in the slot the NEW value assigns
+    val store = spark.read.parquet(s"$tmp/labels/labels")
+    assert(store.count() == store.select("address").distinct().count())
+    val misplaced = store
+      .where(col(graft.sinks.PartitionedGold.BucketCol) =!=
+        pmod(xxhash64(col("address")), lit(4)).cast("int"))
+    assert(misplaced.isEmpty, "rows left in slots the new value does not assign")
+  }
+
   test("graceful shutdown: stop lands on a batch boundary; resume has no duplicates") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
