@@ -230,6 +230,14 @@ object WalletCluster {
     // 1. components with >=1 retracted edge
     val affected = old.join(invAddrs, Seq("address"), "left_semi")
       .select(col("wallet_id")).distinct()
+    // No-op pre-route: a reorg whose invalidated blocks carry no funders
+    // (empty blocks), or whose funders never reached the store, cannot split
+    // or merge anything — return the empty delta before the member-set
+    // materialization, the store count, and the recompute-vs-contract
+    // routing ever run. `isEmpty` is a limit-1 probe over a semi-join that
+    // pushes the invalidated keys down to the store scan.
+    if (affected.isEmpty)
+      return old.select(col("address"), col("wallet_id")).where(lit(false))
     val bf = bestFunders
       .select(col("tx_hash"), col("src_address").as("address")).distinct()
     // Materialized once: the route decision needs the count, and either

@@ -136,6 +136,132 @@ object ChainStream {
     }
   }
 
+  /** Route the last [[bestChainIncremental]] call took — observability for
+    * specs and rehearsals ("did the O(batch) path actually engage?").
+    * One of: "bootstrap", "unchanged", "extend", "fallback".
+    */
+  @volatile private[graft] var lastBestChainRoute: String = ""
+
+  /** (hash, height) of the current best chain, computed O(batch) from the
+    * prior cursor whenever the batch EXTENDS or shallowly REORGS the known
+    * chain — the common steady-state shapes — and falling back to a full
+    * [[graft.chain.BestChain.annotate]] over bronze otherwise. This is the
+    * maintainer's incremental/bulk split applied to its one per-batch term
+    * that otherwise grows with chain length: a tip-following deployment pays
+    * O(batch) joins against the KB–MB cursor instead of the O(chain log
+    * chain) doubling resolution every batch.
+    *
+    * The O(batch) path applies when every batch block not already on the
+    * known chain resolves its height THROUGH the batch to a known-chain
+    * anchor (or a genesis root), and no pre-existing bronze block hangs off
+    * the batch (a batch that ATTACHES a previously-dangling fragment changes
+    * heights of blocks outside the batch — exactly the case the full
+    * resolution exists for). Both conditions are checked cheaply: one
+    * semi-join of the batch's hashes+parents against the cursor, and one
+    * limit-1 probe of bronze's (hash, parent_hash) columns. Tip selection
+    * replicates annotate's exactly (max height, ties to the min hash), so a
+    * losing candidate leaves the chain bit-identical to what the full path
+    * would produce.
+    *
+    * @param prevCursor prior best chain (hash, height) — None when absent or
+    *                   schema-incompatible (pre-height cursors force one
+    *                   full resolution, after which the new cursor carries
+    *                   heights)
+    * @return (hash, height) of the current best chain
+    */
+  private[graft] def bestChainIncremental(
+      spark: SparkSession, bronze: DataFrame, batch: DataFrame,
+      prevCursor: Option[DataFrame]): DataFrame = {
+    def full(route: String): DataFrame = {
+      lastBestChainRoute = route
+      graft.chain.BestChain.annotate(bronze)
+        .where(col("is_on_best_chain"))
+        .select(col("hash"), col("height").cast("int").as("height"))
+    }
+    if (prevCursor.isEmpty) return full("bootstrap")
+    val cursor = prevCursor.get.select(col("hash"), col("height").cast("int").as("height"))
+    // the batch must be driver-sized for the in-memory walk; micro-batches
+    // are bounded by maxFilesPerTrigger, so the cap only trips on abusive
+    // inputs — which take the always-correct full path
+    val batchRows = batch.select("hash", "parent_hash")
+      .dropDuplicates("hash").limit(100001).collect()
+    if (batchRows.length > 100000) return full("fallback")
+    val batchHashes = batchRows.map(_.getString(0)).toSet
+    val parentOf: Map[String, Option[String]] =
+      batchRows.map(r => r.getString(0) -> Option(r.getString(1))).toMap
+    // ONE cursor lookup serves membership (replayed/known blocks) and anchor
+    // heights (parents the new blocks hang from): cursor ∩ (hashes ∪ parents).
+    // Probe sets ride local relations + broadcast semi-joins, never literal
+    // isin lists (a catch-up batch's thousands of keys would blow the plan).
+    import spark.implicits._
+    val probeKeys = (batchHashes ++ batchRows.flatMap(r => Option(r.getString(1)))).toSeq
+    val cursorHits: Map[String, Int] =
+      if (probeKeys.isEmpty) Map.empty
+      else cursor.join(broadcast(probeKeys.toDF("hash")), Seq("hash"), "left_semi")
+        .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    val batchNew = batchRows.filterNot(r => cursorHits.contains(r.getString(0)))
+    if (batchNew.isEmpty) { lastBestChainRoute = "unchanged"; return cursor }
+    // a pre-existing bronze block pointing INTO the new batch = a dangling
+    // fragment being attached; its heights change outside the batch → full
+    val newHashes = batchNew.map(_.getString(0)).toSeq
+    val attaches = bronze.select("hash", "parent_hash")
+      .join(broadcast(newHashes.toDF("parent_hash")), Seq("parent_hash"), "left_semi")
+      .join(broadcast(batchHashes.toSeq.toDF("hash")), Seq("hash"), "left_anti")
+    if (!attaches.isEmpty) return full("fallback")
+    // anchored height walk over the new blocks (memoized, stack-safe):
+    // height = anchor height + path length; a missing anchor (parent neither
+    // in batch nor on the known chain — a stale-branch extension or an
+    // orphan) is unresolvable here → full
+    val heights = scala.collection.mutable.HashMap.empty[String, Int]
+    for (r <- batchNew) {
+      var stack = List.empty[String]
+      var cur = r.getString(0)
+      var anchorH: Option[Int] = None
+      while (anchorH.isEmpty && !heights.contains(cur)) {
+        parentOf.get(cur) match {
+          case Some(None) => // genesis root inside the batch: height 0
+            heights.getOrElseUpdate(cur, 0)
+            anchorH = Some(heights(cur))
+          case Some(Some(p)) if cursorHits.contains(p) =>
+            anchorH = Some(cursorHits(p)); stack ::= cur
+          case Some(Some(p)) if parentOf.contains(p) =>
+            stack ::= cur; cur = p
+          case _ => return full("fallback") // unresolvable parent
+        }
+      }
+      var hh = anchorH.getOrElse(heights(cur))
+      stack.foreach { n => hh += 1; heights(n) = hh }
+    }
+    // candidate tip among the new blocks vs the prior tip — annotate's exact
+    // ordering (max height, then min hash)
+    val candidate = heights.minBy { case (k, v) => (-v, k) }
+    val prevTipRow = cursor.orderBy(col("height").desc, col("hash").asc).limit(1).collect()
+    val prevTip = prevTipRow.headOption.map(r => (r.getString(0), r.getInt(1)))
+    val candWins = prevTip.forall { case (ph, pH) =>
+      candidate._2 > pH || (candidate._2 == pH && candidate._1 < ph)
+    }
+    if (!candWins) { lastBestChainRoute = "unchanged"; return cursor }
+    // new best = the winner's path through the batch down to its anchor,
+    // plus the known chain's prefix at or below the anchor height
+    lastBestChainRoute = "extend"
+    val path = scala.collection.mutable.ListBuffer.empty[(String, Int)]
+    var cur = candidate._1
+    var anchorHeight = -1
+    var done = false
+    while (!done) {
+      path += ((cur, heights(cur)))
+      parentOf(cur) match {
+        case Some(p) if heights.contains(p) => cur = p
+        case Some(p) if cursorHits.contains(p) => anchorHeight = cursorHits(p); done = true
+        case Some(_) => return full("fallback") // broken invariant: stay correct
+        case None => done = true // genesis root: no known-chain prefix
+      }
+    }
+    val pathDf = path.toSeq.toDF("hash", "height")
+    if (anchorHeight < 0) pathDf
+    else cursor.where(col("height") <= anchorHeight).unionByName(pathDf)
+  }
+
   /** Streaming maintenance of the WALLET LABELING (T4 applied to the one
     * derived property the reference declared but never finished —
     * `AddressWalletID`, TransactionGraph.java:137): each micro-batch lands
@@ -182,86 +308,132 @@ object ChainStream {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val spark = batch.sparkSession
-        import graft.chain.WalletCluster
-        batch.write.mode("append").parquet(bronzeDir)
-        val bronze = spark.read.parquet(bronzeDir)
-          .dropDuplicates("hash") // replayed appends collapse here
-        val ann = graft.chain.BestChain.annotate(bronze)
-        val bestHashes = ann.where(col("is_on_best_chain")).select("hash")
-        val bestFunders = fundersOf(spark,
-          bronze.join(bestHashes, Seq("hash"), "left_semi"))
-        val storePath = s"$labelsDir/labels"
-        val cursorPath = s"$labelsDir/_bestchain"
-        val slotsPath = s"$labelsDir/_slots"
-        val bucket = graft.sinks.PartitionedGold.BucketCol
-        def slotOf(addr: org.apache.spark.sql.Column) =
-          pmod(xxhash64(addr), lit(slots)).cast("int")
-        def upsert(store: DataFrame, delta: DataFrame): DataFrame =
-          delta.unionByName(
-            store.join(delta.select("address"), Seq("address"), "left_anti"))
-        // only rows whose label REALLY differs from the store count as
-        // changes — repair's contraction route re-asserts every member
-        def minimize(store: DataFrame, rows: DataFrame): DataFrame =
-          rows.join(store.withColumnRenamed("wallet_id", "_old"),
-              Seq("address"), "left")
-            .where(!(col("_old") <=> col("wallet_id")))
-            .select("address", "wallet_id")
-        // Slot assignment is a pure function of (address, slots), so the
-        // store is only readable-for-overwrite under the SAME slots value it
-        // was written with: resuming with a different value would route an
-        // address's replacement row to a different slot partition and leave
-        // the stale row behind — duplicate, conflicting labels with no
-        // error. The value is persisted beside the store on bootstrap and
-        // validated every batch; a disagreement (or a pre-sidecar store) is
-        // treated as store loss and re-bootstraps under the current value.
-        val storedSlots = fsReadText(spark, slotsPath).map(_.trim.toInt)
-        if (!fsExists(spark, storePath) || !fsExists(spark, cursorPath) ||
-            !storedSlots.contains(slots)) {
-          // bootstrap (or cursor lost / slots disagree): one full clustering
-          // of the best chain
-          val addrs = bestFunders.select(col("src_address").as("address")).distinct()
-          WalletCluster.clusters(addrs, bestFunders)
-            .withColumn(bucket, slotOf(col("address")))
-            .write.mode("overwrite").partitionBy(bucket).parquet(storePath)
-          fsWriteText(spark, slotsPath, slots.toString + "\n")
-        } else {
-          val stored = spark.read.parquet(storePath).select("address", "wallet_id")
-          val prevBest = spark.read.parquet(cursorPath)
-          val invalidated = prevBest.join(bestHashes, Seq("hash"), "left_anti")
-          val arrived = bestHashes.join(prevBest, Seq("hash"), "left_anti")
-          val repairChanges =
-            if (invalidated.isEmpty) None
-            else Some(minimize(stored, WalletCluster.repairAfterReorg(
-              stored,
-              fundersOf(spark, bronze.join(invalidated, Seq("hash"), "left_semi")),
-              bestFunders)))
-          val afterRepair = repairChanges.fold(stored)(upsert(stored, _))
-          val delta = WalletCluster.incrementalClusters(
-            afterRepair,
-            fundersOf(spark, bronze.join(arrived, Seq("hash"), "left_semi")))
-          // combined changed-row set vs the ON-DISK store
-          val changes = repairChanges.fold(delta)(upsert(_, delta))
-          val slotted = changes.withColumn(bucket, slotOf(col("address")))
-          val changedSlots = slotted.select(bucket).distinct()
-            .collect().map(_.getInt(0))
-          if (changedSlots.nonEmpty) {
-            // full content of ONLY the changed slots; localCheckpoint is
-            // slot-sized, not store-sized, and breaks the cycle of reading
-            // the path being overwritten
-            val content = spark.read.parquet(storePath)
-              .select("address", "wallet_id")
-              .withColumn(bucket, slotOf(col("address")))
-              .where(col(bucket).isin(changedSlots.map(Integer.valueOf): _*))
-              .join(changes.select("address"), Seq("address"), "left_anti")
-              .unionByName(slotted)
-              .localCheckpoint(true)
-            graft.sinks.PartitionedGold.overwriteAffected(content, storePath, bucket)
-          }
-        }
-        bestHashes.write.mode("overwrite").parquet(cursorPath)
-        ()
+        walletLabelsBatch(batch.sparkSession, batch, bronzeDir, fundersOf,
+          labelsDir, slots)
       }
+
+  /** One micro-batch of [[incrementalWalletLabels]] — package-visible so the
+    * rehearsal mains can step it synchronously and time each batch without
+    * the streaming machinery around it.
+    *
+    * The best chain comes from [[bestChainIncremental]]: tip-following and
+    * shallow reorgs resolve O(batch) against the (hash, height) cursor, so
+    * the ONE per-batch term that used to grow with chain length — a full
+    * `BestChain.annotate` over bronze — runs only on bootstrap, cursor loss,
+    * or genuinely non-local batches (fragment attachment, stale-branch
+    * growth). A batch that leaves the best chain UNCHANGED (replays, stale
+    * orphans) exits before any label work: no store read, no cursor write —
+    * the store provably already reflects this chain, because the cursor is
+    * written last (see write-ordering note below).
+    */
+  private[graft] def walletLabelsBatch(
+      spark: SparkSession,
+      batch: DataFrame,
+      bronzeDir: String,
+      fundersOf: (SparkSession, DataFrame) => DataFrame,
+      labelsDir: String,
+      slots: Int): Unit = {
+    import graft.chain.WalletCluster
+    batch.write.mode("append").parquet(bronzeDir)
+    val bronze = spark.read.parquet(bronzeDir)
+      .dropDuplicates("hash") // replayed appends collapse here
+    val storePath = s"$labelsDir/labels"
+    val cursorPath = s"$labelsDir/_bestchain"
+    val slotsPath = s"$labelsDir/_slots"
+    // prior cursor, if present and height-carrying (a pre-r14 hash-only
+    // cursor still serves the reorg diff below, but not incremental heights)
+    val prevCursorAny: Option[DataFrame] =
+      if (!fsExists(spark, cursorPath)) None
+      else Some(spark.read.parquet(cursorPath))
+    val prevCursorH = prevCursorAny.filter(_.columns.contains("height"))
+      .map(_.select(col("hash"), col("height")))
+    val best = bestChainIncremental(spark, bronze, batch, prevCursorH)
+    val route = lastBestChainRoute
+    // Slot assignment is a pure function of (address, slots), so the store
+    // is only readable-for-overwrite under the SAME slots value it was
+    // written with: resuming with a different value would route an address's
+    // replacement row to a different slot partition and leave the stale row
+    // behind — duplicate, conflicting labels with no error. The value is
+    // persisted beside the store on bootstrap and validated every batch; a
+    // disagreement (or a pre-sidecar store) is treated as store loss and
+    // re-bootstraps under the current value.
+    val storedSlots = fsReadText(spark, slotsPath).map(_.trim.toInt)
+    val bootstrapping = !fsExists(spark, storePath) || prevCursorAny.isEmpty ||
+      !storedSlots.contains(slots)
+    if (!bootstrapping && route == "unchanged") return
+    // The chain changed (or the store must be rebuilt): materialize the best
+    // set once. The "extend" route's plan READS the cursor path that is
+    // overwritten at the end, so the checkpoint (cursor-sized — the slim
+    // (hash, height) projection, not the store) also breaks that cycle.
+    val bestChk = best.localCheckpoint(true)
+    val bestHashes = bestChk.select("hash")
+    val bestFunders = fundersOf(spark,
+      bronze.join(bestHashes, Seq("hash"), "left_semi"))
+    val bucket = graft.sinks.PartitionedGold.BucketCol
+    def slotOf(addr: org.apache.spark.sql.Column) =
+      pmod(xxhash64(addr), lit(slots)).cast("int")
+    def upsert(store: DataFrame, delta: DataFrame): DataFrame =
+      delta.unionByName(
+        store.join(delta.select("address"), Seq("address"), "left_anti"))
+    // only rows whose label REALLY differs from the store count as
+    // changes — repair's contraction route re-asserts every member
+    def minimize(store: DataFrame, rows: DataFrame): DataFrame =
+      rows.join(store.withColumnRenamed("wallet_id", "_old"),
+          Seq("address"), "left")
+        .where(!(col("_old") <=> col("wallet_id")))
+        .select("address", "wallet_id")
+    if (bootstrapping) {
+      // bootstrap (or cursor lost / slots disagree): one full clustering
+      // of the best chain
+      val addrs = bestFunders.select(col("src_address").as("address")).distinct()
+      WalletCluster.clusters(addrs, bestFunders)
+        .withColumn(bucket, slotOf(col("address")))
+        .write.mode("overwrite").partitionBy(bucket).parquet(storePath)
+      fsWriteText(spark, slotsPath, slots.toString + "\n")
+    } else {
+      val stored = spark.read.parquet(storePath).select("address", "wallet_id")
+      // every plan consuming prevBest is materialized (collect / checkpoint)
+      // before the cursor overwrite at the end, so the raw read is safe
+      val prevBest = prevCursorAny.get.select("hash")
+      val invalidated = prevBest.join(bestHashes, Seq("hash"), "left_anti")
+      val arrived = bestHashes.join(prevBest, Seq("hash"), "left_anti")
+      val repairChanges =
+        if (invalidated.isEmpty) None
+        else Some(minimize(stored, WalletCluster.repairAfterReorg(
+          stored,
+          fundersOf(spark, bronze.join(invalidated, Seq("hash"), "left_semi")),
+          bestFunders)))
+      val afterRepair = repairChanges.fold(stored)(upsert(stored, _))
+      val delta = WalletCluster.incrementalClusters(
+        afterRepair,
+        fundersOf(spark, bronze.join(arrived, Seq("hash"), "left_semi")))
+      // combined changed-row set vs the ON-DISK store
+      val changes = repairChanges.fold(delta)(upsert(_, delta))
+      val slotted = changes.withColumn(bucket, slotOf(col("address")))
+      val changedSlots = slotted.select(bucket).distinct()
+        .collect().map(_.getInt(0))
+      if (changedSlots.nonEmpty) {
+        // full content of ONLY the changed slots; localCheckpoint is
+        // slot-sized, not store-sized, and breaks the cycle of reading
+        // the path being overwritten
+        val content = spark.read.parquet(storePath)
+          .select("address", "wallet_id")
+          .withColumn(bucket, slotOf(col("address")))
+          .where(col(bucket).isin(changedSlots.map(Integer.valueOf): _*))
+          .join(changes.select("address"), Seq("address"), "left_anti")
+          .unionByName(slotted)
+          .localCheckpoint(true)
+        graft.sinks.PartitionedGold.overwriteAffected(content, storePath, bucket)
+      }
+    }
+    // Write ordering is store-then-cursor: a crash between them leaves a
+    // stale cursor, so the next batch re-derives a change set that includes
+    // already-applied blocks — both update paths then produce empty deltas
+    // against the already-updated store, so the store converges without
+    // rewrites. The cursor carries (hash, height) for the incremental path.
+    bestChk.write.mode("overwrite").parquet(cursorPath)
+    ()
+  }
 
   /** Stateful running balances (SURVEY.md §2.4 A4 streaming form): the
     * reference maintains AddressBalance by `+=`/`-=` on every event

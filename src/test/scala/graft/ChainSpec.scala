@@ -191,6 +191,45 @@ class ChainSpec extends SparkSpec {
     assert(storedMap ++ mass == full(best2))
   }
 
+  test("repairAfterReorg: no-op pre-route — a reorg touching no stored funder returns empty before any discovery pass") {
+    import spark.implicits._
+    val txs = (0 until 8).flatMap(i => Seq((f"t$i%02d", f"x$i%02d"), (f"t$i%02d", f"y$i%02d")))
+    val all = txs.toDF("tx_hash", "src_address")
+    val universe = txs.map(_._2).distinct.toDF("address")
+    val stored = WalletCluster.clusters(universe, all).persist()
+    stored.count()
+
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      // empty blocks reorged out: invalidated carries no funders at all
+      val emptyInv = all.where(lit(false))
+      val r1 = WalletCluster.repairAfterReorg(stored, emptyInv, all).collect()
+      assert(r1.isEmpty)
+      // invalidated funders that never reached the store (replacement-branch
+      // addresses the store has no row for): nothing can split or merge
+      val unknownInv = Seq(("tz", "zz99")).toDF("tx_hash", "src_address")
+      val r2 = WalletCluster.repairAfterReorg(stored, unknownInv, all).collect()
+      assert(r2.isEmpty)
+      // listener events are posted asynchronously; a short settle beats
+      // reaching into the private listener bus
+      Thread.sleep(500)
+      // the pre-route is the point: both calls together stay within a few
+      // probe jobs (isEmpty + the empty collect), nowhere near the member
+      // materialization + count + clustering the full path runs
+      assert(jobs.get() <= 8, s"no-op repair ran ${jobs.get()} jobs — discovery not skipped")
+    } finally {
+      spark.sparkContext.removeSparkListener(listener)
+      stored.unpersist()
+      ()
+    }
+  }
+
   test("ChainOps.depths handles multi-chain forests") {
     import spark.implicits._
     val nodes = Seq(

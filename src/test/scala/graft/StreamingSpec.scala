@@ -168,6 +168,7 @@ class StreamingSpec extends SparkSpec {
       ("a", "g", 1100L, Seq(("t2", Seq("a3", "a4")))),
       ("b", "a", 1200L, Seq(("t3", Seq("a2", "a3")))))
     writer.start().awaitTermination()
+    assert(ChainStream.lastBestChainRoute == "bootstrap")
     assert(labels() == Map("a1" -> "a1", "a2" -> "a1", "a3" -> "a1", "a4" -> "a1"))
 
     // Batch 2: longer fork b2 <- c2 reorgs b out — t3's merge RETRACTS (the
@@ -177,6 +178,9 @@ class StreamingSpec extends SparkSpec {
       ("b2", "a", 1201L, Seq(("t4", Seq("a4", "a5")))),
       ("c2", "b2", 1300L, Seq.empty[(String, Seq[String])]))
     writer.start().awaitTermination()
+    // the reorg batch resolved O(batch) against the cursor, not via a full
+    // bronze annotate
+    assert(ChainStream.lastBestChainRoute == "extend")
     assert(labels() == Map(
       "a1" -> "a1", "a2" -> "a1", "a3" -> "a3", "a4" -> "a3", "a5" -> "a3"))
     // repaired store == full recompute of the post-reorg chain
@@ -195,8 +199,75 @@ class StreamingSpec extends SparkSpec {
       ("b2", "a", 1201L, Seq(("t4", Seq("a4", "a5")))),
       ("c2", "b2", 1300L, Seq.empty[(String, Seq[String])]))
     writer.start().awaitTermination()
+    // a replayed batch is recognized on the cursor and exits before any
+    // label work — no store read, no cursor rewrite
+    assert(ChainStream.lastBestChainRoute == "unchanged")
     assert(storeFiles() == fpBefore, "replayed batch rewrote label slots")
     assert(labels() == full)
+  }
+
+  test("bestChainIncremental equals a full annotate on random batched feeds (in-order and shuffled)") {
+    import spark.implicits._
+    // deterministic fixture: a 60-block main chain, stale siblings, one
+    // 5-deep competing branch that wins late (a real reorg), fed in batches
+    val rnd = new scala.util.Random(7)
+    val blocks = scala.collection.mutable.ListBuffer.empty[(String, String, Long)]
+    var mainTip = "g0"
+    blocks += (("g0", null, 1000L))
+    var mainH = 0
+    var forkBase = ""
+    (1 to 60).foreach { i =>
+      val h = s"m$i"
+      blocks += ((h, mainTip, 1000L + i)); mainTip = h; mainH = i
+      if (rnd.nextDouble() < 0.15) blocks += ((s"s$i", blocks(i - 1)._1, 2000L + i))
+      if (i == 50) forkBase = h
+    }
+    // competing branch forks at m50, 15 blocks — outgrows the 60-block main
+    (1 to 15).foreach { d =>
+      val h = s"f$d"
+      blocks += ((h, if (d == 1) forkBase else s"f${d - 1}", 3000L + d))
+    }
+
+    def runFeed(feed: Seq[Seq[(String, String, Long)]], label: String): Unit = {
+      var bronzeAcc: org.apache.spark.sql.DataFrame = null
+      var cursor: Option[org.apache.spark.sql.DataFrame] = None
+      feed.foreach { batchRows =>
+        val batchDf = batchRows.toDF("hash", "parent_hash", "ts")
+        bronzeAcc = if (bronzeAcc == null) batchDf else bronzeAcc.unionByName(batchDf)
+        val bronze = bronzeAcc.dropDuplicates("hash")
+        val got = ChainStream.bestChainIncremental(spark, bronze, batchDf, cursor)
+          .select(col("hash"), col("height").cast("int").as("height"))
+          .localCheckpoint(true)
+        val expect = BestChain.annotate(bronze).where(col("is_on_best_chain"))
+          .select(col("hash"), col("height").cast("int").as("height"))
+        val g = got.collect().map(r => (r.getString(0), r.getInt(1))).toSet
+        val e = expect.collect().map(r => (r.getString(0), r.getInt(1))).toSet
+        assert(g == e,
+          s"$label diverged (route=${ChainStream.lastBestChainRoute}): " +
+            s"missing=${e -- g} extra=${g -- e}")
+        cursor = Some(got)
+      }
+    }
+
+    // in-order feed: batches of 1–4 in generation order — extends, stale
+    // siblings (unchanged), and the f-branch overtaking m60 (a 10-deep reorg)
+    val ordered = {
+      val it = blocks.toList
+      val out = scala.collection.mutable.ListBuffer.empty[Seq[(String, String, Long)]]
+      var rest = it
+      while (rest.nonEmpty) {
+        val n = 1 + rnd.nextInt(4)
+        out += rest.take(n); rest = rest.drop(n)
+      }
+      out.toSeq
+    }
+    runFeed(ordered, "in-order")
+
+    // shuffled feed: dangling fragments arrive before their parents — the
+    // attachment/unresolvable probes must route those batches to the full
+    // resolution and still match annotate exactly
+    val shuffled = rnd.shuffle(blocks.toList).grouped(7).toSeq
+    runFeed(shuffled, "shuffled")
   }
 
   test("incrementalWalletLabels: resuming with a different slots value re-bootstraps instead of corrupting the store") {
