@@ -180,12 +180,40 @@ object StreamRehearsal {
     val staleExtras = extras.where(col("address") =!= col("wallet_id")).count()
     val orphanSingletons = extras.where(col("address") === col("wallet_id")).count()
     val nLabels = store.count()
-    rinAll.unpersist(blocking = false)
     val converged = missing == 0 && staleExtras == 0
     Rehearsal.emit(
       f"""{"rehearsal":"wallet_labels_catchup","scale":${graft.chain.BlkCorpus.Scale},"batches":$nBatches,"wall_s":$wallSec%.1f,"labels":$nLabels,"missing":$missing,"stale_extras":$staleExtras,"orphan_singletons":$orphanSingletons,"converged":$converged}""")
-    if (!converged) throw new IllegalStateException(
-      s"streamed wallet labels diverged: missing=$missing stale=$staleExtras")
+    if (!converged) {
+      rinAll.unpersist(blocking = false)
+      throw new IllegalStateException(
+        s"streamed wallet labels diverged: missing=$missing stale=$staleExtras")
+    }
+
+    // Tip-follow: the caught-up steady state — five single-block extensions
+    // stepped synchronously through walletLabelsBatch, timing the per-batch
+    // maintainer cost at THIS chain length. This is the term that used to
+    // pay a full bronze annotate every batch; with the (hash, height)
+    // cursor each extension must resolve O(batch) (route "extend"), so the
+    // per-batch time stays flat as the corpus scale grows — compare this
+    // leg's batch_s across 1×/10× runs.
+    {
+      import spark.implicits._
+      var tip = spark.read.parquet(s"$workDir/labels/_bestchain")
+        .orderBy(col("height").desc, col("hash").asc)
+        .select("hash").as[String].head()
+      val follows = (1 to 5).map { i =>
+        val nh = f"ffff7$i%059d"
+        val batch = Seq((nh, tip, 4100000000L + i)).toDF("hash", "parent_hash", "ts")
+        val t0 = System.nanoTime()
+        graft.streaming.ChainStream.walletLabelsBatch(
+          spark, batch, s"$workDir/bronze", fundersOf, s"$workDir/labels", 64)
+        tip = nh
+        ((System.nanoTime() - t0) / 1e9, graft.streaming.ChainStream.lastBestChainRoute)
+      }
+      Rehearsal.emit(
+        s"""{"rehearsal":"wallet_labels_tip_follow","scale":${graft.chain.BlkCorpus.Scale},"batch_s":[${follows.map(f => f"${f._1}%.2f").mkString(",")}],"routes":[${follows.map(f => "\"" + f._2 + "\"").mkString(",")}]}""")
+    }
+    rinAll.unpersist(blocking = false)
   }
 
   /** Kill-resume leg (T5 at corpus scale): start the same catch-up, kill the

@@ -47,10 +47,34 @@ import graft.sources.DocSource
   */
 object RollingCuration {
 
+  /** Per-absorb accounting. The last four fields are the VERIFICATION
+    * observability surface (see [[absorbBatch]]'s `verifyTau`): candidates
+    * vs what actually dropped, so an operator running the conservative
+    * unverified default sees the potential over-drop LIVE —
+    * `historyWeakCollisions` counts docs whose best band-agreement estimate
+    * sits below [[WeakCollisionTau]] (or below `verifyTau` when set), i.e.
+    * collisions that verification would have kept.
+    */
   final case class BatchReport(
       ingested: Long, quarantined: Long, withinBatchDups: Long,
       withinBatchNearDups: Long, idCollisions: Long, historyDups: Long,
-      nearDups: Long, qualityRejected: Long, appended: Long)
+      nearDups: Long, qualityRejected: Long, appended: Long,
+      withinBatchCandidatePairs: Long = 0L,
+      withinBatchConfirmedPairs: Long = 0L,
+      historyCollisions: Long = 0L,
+      historyWeakCollisions: Long = 0L)
+
+  /** Report-only threshold marking a history band collision as WEAK (likely
+    * a false positive): a one-band accident estimates Ĵ≈0.59 at the default
+    * 32/4 banding and the next quantization level is 0.71, while genuine
+    * near-dups estimate near 1 — 0.8 cleanly separates the two (the d12
+    * oracle pins the estimator). Measured on the 500k-doc DocScaleRehearsal
+    * (r13): the unverified default over-dropped 84/500 fresh docs on salted
+    * batches, and verification kept them at 1.24× the absorb cost — this
+    * constant makes that trade visible per batch without changing the
+    * conservative default drop semantics.
+    */
+  val WeakCollisionTau = 0.8
 
   /** Absorb one JSONL crawl batch into the rolling corpus at `dir`.
     * Quality gate = p0's: ≥ `minTokens` tokens and ≤ `maxPunct` punctuation
@@ -59,6 +83,15 @@ object RollingCuration {
     * `verifyTau = None` (default): near-dup CANDIDATES are dropped (candidate
     * = band collision; the conservative choice for a training corpus — false
     * positives cost one fresh doc, false negatives ship a near-dup).
+    * RECOMMENDATION for corpora where fresh-doc yield matters: run
+    * `Some(0.8)`. The 500k-doc rehearsal measured the unverified default
+    * over-dropping 84/500 fresh docs on salted batches, and verification
+    * keeping them at 1.24× the absorb cost (r13,
+    * bench/rehearsal_r13.json `rolling_corpus` legs). The default stays
+    * conservative because it is also the CHEAPER failure mode for
+    * decontamination-adjacent corpora; whichever way a deployment decides,
+    * the [[BatchReport]] now carries `historyCollisions` vs
+    * `historyWeakCollisions` so the over-drop is visible live.
     *
     * `verifyTau = Some(tau)` trades that recall bias for precision: a
     * within-batch candidate pair must confirm at exact n-gram Jaccard ≥ tau
@@ -75,6 +108,7 @@ object RollingCuration {
       verifyTau: Option[Double] = None): BatchReport = {
     val (docs0, quarantine) = DocSource.readJsonl(spark, jsonlPath)
     val docs = docs0.persist()
+    val retained = scala.collection.mutable.ListBuffer.empty[DataFrame]
     try {
       val nIngested = docs.count()
       val nQuarantined = quarantine.count()
@@ -87,9 +121,13 @@ object RollingCuration {
       // within-batch NEAR-dup: LSH candidates over the batch, optionally
       // verified at exact Jaccard (texts in hand), then transitive keep-min
       // (the batch-local complement of the history band check). Signatures
-      // are computed ONCE here and reused for the history join.
+      // are computed ONCE here and reused for the history join. Candidates
+      // are persisted (batch-bounded) so the report's candidates-vs-
+      // confirmed counts don't re-run the LSH self-join.
       val sigs = Dedup.minhashSignatures(unique, "doc_id", "text")
-      val candidates = Dedup.minhashCandidatePairs(sigs, "doc_id")
+      val candidates = Dedup.minhashCandidatePairs(sigs, "doc_id").persist()
+      retained += candidates
+      val nCandPairs = candidates.count()
       val pairs = verifyTau match {
         case None => candidates
         case Some(tau) =>
@@ -102,7 +140,10 @@ object RollingCuration {
             unique.join(members, Seq("doc_id"), "left_semi"),
             "doc_id", "text", threshold = tau)
           candidates.join(verified.select("id1", "id2"), Seq("id1", "id2"), "left_semi")
+            .persist()
       }
+      if (!(pairs eq candidates)) retained += pairs
+      val nConfPairs = if (pairs eq candidates) nCandPairs else pairs.count()
       val nearKeep = Dedup.nearDupClusters(unique.select("doc_id"), pairs)
         .where(col("doc_id") === col("cluster_id")).select("doc_id")
       val uniqueNear = unique.join(nearKeep, Seq("doc_id"), "left_semi")
@@ -118,17 +159,30 @@ object RollingCuration {
         uniqueNear.join(f.select("doc_id"), Seq("doc_id"), "left_anti"))
       val afterExact = fps.fold(afterIds)(f =>
         afterIds.join(f, md5(afterIds("text")) === f("fp"), "left_anti"))
+      var nHistCollisions = 0L
+      var nHistWeak = 0L
       val afterNear = if (!Files.exists(Paths.get(dir, "_bandidx"))) afterExact
         else {
           val batchBanded = Dedup.bandedBuckets(
             sigs.join(afterExact.select("doc_id"), Seq("doc_id"), "left_semi"),
             "doc_id")
           val refBanded = spark.read.parquet(s"$dir/_bandidx")
+          // the band-agreement estimate is computed for EVERY collision —
+          // same (band, bucket) equi-join as the unverified check plus one
+          // pair-grain aggregate (the d12 estimator) — so the report can
+          // surface collisions-vs-weak even when verification is off and
+          // all collisions drop (the conservative default, semantics
+          // unchanged). Persisted: collision-doc-bounded, read three times.
+          val agreement = Dedup.minhashBandAgreement(batchBanded, refBanded, "doc_id")
+            .groupBy("doc_id").agg(max("est_jaccard").as("_max_est"))
+            .persist()
+          retained += agreement
+          nHistCollisions = agreement.count()
+          nHistWeak = agreement
+            .where(col("_max_est") < verifyTau.getOrElse(WeakCollisionTau)).count()
           val collided = (verifyTau match {
-            case None => Dedup.minhashPairsAgainst(batchBanded, refBanded, "doc_id")
-            case Some(tau) =>
-              Dedup.minhashBandAgreement(batchBanded, refBanded, "doc_id")
-                .where(col("est_jaccard") >= tau)
+            case None => agreement
+            case Some(tau) => agreement.where(col("_max_est") >= tau)
           }).select("doc_id")
           afterExact.join(collided, Seq("doc_id"), "left_anti")
         }
@@ -165,9 +219,17 @@ object RollingCuration {
           historyDups = nAfterIds - nAfterExact,
           nearDups = nAfterExact - nAfterNear,
           qualityRejected = nAfterNear - nAppended,
-          appended = nAppended)
+          appended = nAppended,
+          withinBatchCandidatePairs = nCandPairs,
+          withinBatchConfirmedPairs = nConfPairs,
+          historyCollisions = nHistCollisions,
+          historyWeakCollisions = nHistWeak)
       } finally { survivors.unpersist(); () }
-    } finally { docs.unpersist(); () }
+    } finally {
+      docs.unpersist()
+      retained.foreach(_.unpersist())
+      ()
+    }
   }
 
   /** Recompute both sidecars from `docs/` — the crash repair (and the

@@ -30,7 +30,8 @@ class RollingCurationSpec extends SparkSpec {
     assert(r1 == RollingCuration.BatchReport(
       ingested = 5, quarantined = 1, withinBatchDups = 1,
       withinBatchNearDups = 1, idCollisions = 0, historyDups = 0,
-      nearDups = 0, qualityRejected = 1, appended = 2))
+      nearDups = 0, qualityRejected = 1, appended = 2,
+      withinBatchCandidatePairs = 1, withinBatchConfirmedPairs = 1))
 
     // batch 2: an exact re-crawl of doc 1, a near-dup of doc 2 (one word
     // changed), and one fresh doc — only the fresh doc lands
@@ -39,10 +40,11 @@ class RollingCurationSpec extends SparkSpec {
       """{"doc_id":11,"text":"the quick brown fox jumps over the lazy sleeping dog today","lang":"en","source":"c"}""",
       """{"doc_id":12,"text":"completely novel content about seven shiny green bottles standing","lang":"en","source":"c"}"""))
     val r2 = RollingCuration.absorbBatch(spark, batch2, dir)
-    assert(r2 == RollingCuration.BatchReport(
+    assert(r2.copy(historyWeakCollisions = 0) == RollingCuration.BatchReport(
       ingested = 3, quarantined = 0, withinBatchDups = 0,
       withinBatchNearDups = 0, idCollisions = 0, historyDups = 1,
-      nearDups = 1, qualityRejected = 0, appended = 1))
+      nearDups = 1, qualityRejected = 0, appended = 1,
+      historyCollisions = 1))
 
     // replay of batch 2 (the crash-recovery path): its survivor is now an
     // exact duplicate of what the first run appended — nothing lands. The
@@ -120,14 +122,18 @@ class RollingCurationSpec extends SparkSpec {
     for (d <- Seq(dirPlain, dirVerify))
       fakeRow.write.mode("append").parquet(s"$d/_bandidx")
 
-    // conservative default: the collision alone discards the fresh doc
+    // conservative default: the collision alone discards the fresh doc —
+    // and the report now SHOWS the over-drop: 1 collision, 1 weak (its best
+    // band-agreement estimate 0.59 sits below WeakCollisionTau)
     val rPlain = RollingCuration.absorbBatch(spark, freshBatch, dirPlain)
     assert(rPlain.nearDups == 1 && rPlain.appended == 0)
+    assert(rPlain.historyCollisions == 1 && rPlain.historyWeakCollisions == 1)
     // verified: one agreeing band estimates Ĵ=(1/8)^(1/4)≈0.59 < 0.7 — the
     // fresh doc survives the accident
     val rVerify = RollingCuration.absorbBatch(spark, freshBatch, dirVerify,
       verifyTau = Some(0.7))
     assert(rVerify.nearDups == 0 && rVerify.appended == 1)
+    assert(rVerify.historyCollisions == 1 && rVerify.historyWeakCollisions == 1)
 
     // a TRUE near-dup of history (one word appended to the 40-word base)
     // agrees on nearly all bands — estimated Jaccard ≈1 ≥ tau, still dropped
@@ -136,6 +142,7 @@ class RollingCurationSpec extends SparkSpec {
     val rNear = RollingCuration.absorbBatch(spark, nearBatch, dirVerify,
       verifyTau = Some(0.7))
     assert(rNear.nearDups == 1 && rNear.appended == 0)
+    assert(rNear.historyCollisions == 1 && rNear.historyWeakCollisions == 0)
 
     // WITHIN-batch verification: two genuinely near-identical docs (on a
     // base unrelated to history) collapse to the min id even under verify
