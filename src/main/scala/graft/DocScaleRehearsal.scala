@@ -179,7 +179,7 @@ object DocScaleRehearsal {
     val (report, tAbsorb) = timed {
       graft.sinks.RollingCuration.absorbBatch(spark, jsonl, rollDir)
     }
-    Rehearsal.emit(f"""{"rehearsal":"rolling_absorb","docs":"${k}x","absorb500_s":$tAbsorb%.2f,"appended":${report.appended},"near_dropped":${report.nearDups},"exact_dropped":${report.historyDups}}""")
+    Rehearsal.emit(f"""{"rehearsal":"rolling_absorb","docs":"${k}x","absorb500_s":$tAbsorb%.2f,"appended":${report.appended},"near_dropped":${report.nearDups},"exact_dropped":${report.historyDups},"collisions":${report.historyCollisions},"weak_collisions":${report.historyWeakCollisions}}""")
     // VERIFIED absorb of a second fresh batch (new ids, different salt):
     // same full path plus the exact-Jaccard confirm within batch and the
     // band-agreement confirm against history — the measured overhead of
@@ -198,7 +198,7 @@ object DocScaleRehearsal {
       graft.sinks.RollingCuration.absorbBatch(spark, jsonl2, rollDir,
         verifyTau = Some(0.7))
     }
-    Rehearsal.emit(f"""{"rehearsal":"rolling_absorb_verified","docs":"${k}x","absorb500_s":$tAbsorbV%.2f,"appended":${reportV.appended},"near_dropped":${reportV.nearDups},"exact_dropped":${reportV.historyDups}}""")
+    Rehearsal.emit(f"""{"rehearsal":"rolling_absorb_verified","docs":"${k}x","absorb500_s":$tAbsorbV%.2f,"appended":${reportV.appended},"near_dropped":${reportV.nearDups},"exact_dropped":${reportV.historyDups},"collisions":${reportV.historyCollisions},"weak_collisions":${reportV.historyWeakCollisions}}""")
     spark.stop()
   }
 }

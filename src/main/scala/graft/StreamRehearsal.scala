@@ -56,65 +56,72 @@ object StreamRehearsal {
 
     val filesPerTrigger =
       sys.env.getOrElse("SPARK_GRAFT_STREAM_FILES_PER_TRIGGER", "4").toInt
+    // Leg filter for targeted (e.g. cross-scale) campaigns: a comma list of
+    // {catchup,sink,node,resume,wallet}; default runs everything.
+    val legs = sys.env.get("SPARK_GRAFT_STREAM_LEGS")
+      .map(_.split(",").map(_.trim).toSet)
+    def legOn(name: String): Boolean = legs.forall(_.contains(name))
     graft.chain.BlkCorpus.ensureMaterialized(spark)
     val rawDir = graft.chain.BlkCorpus.rawDir
     val nFiles = Files.list(Paths.get(rawDir))
       .filter(_.getFileName.toString.matches("blk.*\\.dat")).count()
 
-    val workDir = Paths.get("target/stream_rehearsal")
-    deleteRecursively(workDir)
-    val bronzeDir = s"$workDir/bronze"
-    val goldDir = s"$workDir/gold"
-    val ckptDir = s"$workDir/ckpt"
+    if (legOn("catchup")) {
+      val workDir = Paths.get("target/stream_rehearsal")
+      deleteRecursively(workDir)
+      val bronzeDir = s"$workDir/bronze"
+      val goldDir = s"$workDir/gold"
+      val ckptDir = s"$workDir/ckpt"
 
-    // The streamed rows are the header projection of the same wire-format
-    // parse the batch scan runs (bronze `blocks` minus tx payloads): the
-    // catch-up loop maintains chain gold, it does not re-shred tx tables.
-    val headers = graft.streaming.ChainStream
-      .blkFileStream(spark, rawDir, maxFilesPerTrigger = filesPerTrigger)
-      .select(
-        col("hash"),
-        when(col("parent_hash") === "0" * 64, lit(null))
-          .otherwise(col("parent_hash")).as("parent_hash"),
-        col("ts"))
+      // The streamed rows are the header projection of the same wire-format
+      // parse the batch scan runs (bronze `blocks` minus tx payloads): the
+      // catch-up loop maintains chain gold, it does not re-shred tx tables.
+      val headers = graft.streaming.ChainStream
+        .blkFileStream(spark, rawDir, maxFilesPerTrigger = filesPerTrigger)
+        .select(
+          col("hash"),
+          when(col("parent_hash") === "0" * 64, lit(null))
+            .otherwise(col("parent_hash")).as("parent_hash"),
+          col("ts"))
 
-    val t0 = System.nanoTime()
-    val query = graft.streaming.ChainStream.incrementalGold(
-      headers, bronzeDir,
-      (_, bronze) => graft.chain.BestChain.annotate(bronze),
-      goldDir, ckptDir, Trigger.AvailableNow()).start()
-    query.awaitTermination()
-    val wallSec = (System.nanoTime() - t0) / 1e9
+      val t0 = System.nanoTime()
+      val query = graft.streaming.ChainStream.incrementalGold(
+        headers, bronzeDir,
+        (_, bronze) => graft.chain.BestChain.annotate(bronze),
+        goldDir, ckptDir, Trigger.AvailableNow()).start()
+      query.awaitTermination()
+      val wallSec = (System.nanoTime() - t0) / 1e9
 
-    // numInputRows at the binaryFile source counts FILES (the flatMap to
-    // blocks runs downstream); block counts come from the bronze store.
-    val batches = query.recentProgress.toSeq
-      .filter(_.numInputRows > 0)
-    val perBatch = batches.map(p => p.batchDuration / 1e3)
-    val blocks = spark.read.parquet(bronzeDir).dropDuplicates("hash").count()
-    Rehearsal.emit(
-      f"""{"rehearsal":"stream_catchup","scale":${graft.chain.BlkCorpus.Scale},"files":$nFiles,"files_per_trigger":$filesPerTrigger,"blocks":$blocks,"batches":${batches.size},"wall_s":$wallSec%.1f,"batch_s":[${perBatch.map(d => f"$d%.1f").mkString(",")}]}""")
+      // numInputRows at the binaryFile source counts FILES (the flatMap to
+      // blocks runs downstream); block counts come from the bronze store.
+      val batches = query.recentProgress.toSeq
+        .filter(_.numInputRows > 0)
+      val perBatch = batches.map(p => p.batchDuration / 1e3)
+      val blocks = spark.read.parquet(bronzeDir).dropDuplicates("hash").count()
+      Rehearsal.emit(
+        f"""{"rehearsal":"stream_catchup","scale":${graft.chain.BlkCorpus.Scale},"files":$nFiles,"files_per_trigger":$filesPerTrigger,"blocks":$blocks,"batches":${batches.size},"wall_s":$wallSec%.1f,"batch_s":[${perBatch.map(d => f"$d%.1f").mkString(",")}]}""")
 
-    // Convergence gate: streamed gold ≡ the batch path's annotation.
-    val key = Seq("hash", "height", "is_on_best_chain")
-    def canon(df: org.apache.spark.sql.DataFrame) =
-      df.select(col("hash"), col("height").cast("long").as("height"),
-        col("is_on_best_chain"))
-    val streamed = canon(spark.read.parquet(goldDir))
-    val batch = canon(graft.chain.BlkCorpus.annotated(spark))
-    val missing = batch.exceptAll(streamed).count()
-    val extra = streamed.exceptAll(batch).count()
-    val converged = missing == 0 && extra == 0
-    Rehearsal.emit(
-      s"""{"rehearsal":"stream_convergence","key":"${key.mkString(",")}","missing":$missing,"extra":$extra,"converged":$converged}""")
-    if (!converged)
-      throw new IllegalStateException(
-        s"streamed gold diverged from batch annotation: missing=$missing extra=$extra")
+      // Convergence gate: streamed gold ≡ the batch path's annotation.
+      val key = Seq("hash", "height", "is_on_best_chain")
+      def canon(df: org.apache.spark.sql.DataFrame) =
+        df.select(col("hash"), col("height").cast("long").as("height"),
+          col("is_on_best_chain"))
+      val streamed = canon(spark.read.parquet(goldDir))
+      val batch = canon(graft.chain.BlkCorpus.annotated(spark))
+      val missing = batch.exceptAll(streamed).count()
+      val extra = streamed.exceptAll(batch).count()
+      val converged = missing == 0 && extra == 0
+      Rehearsal.emit(
+        s"""{"rehearsal":"stream_convergence","key":"${key.mkString(",")}","missing":$missing,"extra":$extra,"converged":$converged}""")
+      if (!converged)
+        throw new IllegalStateException(
+          s"streamed gold diverged from batch annotation: missing=$missing extra=$extra")
+    }
 
-    partitionedSinkLeg(spark)
-    nodeFollowLeg(spark)
-    killResumeLeg(spark)
-    walletLabelsLeg(spark)
+    if (legOn("sink")) partitionedSinkLeg(spark)
+    if (legOn("node")) nodeFollowLeg(spark)
+    if (legOn("resume")) killResumeLeg(spark)
+    if (legOn("wallet")) walletLabelsLeg(spark)
     spark.stop()
   }
 

@@ -238,8 +238,12 @@ object WalletCluster {
     // pushes the invalidated keys down to the store scan.
     if (affected.isEmpty)
       return old.select(col("address"), col("wallet_id")).where(lit(false))
+    // NOT distinct'ed here: a corpus-wide distinct is a full shuffle per
+    // consumer, and every consumer below either semi-joins bf down to the
+    // affected neighborhood first (then distincts the small result) or—on
+    // the mass route—feeds clusters, which distincts its input itself.
     val bf = bestFunders
-      .select(col("tx_hash"), col("src_address").as("address")).distinct()
+      .select(col("tx_hash"), col("src_address").as("address"))
     // Materialized once: the route decision needs the count, and either
     // route reads the member set several times.
     val (members, membersRdd, nMembers) = ChainOps.rebaseCounted(
@@ -254,8 +258,8 @@ object WalletCluster {
       // contract, cost capped at one full clustering. The store count is
       // parquet-metadata-cheap for a parquet-backed labeling.
       if (nMembers * 2 >= old.count()) {
-        val fresh = clusters(
-            bf.select("address").distinct(),
+        val fresh = clusters( // clusters distincts both inputs itself
+            bf.select("address"),
             bf.select(col("tx_hash"), col("address").as("src_address")))
           .select(col("address"), col("wallet_id").as("new_id"))
         val changed = old.join(fresh, Seq("address"))
@@ -275,36 +279,43 @@ object WalletCluster {
       // 3. members stay raw nodes; outside funders contract to their stored
       //    label (or themselves when unseen — a brand-new replacement-branch
       //    address)
-      val contracted = relevantPairs
+      // Materialized ONCE: clusters() consumes its input through several
+      // distincts/joins and every one would otherwise re-evaluate the whole
+      // derivation above — including the corpus-sized bf semi-joins — ~5×
+      // (measured: 9 s of a 19 s repair on a 1M-address store). The
+      // contracted graph itself is affected-sized, so the rebase is tiny.
+      val (contractedDf, contractedRdd) = ChainOps.rebase(relevantPairs
         .join(members.withColumn("_member", lit(true)), Seq("address"), "left")
         .join(old, Seq("address"), "left")
         .select(col("tx_hash"),
           when(col("_member").isNotNull, col("address"))
             .otherwise(coalesce(col("wallet_id"), col("address")))
             .as("src_address"))
-        .distinct()
-      // membership-only members (all their edges were retracted) cluster as
-      // singletons via the node universe
-      val nodes = contracted.select(col("src_address").as("address"))
-        .unionByName(members).distinct()
-      val relabel = clusters(nodes, contracted)
-        .select(col("address").as("node"), col("wallet_id").as("new_id"))
+        .distinct())
+      try {
+        // membership-only members (all their edges were retracted) cluster
+        // as singletons via the node universe
+        val nodes = contractedDf.select(col("src_address").as("address"))
+          .unionByName(members).distinct()
+        val relabel = clusters(nodes, contractedDf)
+          .select(col("address").as("node"), col("wallet_id").as("new_id"))
 
-      val memberRows = members
-        .join(relabel, members("address") === relabel("node"))
-        .select(col("address"), col("new_id").as("wallet_id"))
-      // unaffected components pulled into a merge: node was a stored LABEL
-      // (not a member address) and its id moved — relabel all its members,
-      // exactly incrementalClusters' moved-label step
-      val movedLabels = relabel
-        .where(col("node") =!= col("new_id"))
-        .join(members, relabel("node") === members("address"), "left_anti")
-      val movedMembers = old
-        .join(movedLabels, old("wallet_id") === movedLabels("node"))
-        .select(col("address"), col("new_id").as("wallet_id"))
-      // Collected by every caller before the register is reused; the
-      // member set is small (affected components only) on this route.
-      memberRows.unionByName(movedMembers)
+        val memberRows = members
+          .join(relabel, members("address") === relabel("node"))
+          .select(col("address"), col("new_id").as("wallet_id"))
+        // unaffected components pulled into a merge: node was a stored LABEL
+        // (not a member address) and its id moved — relabel all its members,
+        // exactly incrementalClusters' moved-label step
+        val movedLabels = relabel
+          .where(col("node") =!= col("new_id"))
+          .join(members, relabel("node") === members("address"), "left_anti")
+        val movedMembers = old
+          .join(movedLabels, old("wallet_id") === movedLabels("node"))
+          .select(col("address"), col("new_id").as("wallet_id"))
+        // Collected by every caller before the register is reused; the
+        // member set is small (affected components only) on this route.
+        memberRows.unionByName(movedMembers)
+      } finally { contractedRdd.unpersist(blocking = false); () }
     } finally { membersRdd.unpersist(blocking = false); () }
   }
 }

@@ -124,6 +124,21 @@ object ChainStream {
     finally out.close()
   }
 
+  /** Replace `dst` with the fully-written `src` directory (delete + rename
+    * through the Hadoop FS API). The window between delete and rename is the
+    * only non-atomic moment; callers treat a missing `dst` as loss of a
+    * rebuildable artifact.
+    */
+  private def fsReplaceDir(spark: SparkSession, src: String, dst: String): Unit = {
+    val conf = spark.sessionState.newHadoopConf()
+    val srcP = new org.apache.hadoop.fs.Path(src)
+    val dstP = new org.apache.hadoop.fs.Path(dst)
+    val fs = dstP.getFileSystem(conf)
+    if (fs.exists(dstP)) fs.delete(dstP, true)
+    fs.rename(srcP, dstP)
+    ()
+  }
+
   private def fsReadText(spark: SparkSession, path: String): Option[String] = {
     val hPath = new org.apache.hadoop.fs.Path(path)
     val fs = hPath.getFileSystem(spark.sessionState.newHadoopConf())
@@ -167,16 +182,25 @@ object ChainStream {
     *                   schema-incompatible (pre-height cursors force one
     *                   full resolution, after which the new cursor carries
     *                   heights)
-    * @return (hash, height) of the current best chain
+    * @return the new best chain plus, on the "extend" route, the EXACT
+    *         delta the walk derived — callers then never re-derive
+    *         arrived/invalidated with chain-sized set-diff joins
     */
   private[graft] def bestChainIncremental(
       spark: SparkSession, bronze: DataFrame, batch: DataFrame,
-      prevCursor: Option[DataFrame]): DataFrame = {
-    def full(route: String): DataFrame = {
+      prevCursor: Option[DataFrame]): BestChainUpdate = {
+    def full(route: String): BestChainUpdate = {
       lastBestChainRoute = route
-      graft.chain.BestChain.annotate(bronze)
+      // Checkpointed ONCE: on the broadcast-envelope route annotate returns
+      // a lazy join against a chain-sized DRIVER-LOCAL relation, and the
+      // maintainer's ~10 downstream consumers would each re-ship it
+      // (measured 2.6× on the corpus drain). The extend/unchanged routes
+      // never pay this — their plans are a cursor scan + a local path.
+      BestChainUpdate(graft.chain.BestChain.annotate(bronze)
         .where(col("is_on_best_chain"))
         .select(col("hash"), col("height").cast("int").as("height"))
+        .localCheckpoint(true),
+        route, None)
     }
     if (prevCursor.isEmpty) return full("bootstrap")
     val cursor = prevCursor.get.select(col("hash"), col("height").cast("int").as("height"))
@@ -200,7 +224,10 @@ object ChainStream {
       else cursor.join(broadcast(probeKeys.toDF("hash")), Seq("hash"), "left_semi")
         .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
     val batchNew = batchRows.filterNot(r => cursorHits.contains(r.getString(0)))
-    if (batchNew.isEmpty) { lastBestChainRoute = "unchanged"; return cursor }
+    if (batchNew.isEmpty) {
+      lastBestChainRoute = "unchanged"
+      return BestChainUpdate(cursor, "unchanged", None)
+    }
     // a pre-existing bronze block pointing INTO the new batch = a dangling
     // fragment being attached; its heights change outside the batch → full
     val newHashes = batchNew.map(_.getString(0)).toSeq
@@ -240,7 +267,10 @@ object ChainStream {
     val candWins = prevTip.forall { case (ph, pH) =>
       candidate._2 > pH || (candidate._2 == pH && candidate._1 < ph)
     }
-    if (!candWins) { lastBestChainRoute = "unchanged"; return cursor }
+    if (!candWins) {
+      lastBestChainRoute = "unchanged"
+      return BestChainUpdate(cursor, "unchanged", None)
+    }
     // new best = the winner's path through the batch down to its anchor,
     // plus the known chain's prefix at or below the anchor height
     lastBestChainRoute = "extend"
@@ -258,9 +288,21 @@ object ChainStream {
       }
     }
     val pathDf = path.toSeq.toDF("hash", "height")
-    if (anchorHeight < 0) pathDf
-    else cursor.where(col("height") <= anchorHeight).unionByName(pathDf)
+    val best =
+      if (anchorHeight < 0) pathDf
+      else cursor.where(col("height") <= anchorHeight).unionByName(pathDf)
+    BestChainUpdate(best, "extend", Some((path.toSeq, anchorHeight)))
   }
+
+  /** Result of [[bestChainIncremental]]: the full best chain, the route
+    * taken, and — on the "extend" route — the exact delta: the path blocks
+    * that joined the chain (tip-down, driver-sized) and the anchor height
+    * (prior-chain rows ABOVE it are the ones reorged out; on a pure
+    * extension the anchor is the prior tip and that set is empty).
+    */
+  private[graft] final case class BestChainUpdate(
+      best: DataFrame, route: String,
+      extendDelta: Option[(Seq[(String, Int)], Int)])
 
   /** Streaming maintenance of the WALLET LABELING (T4 applied to the one
     * derived property the reference declared but never finished —
@@ -347,8 +389,8 @@ object ChainStream {
       else Some(spark.read.parquet(cursorPath))
     val prevCursorH = prevCursorAny.filter(_.columns.contains("height"))
       .map(_.select(col("hash"), col("height")))
-    val best = bestChainIncremental(spark, bronze, batch, prevCursorH)
-    val route = lastBestChainRoute
+    val upd = bestChainIncremental(spark, bronze, batch, prevCursorH)
+    val route = upd.route
     // Slot assignment is a pure function of (address, slots), so the store
     // is only readable-for-overwrite under the SAME slots value it was
     // written with: resuming with a different value would route an address's
@@ -361,12 +403,10 @@ object ChainStream {
     val bootstrapping = !fsExists(spark, storePath) || prevCursorAny.isEmpty ||
       !storedSlots.contains(slots)
     if (!bootstrapping && route == "unchanged") return
-    // The chain changed (or the store must be rebuilt): materialize the best
-    // set once. The "extend" route's plan READS the cursor path that is
-    // overwritten at the end, so the checkpoint (cursor-sized — the slim
-    // (hash, height) projection, not the store) also breaks that cycle.
-    val bestChk = best.localCheckpoint(true)
-    val bestHashes = bestChk.select("hash")
+    // bestFunders is only EVALUATED by the bootstrap clustering and the
+    // reorg repair (both rare) — a pure tip extension never pays this
+    // chain-sized derivation, it stays a lazy plan.
+    val bestHashes = upd.best.select("hash")
     val bestFunders = fundersOf(spark,
       bronze.join(bestHashes, Seq("hash"), "left_semi"))
     val bucket = graft.sinks.PartitionedGold.BucketCol
@@ -392,11 +432,23 @@ object ChainStream {
       fsWriteText(spark, slotsPath, slots.toString + "\n")
     } else {
       val stored = spark.read.parquet(storePath).select("address", "wallet_id")
-      // every plan consuming prevBest is materialized (collect / checkpoint)
-      // before the cursor overwrite at the end, so the raw read is safe
-      val prevBest = prevCursorAny.get.select("hash")
-      val invalidated = prevBest.join(bestHashes, Seq("hash"), "left_anti")
-      val arrived = bestHashes.join(prevBest, Seq("hash"), "left_anti")
+      // arrived/invalidated: on the "extend" route the walk already knows
+      // the EXACT delta — arrived = the path blocks (a driver-sized local
+      // relation), invalidated = prior-chain rows above the anchor height
+      // (a pushed-down filter on the cursor; empty on a pure extension) —
+      // so the two chain × chain set-diff joins run only on the full-
+      // resolution fallback. Every plan consuming these is materialized
+      // (collect / checkpoint) before the cursor swap at the end.
+      import spark.implicits._
+      val (invalidated, arrived) = upd.extendDelta match {
+        case Some((path, anchorH)) => (
+          prevCursorAny.get.where(col("height") > anchorH).select("hash"),
+          path.map(_._1).toDF("hash"))
+        case None =>
+          val prevBest = prevCursorAny.get.select("hash")
+          (prevBest.join(bestHashes, Seq("hash"), "left_anti"),
+            bestHashes.join(prevBest, Seq("hash"), "left_anti"))
+      }
       val repairChanges =
         if (invalidated.isEmpty) None
         else Some(minimize(stored, WalletCluster.repairAfterReorg(
@@ -430,8 +482,14 @@ object ChainStream {
     // stale cursor, so the next batch re-derives a change set that includes
     // already-applied blocks — both update paths then produce empty deltas
     // against the already-updated store, so the store converges without
-    // rewrites. The cursor carries (hash, height) for the incremental path.
-    bestChk.write.mode("overwrite").parquet(cursorPath)
+    // rewrites. The cursor carries (hash, height) for the incremental path,
+    // and is swapped in via a sibling write + rename: the "extend" route's
+    // plan READS the path being replaced, and the rename needs no
+    // chain-sized checkpoint to break that cycle (a crash inside the
+    // rename window costs one cursor loss → one full re-resolution).
+    val tmpCursor = s"$labelsDir/_bestchain_tmp"
+    upd.best.write.mode("overwrite").parquet(tmpCursor)
+    fsReplaceDir(spark, tmpCursor, cursorPath)
     ()
   }
 

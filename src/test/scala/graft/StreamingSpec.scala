@@ -236,6 +236,7 @@ class StreamingSpec extends SparkSpec {
         bronzeAcc = if (bronzeAcc == null) batchDf else bronzeAcc.unionByName(batchDf)
         val bronze = bronzeAcc.dropDuplicates("hash")
         val got = ChainStream.bestChainIncremental(spark, bronze, batchDf, cursor)
+          .best
           .select(col("hash"), col("height").cast("int").as("height"))
           .localCheckpoint(true)
         val expect = BestChain.annotate(bronze).where(col("is_on_best_chain"))
