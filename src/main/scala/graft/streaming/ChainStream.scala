@@ -124,21 +124,6 @@ object ChainStream {
     finally out.close()
   }
 
-  /** Replace `dst` with the fully-written `src` directory (delete + rename
-    * through the Hadoop FS API). The window between delete and rename is the
-    * only non-atomic moment; callers treat a missing `dst` as loss of a
-    * rebuildable artifact.
-    */
-  private def fsReplaceDir(spark: SparkSession, src: String, dst: String): Unit = {
-    val conf = spark.sessionState.newHadoopConf()
-    val srcP = new org.apache.hadoop.fs.Path(src)
-    val dstP = new org.apache.hadoop.fs.Path(dst)
-    val fs = dstP.getFileSystem(conf)
-    if (fs.exists(dstP)) fs.delete(dstP, true)
-    fs.rename(srcP, dstP)
-    ()
-  }
-
   private def fsReadText(spark: SparkSession, path: String): Option[String] = {
     val hPath = new org.apache.hadoop.fs.Path(path)
     val fs = hPath.getFileSystem(spark.sessionState.newHadoopConf())
@@ -442,7 +427,12 @@ object ChainStream {
       import spark.implicits._
       val (invalidated, arrived) = upd.extendDelta match {
         case Some((path, anchorH)) => (
-          prevCursorAny.get.where(col("height") > anchorH).select("hash"),
+          // bucket predicate first: on a height-bucketed cursor the reorged-
+          // out rows live at or above the anchor's bucket, so the scan is
+          // partition-pruned to the tip buckets (a pre-bucketing cursor just
+          // scans — one-time, until the next cursor write migrates it)
+          cursorPrune(prevCursorAny.get, anchorH)
+            .where(col("height") > anchorH).select("hash"),
           path.map(_._1).toDF("hash"))
         case None =>
           val prevBest = prevCursorAny.get.select("hash")
@@ -482,14 +472,62 @@ object ChainStream {
     // stale cursor, so the next batch re-derives a change set that includes
     // already-applied blocks — both update paths then produce empty deltas
     // against the already-updated store, so the store converges without
-    // rewrites. The cursor carries (hash, height) for the incremental path,
-    // and is swapped in via a sibling write + rename: the "extend" route's
-    // plan READS the path being replaced, and the rename needs no
-    // chain-sized checkpoint to break that cycle (a crash inside the
-    // rename window costs one cursor loss → one full re-resolution).
-    val tmpCursor = s"$labelsDir/_bestchain_tmp"
-    upd.best.write.mode("overwrite").parquet(tmpCursor)
-    fsReplaceDir(spark, tmpCursor, cursorPath)
+    // rewrites. The cursor carries (hash, height), stored HEIGHT-BUCKETED:
+    // on the extend route only the buckets from the anchor up change, and —
+    // because the winning path is contiguous from the anchor to a tip at or
+    // above the prior one — every such bucket receives content, so a
+    // dynamic partition overwrite of bucket-sized data covers it with no
+    // deletion case. At a 100M-block chain that is a KB-scale write per
+    // sync instead of a GB-scale cursor rewrite. The full routes (fallback/
+    // bootstrap/migration from a pre-bucketed or genesis-reset cursor)
+    // rewrite the whole bucketed layout from the checkpointed resolution.
+    writeCursor(spark, upd, prevCursorAny, cursorPath)
+    ()
+  }
+
+  /** Height-bucket width of the `_bestchain` cursor layout. */
+  private[graft] val CursorBucketSize = 10000
+
+  /** Partition-prune a bucketed cursor to the buckets at/above `anchorH`;
+    * a pre-bucketing (flat) cursor is returned as-is.
+    */
+  private def cursorPrune(cursor: DataFrame, anchorH: Int): DataFrame =
+    if (!cursor.columns.contains(graft.sinks.PartitionedGold.BucketCol)) cursor
+    else cursor.where(col(graft.sinks.PartitionedGold.BucketCol) >=
+      lit(math.max(anchorH, 0) / CursorBucketSize))
+
+  private def writeCursor(
+      spark: SparkSession, upd: BestChainUpdate,
+      prevCursor: Option[DataFrame], cursorPath: String): Unit = {
+    import spark.implicits._
+    val bucketCol = graft.sinks.PartitionedGold.BucketCol
+    upd.extendDelta match {
+      case Some((path, anchorH)) if anchorH >= 0 &&
+          prevCursor.exists(_.columns.contains(bucketCol)) =>
+        // affected buckets = [anchor bucket .. new tip bucket]; content =
+        // the prior chain's rows at or below the anchor WITHIN those
+        // buckets, plus the new path. Bucket-sized, so the checkpoint that
+        // breaks the read-from-overwritten-path cycle is bucket-sized too.
+        val pathDf = path.toDF("hash", "height")
+        val prefix = cursorPrune(prevCursor.get, anchorH)
+          .where(col("height") <= anchorH)
+          .select("hash", "height")
+        val content = graft.sinks.PartitionedGold.withBucket(
+            prefix.unionByName(pathDf), "height", CursorBucketSize)
+          .localCheckpoint(true)
+        graft.sinks.PartitionedGold.overwriteAffected(content, cursorPath)
+      case _ =>
+        // full resolution (checkpointed in the resolver — independent of
+        // cursorPath), a genesis-reset extend (pure local path), or a flat
+        // pre-bucketing cursor being migrated: rewrite the whole bucketed
+        // layout. Only the migration case still READS cursorPath — its
+        // one-time checkpoint breaks that cycle.
+        val src = if (upd.extendDelta.exists(_._2 >= 0))
+          upd.best.localCheckpoint(true) else upd.best
+        graft.sinks.PartitionedGold.withBucket(
+            src.select("hash", "height"), "height", CursorBucketSize)
+          .write.mode("overwrite").partitionBy(bucketCol).parquet(cursorPath)
+    }
     ()
   }
 

@@ -206,6 +206,56 @@ class StreamingSpec extends SparkSpec {
     assert(labels() == full)
   }
 
+  test("wallet cursor is height-bucketed: a tip extension rewrites only the tip bucket") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-cursor-bucket").toString
+    def fundersOf(s: org.apache.spark.sql.SparkSession,
+        df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+      df.select(explode(col("txs")).as("t"))
+        .select(col("t._1").as("tx_hash"), explode(col("t._2")).as("src_address"))
+    // bootstrap a chain spanning two cursor buckets (heights 0..10000)
+    val n = 10001
+    val chain = (0 until n).map { i =>
+      (f"b$i%06d", if (i == 0) null else f"b${i - 1}%06d", 1000L + i,
+        if (i == 0) Seq(("t1", Seq("a1", "a2"))) else Seq.empty[(String, Seq[String])])
+    }
+    ChainStream.walletLabelsBatch(spark, chain.toDF("hash", "parent_hash", "ts", "txs"),
+      s"$tmp/bronze", fundersOf, s"$tmp/labels", 8)
+    val cursorDir = java.nio.file.Paths.get(s"$tmp/labels/_bestchain")
+    assert(java.nio.file.Files.exists(cursorDir.resolve("height_bucket=0")))
+    assert(java.nio.file.Files.exists(cursorDir.resolve("height_bucket=1")))
+    def sigs(): Map[String, String] = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(cursorDir).iterator().asScala
+        .filter(f => f.getFileName.toString.endsWith(".parquet"))
+        .map { f =>
+          val h = java.security.MessageDigest.getInstance("MD5")
+            .digest(java.nio.file.Files.readAllBytes(f))
+          f.toString -> h.map("%02x".format(_)).mkString
+        }.toMap
+    }
+    val before = sigs()
+
+    // one-block tip extension lands in bucket 1 — bucket 0's files must
+    // stay byte-identical (the O(delta) cursor write, not a chain rewrite)
+    val ext = Seq((f"b$n%06d", f"b${n - 1}%06d", 1000L + n,
+      Seq.empty[(String, Seq[String])])).toDF("hash", "parent_hash", "ts", "txs")
+    ChainStream.walletLabelsBatch(spark, ext, s"$tmp/bronze", fundersOf, s"$tmp/labels", 8)
+    assert(ChainStream.lastBestChainRoute == "extend")
+    val after = sigs()
+    val b0Before = before.filter(_._1.contains("height_bucket=0"))
+    val b0After = after.filter(_._1.contains("height_bucket=0"))
+    assert(b0Before == b0After, "bucket 0 files changed on a tip extension")
+    assert(after.keys.exists(p => p.contains("height_bucket=1") && !before.contains(p)),
+      "tip bucket not rewritten")
+
+    // read-back: the bucketed cursor still reconstructs the full best chain
+    val cursor = spark.read.parquet(s"$tmp/labels/_bestchain")
+    assert(cursor.count() == n + 1)
+    assert(cursor.agg(max("height")).head.getInt(0) == n)
+    assert(cursor.select("hash").distinct().count() == n + 1)
+  }
+
   test("bestChainIncremental equals a full annotate on random batched feeds (in-order and shuffled)") {
     import spark.implicits._
     // deterministic fixture: a 60-block main chain, stale siblings, one
