@@ -169,7 +169,9 @@ object StreamRehearsal {
       s"$workDir/labels", s"$workDir/ckpt").start()
     q.awaitTermination()
     val wallSec = (System.nanoTime() - t0) / 1e9
-    val nBatches = q.recentProgress.count(_.numInputRows > 0)
+    val progress = q.recentProgress.toSeq.filter(_.numInputRows > 0)
+    val nBatches = progress.size
+    val perBatch = progress.map(_.batchDuration / 1e3)
 
     val ann = graft.chain.BlkCorpus.annotated(spark)
     val bestTxs = graft.chain.GoldStats.chainTxs(txsB, ann).select("tx_hash")
@@ -189,7 +191,7 @@ object StreamRehearsal {
     val nLabels = store.count()
     val converged = missing == 0 && staleExtras == 0
     Rehearsal.emit(
-      f"""{"rehearsal":"wallet_labels_catchup","scale":${graft.chain.BlkCorpus.Scale},"batches":$nBatches,"wall_s":$wallSec%.1f,"labels":$nLabels,"missing":$missing,"stale_extras":$staleExtras,"orphan_singletons":$orphanSingletons,"converged":$converged}""")
+      f"""{"rehearsal":"wallet_labels_catchup","scale":${graft.chain.BlkCorpus.Scale},"batches":$nBatches,"wall_s":$wallSec%.1f,"batch_s":[${perBatch.map(d => f"$d%.1f").mkString(",")}],"labels":$nLabels,"missing":$missing,"stale_extras":$staleExtras,"orphan_singletons":$orphanSingletons,"converged":$converged}""")
     if (!converged) {
       rinAll.unpersist(blocking = false)
       throw new IllegalStateException(
