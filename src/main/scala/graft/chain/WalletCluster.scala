@@ -227,28 +227,39 @@ object WalletCluster {
       bestFunders: DataFrame): DataFrame = {
     val old = oldLabels.select(col("address"), col("wallet_id"))
     val invAddrs = invalidated.select(col("src_address").as("address")).distinct()
-    // 1. components with >=1 retracted edge
-    val affected = old.join(invAddrs, Seq("address"), "left_semi")
-      .select(col("wallet_id")).distinct()
-    // No-op pre-route: a reorg whose invalidated blocks carry no funders
-    // (empty blocks), or whose funders never reached the store, cannot split
-    // or merge anything — return the empty delta before the member-set
-    // materialization, the store count, and the recompute-vs-contract
-    // routing ever run. `isEmpty` is a limit-1 probe over a semi-join that
-    // pushes the invalidated keys down to the store scan.
-    if (affected.isEmpty)
-      return old.select(col("address"), col("wallet_id")).where(lit(false))
-    // NOT distinct'ed here: a corpus-wide distinct is a full shuffle per
-    // consumer, and every consumer below either semi-joins bf down to the
-    // affected neighborhood first (then distincts the small result) or—on
-    // the mass route—feeds clusters, which distincts its input itself.
-    val bf = bestFunders
-      .select(col("tx_hash"), col("src_address").as("address"))
-    // Materialized once: the route decision needs the count, and either
-    // route reads the member set several times.
-    val (members, membersRdd, nMembers) = ChainOps.rebaseCounted(
-      old.join(affected, Seq("wallet_id"), "left_semi").select("address"))
+    // 1. components with >=1 retracted edge — materialized ONCE: the set is
+    // LABEL-grain (small on every route — a handful of labels on the
+    // giant-component mass case, one per touched wallet on the shallow
+    // case), but its derivation nests a store-scan semi-join, and every
+    // consumer below (the no-op pre-route, the member-count route decision,
+    // and the chosen route's plan) would otherwise re-pay that scan inside
+    // its own. The count rides the materialization pass and IS the no-op
+    // pre-route: a reorg whose invalidated blocks carry no funders (empty
+    // blocks), or whose funders never reached the store, cannot split or
+    // merge anything — and concluding emptiness costs the full semi-join
+    // scan whether probed lazily or materialized.
+    val (affected, affectedRdd, nAffected) = ChainOps.rebaseCounted(
+      old.join(invAddrs, Seq("address"), "left_semi")
+        .select(col("wallet_id")).distinct())
     try {
+      if (nAffected == 0)
+        return old.select(col("address"), col("wallet_id")).where(lit(false))
+      // NOT distinct'ed here: a corpus-wide distinct is a full shuffle per
+      // consumer, and every consumer below either semi-joins bf down to the
+      // affected neighborhood first (then distincts the small result) or—on
+      // the mass route—feeds clusters, which distincts its input itself.
+      val bf = bestFunders
+        .select(col("tx_hash"), col("src_address").as("address"))
+      // Count-only route decision: on the mass route the member set is
+      // store-sized and read nowhere below, so persisting it (as the
+      // contraction route must — it reads the set several times) is pure
+      // cache churn at exactly the scale where churn hurts. The contraction
+      // route re-derives the set once under a persist; one extra store-scan
+      // semi-join on the SMALL-affected path buys never caching a store-sized
+      // relation on the giant-component path.
+      val memberSet =
+        old.join(affected, Seq("wallet_id"), "left_semi").select("address")
+      val nMembers = memberSet.count()
       // MASS-reorg route: when the affected components span most of the
       // store (one giant co-spend component is common on dense corpora),
       // the contraction machinery below re-clusters nearly everything
@@ -262,60 +273,71 @@ object WalletCluster {
             bf.select("address"),
             bf.select(col("tx_hash"), col("address").as("src_address")))
           .select(col("address"), col("wallet_id").as("new_id"))
-        val changed = old.join(fresh, Seq("address"))
-          .where(col("wallet_id") =!= col("new_id"))
-          .select(col("address"), col("new_id").as("wallet_id"))
-        // members absent from the post-reorg chain: singleton themselves
-        val orphaned = members.join(fresh, Seq("address"), "left_anti")
-          .join(old, Seq("address"))
-          .where(col("wallet_id") =!= col("address"))
-          .select(col("address"), col("address").as("wallet_id"))
-        return changed.unionByName(orphaned)
+        // ONE pass over the store consuming fresh ONCE (the in-memory
+        // clusters route returns an unmaterialized corpus-distinct + broadcast
+        // join — a second consumer re-pays that whole subtree): label moves
+        // (including unaffected components merged by replacement-branch
+        // edges) and vanished affected members (absent from the post-reorg
+        // chain: singleton themselves) fall out of the same left join. The
+        // affected-label marker joins on wallet_id — label-grain, AQE
+        // broadcasts it when small (the common giant-component case).
+        return old
+          .join(affected.withColumn("_aff", lit(true)), Seq("wallet_id"), "left")
+          .join(fresh, Seq("address"), "left")
+          .where((col("new_id").isNotNull && col("new_id") =!= col("wallet_id")) ||
+            (col("new_id").isNull && col("_aff").isNotNull &&
+              col("wallet_id") =!= col("address")))
+          .select(col("address"), coalesce(col("new_id"), col("address")).as("wallet_id"))
       }
-      // 2. every best-chain tx a member funds, and ALL funders of those txs
-      val relevantTxs = bf.join(members, Seq("address"), "left_semi")
-        .select("tx_hash").distinct()
-      val relevantPairs = bf.join(relevantTxs, Seq("tx_hash"), "left_semi")
-      // 3. members stay raw nodes; outside funders contract to their stored
-      //    label (or themselves when unseen — a brand-new replacement-branch
-      //    address)
-      // Materialized ONCE: clusters() consumes its input through several
-      // distincts/joins and every one would otherwise re-evaluate the whole
-      // derivation above — including the corpus-sized bf semi-joins — ~5×
-      // (measured: 9 s of a 19 s repair on a 1M-address store). The
-      // contracted graph itself is affected-sized, so the rebase is tiny.
-      val (contractedDf, contractedRdd) = ChainOps.rebase(relevantPairs
-        .join(members.withColumn("_member", lit(true)), Seq("address"), "left")
-        .join(old, Seq("address"), "left")
-        .select(col("tx_hash"),
-          when(col("_member").isNotNull, col("address"))
-            .otherwise(coalesce(col("wallet_id"), col("address")))
-            .as("src_address"))
-        .distinct())
+      // Materialized here (and only here): every contraction step below reads
+      // the member set at least once.
+      val (members, membersRdd) = ChainOps.rebase(memberSet)
       try {
-        // membership-only members (all their edges were retracted) cluster
-        // as singletons via the node universe
-        val nodes = contractedDf.select(col("src_address").as("address"))
-          .unionByName(members).distinct()
-        val relabel = clusters(nodes, contractedDf)
-          .select(col("address").as("node"), col("wallet_id").as("new_id"))
+        // 2. every best-chain tx a member funds, and ALL funders of those txs
+        val relevantTxs = bf.join(members, Seq("address"), "left_semi")
+          .select("tx_hash").distinct()
+        val relevantPairs = bf.join(relevantTxs, Seq("tx_hash"), "left_semi")
+        // 3. members stay raw nodes; outside funders contract to their stored
+        //    label (or themselves when unseen — a brand-new replacement-branch
+        //    address)
+        // Materialized ONCE: clusters() consumes its input through several
+        // distincts/joins and every one would otherwise re-evaluate the whole
+        // derivation above — including the corpus-sized bf semi-joins — ~5×
+        // (measured: 9 s of a 19 s repair on a 1M-address store). The
+        // contracted graph itself is affected-sized, so the rebase is tiny.
+        val (contractedDf, contractedRdd) = ChainOps.rebase(relevantPairs
+          .join(members.withColumn("_member", lit(true)), Seq("address"), "left")
+          .join(old, Seq("address"), "left")
+          .select(col("tx_hash"),
+            when(col("_member").isNotNull, col("address"))
+              .otherwise(coalesce(col("wallet_id"), col("address")))
+              .as("src_address"))
+          .distinct())
+        try {
+          // membership-only members (all their edges were retracted) cluster
+          // as singletons via the node universe
+          val nodes = contractedDf.select(col("src_address").as("address"))
+            .unionByName(members).distinct()
+          val relabel = clusters(nodes, contractedDf)
+            .select(col("address").as("node"), col("wallet_id").as("new_id"))
 
-        val memberRows = members
-          .join(relabel, members("address") === relabel("node"))
-          .select(col("address"), col("new_id").as("wallet_id"))
-        // unaffected components pulled into a merge: node was a stored LABEL
-        // (not a member address) and its id moved — relabel all its members,
-        // exactly incrementalClusters' moved-label step
-        val movedLabels = relabel
-          .where(col("node") =!= col("new_id"))
-          .join(members, relabel("node") === members("address"), "left_anti")
-        val movedMembers = old
-          .join(movedLabels, old("wallet_id") === movedLabels("node"))
-          .select(col("address"), col("new_id").as("wallet_id"))
-        // Collected by every caller before the register is reused; the
-        // member set is small (affected components only) on this route.
-        memberRows.unionByName(movedMembers)
-      } finally { contractedRdd.unpersist(blocking = false); () }
-    } finally { membersRdd.unpersist(blocking = false); () }
+          val memberRows = members
+            .join(relabel, members("address") === relabel("node"))
+            .select(col("address"), col("new_id").as("wallet_id"))
+          // unaffected components pulled into a merge: node was a stored LABEL
+          // (not a member address) and its id moved — relabel all its members,
+          // exactly incrementalClusters' moved-label step
+          val movedLabels = relabel
+            .where(col("node") =!= col("new_id"))
+            .join(members, relabel("node") === members("address"), "left_anti")
+          val movedMembers = old
+            .join(movedLabels, old("wallet_id") === movedLabels("node"))
+            .select(col("address"), col("new_id").as("wallet_id"))
+          // Collected by every caller before the register is reused; the
+          // member set is small (affected components only) on this route.
+          memberRows.unionByName(movedMembers)
+        } finally { contractedRdd.unpersist(blocking = false); () }
+      } finally { membersRdd.unpersist(blocking = false); () }
+    } finally { affectedRdd.unpersist(blocking = false); () }
   }
 }
