@@ -179,4 +179,25 @@ class PlanSpec extends SparkSpec {
       .queryExecution.explainString(FormattedMode)
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  test("reorg repair's mass path: equi-joins only in the recompute-diff delta") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // one chained giant component (a0..a5) plus a 2-address wallet — the
+    // affected member fraction crosses the mass-route cut, so the returned
+    // plan is the single left-join delta over the store consuming the fresh
+    // clustering once
+    val txs = Seq(
+      ("t0", "a0"), ("t0", "a1"), ("t1", "a1"), ("t1", "a2"),
+      ("t2", "a2"), ("t2", "a3"), ("t3", "a3"), ("t3", "a4"),
+      ("t4", "a4"), ("t4", "a5"), ("t5", "b0"), ("t5", "b1"))
+    val all = txs.toDF("tx_hash", "src_address")
+    val stored = (Seq("a0", "a1", "a2", "a3", "a4", "a5").map((_, "a0")) ++
+      Seq(("b0", "b0"), ("b1", "b0"))).toDF("address", "wallet_id")
+    val p = graft.chain.WalletCluster
+      .repairAfterReorg(stored, all.where(col("tx_hash") === "t2"),
+        all.where(col("tx_hash") =!= "t2"))
+      .queryExecution.explainString(FormattedMode)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
 }
