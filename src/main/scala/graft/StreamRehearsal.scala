@@ -284,7 +284,7 @@ object StreamRehearsal {
     val expect = canon(graft.chain.BlkCorpus.annotated(spark))
     val converged = gold.exceptAll(expect).isEmpty && expect.exceptAll(gold).isEmpty
     Rehearsal.emit(
-      f"""{"rehearsal":"kill_resume","batches_before_kill":$batchesBeforeKill,"resumed_batches":$resumedBatches,"resume_s":$resumeSec%.1f,"replayed_rows":$replayedRows,"converged":$converged}""")
+      f"""{"rehearsal":"kill_resume","scale":${graft.chain.BlkCorpus.Scale},"batches_before_kill":$batchesBeforeKill,"resumed_batches":$resumedBatches,"resume_s":$resumeSec%.1f,"replayed_rows":$replayedRows,"converged":$converged}""")
     if (!converged) throw new IllegalStateException(
       "kill-resume diverged from batch annotation")
   }
