@@ -1,8 +1,5 @@
 package graft.sinks
 
-import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Paths}
-
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -64,8 +61,7 @@ object CorpusRelease {
         s"""{"shard":$s,"rows":$n,"digest":$d}"""
       }.mkString(","))
       .append("]}").toString()
-    Files.write(Paths.get(dir, "_MANIFEST.json"),
-      json.getBytes(StandardCharsets.UTF_8))
+    Hfs.writeText(sharded.sparkSession, s"$dir/_MANIFEST.json", json)
   }
 
   /** Recompute the per-shard stats from the parquet files and compare with
@@ -73,9 +69,10 @@ object CorpusRelease {
     * integrity check of the release copy (bit rot, partial copy, tamper).
     */
   def verify(spark: SparkSession, dir: String): Boolean = {
-    val manifestPath = Paths.get(dir, "_MANIFEST.json")
-    if (!Files.exists(manifestPath)) return false // uncommitted release
-    val manifest = new String(Files.readAllBytes(manifestPath), StandardCharsets.UTF_8)
+    val manifest = Hfs.readText(spark, s"$dir/_MANIFEST.json") match {
+      case None => return false // uncommitted release
+      case Some(m) => m
+    }
     val data = spark.read.parquet(dir)
     val payload = data.drop("shard")
     val digest = conv(substring(md5(to_json(

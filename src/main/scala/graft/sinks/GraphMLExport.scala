@@ -78,11 +78,11 @@ object GraphMLExport {
     */
   def writeSharded(vertices: DataFrame, edges: DataFrame, dir: String): Seq[String] = {
     val (keys, vXml, eXml) = fragments(vertices, edges)
-    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
-    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/_header.xml"), header(keys))
+    val spark = vertices.sparkSession
+    Hfs.writeText(spark, s"$dir/_header.xml", header(keys))
     vXml.write.mode("overwrite").text(s"$dir/nodes")
     eXml.write.mode("overwrite").text(s"$dir/edges")
-    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/_footer.xml"), footer)
+    Hfs.writeText(spark, s"$dir/_footer.xml", footer)
     Seq(s"$dir/_header.xml", s"$dir/nodes", s"$dir/edges", s"$dir/_footer.xml")
   }
 }

@@ -28,10 +28,8 @@ object PartitionedGold {
   def withBucket(df: DataFrame, heightCol: String, bucketSize: Int = 10000): DataFrame =
     df.withColumn(BucketCol, (col(heightCol) / bucketSize).cast("int"))
 
-  private def fsExists(spark: SparkSession, path: String): Boolean = {
-    val hPath = new org.apache.hadoop.fs.Path(path)
-    hPath.getFileSystem(spark.sessionState.newHadoopConf()).exists(hPath)
-  }
+  private def fsExists(spark: SparkSession, path: String): Boolean =
+    Hfs.exists(spark, path)
 
   /** Diff-and-overwrite: write `gold` (carrying `heightCol`) to `path`,
     * rewriting ONLY the height buckets whose CONTENT differs from what is on

@@ -1,7 +1,5 @@
 package graft.sinks
 
-import java.nio.file.{Files, Paths}
-
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -151,7 +149,7 @@ object RollingCuration {
       // history checks ride the sidecars — each gated on its OWN existence
       // (absent on the first batch; individually absent after a mid-append
       // crash, where the absorb degrades instead of failing)
-      val fps = if (Files.exists(Paths.get(dir, "_fingerprints")))
+      val fps = if (Hfs.exists(spark, s"$dir/_fingerprints"))
         Some(spark.read.parquet(s"$dir/_fingerprints")) else None
       // id key check first: an already-absorbed doc_id never re-enters,
       // even re-crawled with changed text (first-wins)
@@ -161,7 +159,7 @@ object RollingCuration {
         afterIds.join(f, md5(afterIds("text")) === f("fp"), "left_anti"))
       var nHistCollisions = 0L
       var nHistWeak = 0L
-      val afterNear = if (!Files.exists(Paths.get(dir, "_bandidx"))) afterExact
+      val afterNear = if (!Hfs.exists(spark, s"$dir/_bandidx")) afterExact
         else {
           val batchBanded = Dedup.bandedBuckets(
             sigs.join(afterExact.select("doc_id"), Seq("doc_id"), "left_semi"),
@@ -209,7 +207,7 @@ object RollingCuration {
           Dedup.writeMinhashBandIndex(
             Dedup.bandedBuckets(
               Dedup.minhashSignatures(survivors, "doc_id", "text"), "doc_id"),
-            s"$dir/_bandidx", append = Files.exists(Paths.get(dir, "_bandidx")))
+            s"$dir/_bandidx", append = Hfs.exists(spark, s"$dir/_bandidx"))
         }
         BatchReport(
           ingested = nIngested, quarantined = nQuarantined,

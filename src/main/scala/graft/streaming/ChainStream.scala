@@ -111,30 +111,14 @@ object ChainStream {
         ()
       }
 
-  private def fsExists(spark: SparkSession, path: String): Boolean = {
-    val hPath = new org.apache.hadoop.fs.Path(path)
-    hPath.getFileSystem(spark.sessionState.newHadoopConf()).exists(hPath)
-  }
+  private def fsExists(spark: SparkSession, path: String): Boolean =
+    graft.sinks.Hfs.exists(spark, path)
 
-  private def fsWriteText(spark: SparkSession, path: String, text: String): Unit = {
-    val hPath = new org.apache.hadoop.fs.Path(path)
-    val fs = hPath.getFileSystem(spark.sessionState.newHadoopConf())
-    val out = fs.create(hPath, /*overwrite=*/ true)
-    try out.write(text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-  }
+  private def fsWriteText(spark: SparkSession, path: String, text: String): Unit =
+    graft.sinks.Hfs.writeText(spark, path, text)
 
-  private def fsReadText(spark: SparkSession, path: String): Option[String] = {
-    val hPath = new org.apache.hadoop.fs.Path(path)
-    val fs = hPath.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(hPath)) None
-    else {
-      val buf = new Array[Byte](fs.getFileStatus(hPath).getLen.toInt)
-      val in = fs.open(hPath)
-      try in.readFully(0, buf) finally in.close()
-      Some(new String(buf, java.nio.charset.StandardCharsets.UTF_8))
-    }
-  }
+  private def fsReadText(spark: SparkSession, path: String): Option[String] =
+    graft.sinks.Hfs.readText(spark, path)
 
   /** Route the last [[bestChainIncremental]] call took — observability for
     * specs and rehearsals ("did the O(batch) path actually engage?").
