@@ -475,4 +475,52 @@ object TextOps {
       .withColumn("bits_per_bigram",
         round(col("surprisal_bits") / col("n_bigrams").cast("double"), 6))
   }
+
+  /** SEQUENCE PACKING — assign each document to a fixed-token-budget
+    * training sequence (the pre-tokenization packing step of an LLM data
+    * pipeline: concatenate documents until the context window would
+    * overflow, then start the next sequence). Packing is greedy in id order
+    * WITHIN a shard (`shard = id mod nShards`): a document opens a new
+    * sequence exactly when the current one is non-empty and adding it would
+    * exceed `ctxLen`; an oversized document (n_tokens > ctxLen) therefore
+    * occupies a sequence alone rather than being dropped or split — the
+    * caller decides truncation. `(shard, seq_id)` identifies a sequence;
+    * `fill_after` is the running token total, so a sequence's final fill —
+    * its padding waste — is `max(fill_after)` per (shard, seq_id).
+    *
+    * Scale shape: packing is inherently sequential, so the scalable form is
+    * the standard compromise — shard-parallel, sequential within shard. One
+    * hash exchange on `shard` + a within-partition sort, then a single
+    * streaming pass with O(1) state per shard (state resets on the sorted
+    * shard boundary, so co-located shards are safe and AQE coalescing is
+    * irrelevant). No driver materialization at any scale; `nShards` sets the
+    * parallelism/determinism trade — the assignment depends only on
+    * (id, n_tokens, ctxLen, nShards), never on physical partitioning.
+    *
+    * @return (doc_id, shard, n_tokens, seq_id, pos_in_seq, fill_after)
+    */
+  def packSequences(df: DataFrame, idCol: String, textCol: String,
+      ctxLen: Int, nShards: Int = 8): DataFrame = {
+    require(ctxLen > 0 && nShards > 0)
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(
+        col(idCol).cast("long").as("doc_id"),
+        tokenCount(col(textCol)).cast("int").as("n_tokens"),
+        pmod(col(idCol).cast("long"), lit(nShards.toLong)).cast("int").as("shard"))
+      .repartition(nShards, col("shard"))
+      .sortWithinPartitions("shard", "doc_id")
+      .as[(Long, Int, Int)]
+      .mapPartitions { it =>
+        var curShard = -1
+        var seq = 0L; var fill = 0L; var pos = 0
+        it.map { case (id, n, sh) =>
+          if (sh != curShard) { curShard = sh; seq = 0L; fill = 0L; pos = 0 }
+          if (fill > 0L && fill + n > ctxLen) { seq += 1L; fill = 0L; pos = 0 }
+          fill += n; pos += 1
+          (id, sh, n, seq, pos, fill)
+        }
+      }
+      .toDF("doc_id", "shard", "n_tokens", "seq_id", "pos_in_seq", "fill_after")
+  }
 }

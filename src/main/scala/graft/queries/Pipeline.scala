@@ -1173,6 +1173,32 @@ object Pipeline {
         |  round(SUM(length(bin(tt)) - length(bin(c))) * 1.0 / count(*), 6) AS bits_per_bigram
         |FROM big JOIN cnt USING (bg) CROSS JOIN tot GROUP BY doc_id""".stripMargin)),
 
+    // Sequence packing — documents greedily packed into 256-token training
+    // sequences, shard-parallel (sequential only within shard). The oracle
+    // replays the same greedy recurrence as a recursive CTE: rn-ordered
+    // per-shard iteration, new sequence exactly when fill would exceed ctx.
+    Q("t16_sequence_packing",
+      (s, d) => TextOps.packSequences(Tables.documents(s, d), "doc_id", "text",
+        ctxLen = 256, nShards = 8),
+      Some("""WITH RECURSIVE tok AS (
+        |  SELECT doc_id, CAST(doc_id % 8 AS INT) AS shard,
+        |    CAST(len(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS INT) AS n_tokens,
+        |    row_number() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id) AS rn
+        |  FROM documents),
+        |pack AS (
+        |  SELECT doc_id, shard, n_tokens, rn,
+        |    CAST(0 AS BIGINT) AS seq_id, CAST(1 AS INT) AS pos_in_seq,
+        |    CAST(n_tokens AS BIGINT) AS fill_after
+        |  FROM tok WHERE rn = 1
+        |  UNION ALL
+        |  SELECT t.doc_id, t.shard, t.n_tokens, t.rn,
+        |    CASE WHEN p.fill_after + t.n_tokens > 256 THEN p.seq_id + 1 ELSE p.seq_id END,
+        |    CAST(CASE WHEN p.fill_after + t.n_tokens > 256 THEN 1 ELSE p.pos_in_seq + 1 END AS INT),
+        |    CASE WHEN p.fill_after + t.n_tokens > 256 THEN CAST(t.n_tokens AS BIGINT)
+        |         ELSE p.fill_after + t.n_tokens END
+        |  FROM pack p JOIN tok t ON t.shard = p.shard AND t.rn = p.rn + 1)
+        |SELECT doc_id, shard, n_tokens, seq_id, pos_in_seq, fill_after FROM pack""".stripMargin)),
+
     // Flagship curation pipeline from raw documents: exact dedup (keep the
     // min-id copy) → quality gate (token count + punctuation ratio) →
     // temperature rebalance across languages. The whole chain — including

@@ -586,4 +586,51 @@ class OperatorsSpec extends SparkSpec {
       explode(bigram_counts(trim(col("text")))).as(Seq("bg", "cd")))
     assert(hist.exceptAll(exploded).isEmpty && exploded.exceptAll(hist).isEmpty)
   }
+
+  test("packSequences: hand-computed greedy assignment, oversized doc alone") {
+    import spark.implicits._
+    // one shard: token counts 3,4,2,9,1 with ctx=8 pack as
+    // [3,4] (7) | [2] then 9 overflows -> [2] closes at 2? no: 2+9>8 so 9
+    // starts seq 2 ALONE (oversized allowed as sole member), 1 then opens
+    // seq 3 because 9+1>8.
+    val docs = Seq((0L, "a b c"), (8L, "a b c d"), (16L, "a b"),
+      (24L, "a b c d e f g h i"), (32L, "a")).toDF("doc_id", "text")
+    val got = TextOps.packSequences(docs, "doc_id", "text", ctxLen = 8, nShards = 8)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getLong(3), r.getInt(4), r.getLong(5)))).toMap
+    assert(got(0L) == ((0, 0L, 1, 3L)))
+    assert(got(8L) == ((0, 0L, 2, 7L)))
+    assert(got(16L) == ((0, 1L, 1, 2L)))
+    assert(got(24L) == ((0, 2L, 1, 9L))) // oversized: own sequence, not dropped
+    assert(got(32L) == ((0, 3L, 1, 1L)))
+  }
+
+  test("packSequences: invariants hold and assignment ignores physical layout") {
+    import spark.implicits._
+    val docs = (0L until 200L).map(i =>
+      (i, ("tok " * (1 + (i * 7 % 60).toInt)).trim)).toDF("doc_id", "text")
+    val packed = TextOps.packSequences(docs, "doc_id", "text", ctxLen = 64, nShards = 4)
+      .persist()
+    try {
+      // every sequence fits the budget unless it is a single oversized doc
+      val bad = packed.groupBy("shard", "seq_id")
+        .agg(max("fill_after").as("fill"), count(lit(1)).as("n"))
+        .where(col("fill") > 64 && col("n") > 1)
+      assert(bad.isEmpty, "multi-doc sequence above the token budget")
+      // fill_after is the running sum in pos order; pos is dense from 1
+      val rows = packed.collect()
+        .groupBy(r => (r.getInt(1), r.getLong(3))).values
+      rows.foreach { seqRows =>
+        val sorted = seqRows.sortBy(_.getInt(4))
+        assert(sorted.map(_.getInt(4)).toSeq == (1 to sorted.size))
+        assert(sorted.map(_.getInt(2)).scanLeft(0L)(_ + _).drop(1).toSeq ==
+          sorted.map(_.getLong(5)).toSeq)
+      }
+      // determinism: a hostile input layout produces the identical assignment
+      val shuffled = TextOps.packSequences(
+        docs.repartition(13).sortWithinPartitions(col("text")),
+        "doc_id", "text", ctxLen = 64, nShards = 4)
+      assert(packed.exceptAll(shuffled).isEmpty && shuffled.exceptAll(packed).isEmpty)
+    } finally { packed.unpersist(); () }
+  }
 }
