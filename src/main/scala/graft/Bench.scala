@@ -23,7 +23,7 @@ object Bench {
     "t13_decontaminate_bloom",
     "t1_token_stats", "t5_tfidf", "t6_winnow_fingerprint", "t7_decontamination",
     "t9_pii_metrics", "t11_chunk_documents",
-    "t14_classifier_score", "t15_bigram_surprisal",
+    "t14_classifier_score", "t15_bigram_surprisal", "t16_sequence_packing",
     "ds3_temperature_resample", "ds7_domain_mixture",
     "p0_curation_pipeline", "p2_corpus_freeze",
     "sim1_cosine_topk", "sim2_lsh_topk", "sim5_ivf_topk", "sim7_ivfpq_topk",

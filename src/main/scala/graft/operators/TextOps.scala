@@ -476,10 +476,15 @@ object TextOps {
         round(col("surprisal_bits") / col("n_bigrams").cast("double"), 6))
   }
 
-  /** SEQUENCE PACKING — assign each document to a fixed-token-budget
+  /** GREEDY SEQUENCE PACKING — assign each document to a fixed-token-budget
     * training sequence (the pre-tokenization packing step of an LLM data
     * pipeline: concatenate documents until the context window would
-    * overflow, then start the next sequence). Packing is greedy in id order
+    * overflow, then start the next sequence). This is the
+    * DOCUMENT-BOUNDARY-RESPECTING variant — no document is ever split
+    * across sequences, the layout used when cross-document attention
+    * contamination matters; [[Sampling.packSequences]] (ds5) is the
+    * complementary concat-and-chunk layout where documents straddle cuts
+    * and every sequence is exactly full. Packing is greedy in id order
     * WITHIN a shard (`shard = id mod nShards`): a document opens a new
     * sequence exactly when the current one is non-empty and adding it would
     * exceed `ctxLen`; an oversized document (n_tokens > ctxLen) therefore
@@ -499,7 +504,7 @@ object TextOps {
     *
     * @return (doc_id, shard, n_tokens, seq_id, pos_in_seq, fill_after)
     */
-  def packSequences(df: DataFrame, idCol: String, textCol: String,
+  def packGreedy(df: DataFrame, idCol: String, textCol: String,
       ctxLen: Int, nShards: Int = 8): DataFrame = {
     require(ctxLen > 0 && nShards > 0)
     val spark = df.sparkSession

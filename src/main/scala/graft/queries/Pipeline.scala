@@ -1173,12 +1173,13 @@ object Pipeline {
         |  round(SUM(length(bin(tt)) - length(bin(c))) * 1.0 / count(*), 6) AS bits_per_bigram
         |FROM big JOIN cnt USING (bg) CROSS JOIN tot GROUP BY doc_id""".stripMargin)),
 
-    // Sequence packing — documents greedily packed into 256-token training
-    // sequences, shard-parallel (sequential only within shard). The oracle
-    // replays the same greedy recurrence as a recursive CTE: rn-ordered
-    // per-shard iteration, new sequence exactly when fill would exceed ctx.
+    // Greedy sequence packing — documents packed whole into 256-token
+    // training sequences (boundary-respecting, vs ds5's concat-and-chunk),
+    // shard-parallel (sequential only within shard). The oracle replays the
+    // same greedy recurrence as a recursive CTE: rn-ordered per-shard
+    // iteration, new sequence exactly when fill would exceed ctx.
     Q("t16_sequence_packing",
-      (s, d) => TextOps.packSequences(Tables.documents(s, d), "doc_id", "text",
+      (s, d) => TextOps.packGreedy(Tables.documents(s, d), "doc_id", "text",
         ctxLen = 256, nShards = 8),
       Some("""WITH RECURSIVE tok AS (
         |  SELECT doc_id, CAST(doc_id % 8 AS INT) AS shard,

@@ -587,7 +587,7 @@ class OperatorsSpec extends SparkSpec {
     assert(hist.exceptAll(exploded).isEmpty && exploded.exceptAll(hist).isEmpty)
   }
 
-  test("packSequences: hand-computed greedy assignment, oversized doc alone") {
+  test("packGreedy: hand-computed greedy assignment, oversized doc alone") {
     import spark.implicits._
     // one shard: token counts 3,4,2,9,1 with ctx=8 pack as
     // [3,4] (7) | [2] then 9 overflows -> [2] closes at 2? no: 2+9>8 so 9
@@ -595,7 +595,7 @@ class OperatorsSpec extends SparkSpec {
     // seq 3 because 9+1>8.
     val docs = Seq((0L, "a b c"), (8L, "a b c d"), (16L, "a b"),
       (24L, "a b c d e f g h i"), (32L, "a")).toDF("doc_id", "text")
-    val got = TextOps.packSequences(docs, "doc_id", "text", ctxLen = 8, nShards = 8)
+    val got = TextOps.packGreedy(docs, "doc_id", "text", ctxLen = 8, nShards = 8)
       .collect().map(r => r.getLong(0) ->
         ((r.getInt(1), r.getLong(3), r.getInt(4), r.getLong(5)))).toMap
     assert(got(0L) == ((0, 0L, 1, 3L)))
@@ -605,11 +605,11 @@ class OperatorsSpec extends SparkSpec {
     assert(got(32L) == ((0, 3L, 1, 1L)))
   }
 
-  test("packSequences: invariants hold and assignment ignores physical layout") {
+  test("packGreedy: invariants hold and assignment ignores physical layout") {
     import spark.implicits._
     val docs = (0L until 200L).map(i =>
       (i, ("tok " * (1 + (i * 7 % 60).toInt)).trim)).toDF("doc_id", "text")
-    val packed = TextOps.packSequences(docs, "doc_id", "text", ctxLen = 64, nShards = 4)
+    val packed = TextOps.packGreedy(docs, "doc_id", "text", ctxLen = 64, nShards = 4)
       .persist()
     try {
       // every sequence fits the budget unless it is a single oversized doc
@@ -627,7 +627,7 @@ class OperatorsSpec extends SparkSpec {
           sorted.map(_.getLong(5)).toSeq)
       }
       // determinism: a hostile input layout produces the identical assignment
-      val shuffled = TextOps.packSequences(
+      val shuffled = TextOps.packGreedy(
         docs.repartition(13).sortWithinPartitions(col("text")),
         "doc_id", "text", ctxLen = 64, nShards = 4)
       assert(packed.exceptAll(shuffled).isEmpty && shuffled.exceptAll(packed).isEmpty)
