@@ -165,6 +165,22 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("HashAggregate"), p)
   }
 
+  test("greedy packing plans one shard exchange: no join, no global sort, no window") {
+    // Packing a 100 TB corpus must move each doc over the network exactly
+    // once (the hash exchange to its shard). A global sort would plan a
+    // second, range exchange; a window would serialize per-shard state
+    // through a sort-based window operator instead of the O(1) streaming
+    // pass.
+    val p = plan("t16_sequence_packing")
+    // formatted mode prints each node twice (tree + details); the details
+    // header "(<id>) Exchange" appears exactly once per physical node
+    val exchanges = """\(\d+\) Exchange""".r.findAllMatchIn(p).size
+    assert(exchanges == 1, s"expected exactly 1 Exchange, got $exchanges:\n${p.take(3000)}")
+    assert(p.contains("hashpartitioning(shard"), p.take(3000))
+    assert(!p.contains("rangepartitioning"), s"global sort leaked in:\n${p.take(3000)}")
+    assert(!p.contains("Join") && !p.contains("Window"), p.take(3000))
+  }
+
   test("reorg repair's contraction path: equi-joins only, no quadratic fallback") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
