@@ -61,8 +61,15 @@ object DocScaleRehearsal {
         .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
       Files.write(Paths.get(s"$dir/_DONE"), Array.emptyByteArray)
     }
+    // SPARK_GRAFT_DOC_LEGS selects a subset by substring (mirrors
+    // StreamRehearsal's SPARK_GRAFT_STREAM_LEGS) so a single-operator
+    // campaign doesn't pay for the whole list.
+    val legFilter = sys.env.get("SPARK_GRAFT_DOC_LEGS")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names = Seq("d1_exact_dedup", "d4_minhash_pairs", "d7_neardup_clusters",
-      "t13_decontaminate_bloom", "t15_bigram_surprisal", "sim5_ivf_topk")
+      "t13_decontaminate_bloom", "t15_bigram_surprisal", "t16_sequence_packing",
+      "sim5_ivf_topk")
+      .filter(n => legFilter.forall(_.exists(n.contains)))
     Seq(("1x", src), (s"${k}x", dir)).foreach { case (tag, d) =>
       names.foreach { name =>
         Graft.releaseCaches()
