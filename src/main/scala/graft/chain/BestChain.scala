@@ -59,10 +59,17 @@ object BestChain {
     val memo = scala.collection.mutable.HashMap.empty[String, Int]
     pairs.foreach { r =>
       // walk up to the first memoized ancestor or a root (stack-safe),
-      // then assign heights back down the walked path
+      // then assign heights back down the walked path. Step cap = cycle
+      // guard: a legitimate walk visits each block at most once, so more
+      // steps than blocks proves a parent-pointer loop (corrupt input —
+      // real block hashes can't cycle) and the walk must error, not hang.
       var stack = List.empty[String]
       var cur = r.getString(0)
+      var steps = 0
       while (!memo.contains(cur) && parentOf.contains(cur)) {
+        steps += 1
+        if (steps > pairs.length) throw new IllegalStateException(
+          "cyclic parent pointers in block input — cannot resolve heights")
         stack ::= cur
         cur = parentOf(cur)
       }

@@ -235,8 +235,16 @@ object ChainOps {
     // chain: 90 vs 21 shuffles, and the rebase passes are the cheap part).
     val arity = if (bcast) Arity else 2
     var r = 0
+    // A well-formed forest of n nodes resolves in ceil(log_arity n) rounds
+    // (depth ≤ n); needing more proves the parent pointers never saturate —
+    // a cycle (corrupt input, since real block hashes can't loop) — and the
+    // cap turns what would be an infinite loop into a diagnosable error.
+    val maxRounds = 64 / (32 - Integer.numberOfLeadingZeros(math.max(arity - 1, 1))) + 2
     while (unresolved > 0) {
       r += 1
+      if (r > maxRounds) throw new IllegalStateException(
+        s"parent-pointer resolution did not converge after $r rounds " +
+          s"($unresolved rows pending) — cyclic parent pointers in the input?")
       // Hop only the PENDING rows and pass the resolved ones through
       // unchanged (hopOnce's done-guard makes that a no-op rewrite). This
       // is load-bearing above the envelope, not an optimization: every

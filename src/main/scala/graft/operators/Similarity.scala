@@ -193,13 +193,17 @@ object Similarity {
   final case class IvfAppendStats(
       touchedCells: Int, newVectors: Long, nonEmptyCells: Int,
       maxCell: Long, meanCell: Double, p99Cell: Long) {
-    def skew: Double = maxCell / meanCell
+    def skew: Double = if (meanCell == 0.0) 0.0 else maxCell / meanCell
     def json: String =
       f"""{"touched_cells":$touchedCells,"new_vectors":$newVectors,"non_empty_cells":$nonEmptyCells,"max_cell":$maxCell,"mean_cell":$meanCell%.2f,"p99_cell":$p99Cell,"skew":$skew%.2f}"""
   }
 
   private def statsFromCells(
       touched: Int, newVecs: Long, cells: Map[Int, Long]): IvfAppendStats = {
+    // empty map (an empty batch appended to a fresh index): well-defined
+    // zero stats, not a sizes.last crash
+    if (cells.isEmpty)
+      return IvfAppendStats(touched, newVecs, 0, 0L, 0.0, 0L)
     val sizes = cells.values.toArray.sorted
     IvfAppendStats(
       touchedCells = touched, newVectors = newVecs,
@@ -438,6 +442,10 @@ object Similarity {
           else spark.read.parquet(s"$dir/cells").groupBy("cell").count()
             .as[(Int, Long)].collect().toMap
         }
+      // empty batch: nothing to append, no sidecar churn — report the prior
+      // state (zero stats on a fresh index) instead of writing an empty
+      // partition dir and crashing on the empty cell map
+      if (batchCells.isEmpty) return statsFromCells(0, 0L, prior)
       assigned.write.mode("append").partitionBy("cell").parquet(s"$dir/cells")
       val merged = (prior.keySet ++ batchCells.keySet).iterator
         .map(c => c -> (prior.getOrElse(c, 0L) + batchCells.getOrElse(c, 0L)))
@@ -493,11 +501,12 @@ object Similarity {
     * into a sibling `_rebuild/` directory while the live `cells/` and
     * `centroids/` stay untouched (they are also the rebuild's input — no
     * checkpoint of the vectors is ever needed, reliable or otherwise), then
-    * swapped in with directory renames. A crash before the swap leaves the
-    * live index intact (a stale `_rebuild/` is deleted on the next run); a
-    * crash mid-swap leaves the displaced copy under `_prev/` for manual
-    * recovery — at no point is the only copy of the vectors in volatile
-    * executor storage.
+    * swapped in with directory renames (each asserted — a failed rename
+    * aborts the swap with `_prev/` intact). A crash before the swap leaves
+    * the live index untouched (a stale `_rebuild/` is deleted on the next
+    * run); a crash mid-swap leaves the displaced copy under `_prev/`, which
+    * the NEXT run restores before doing anything destructive — at no point
+    * is the only copy of the vectors in volatile executor storage.
     *
     * @return true when a rebuild happened
     */
@@ -512,6 +521,24 @@ object Similarity {
     if (!skew.exists(_ > maxSkew)) return false
     val (fs, _) = hadoopFs(spark, dir)
     def hp(s: String) = new org.apache.hadoop.fs.Path(s)
+    // Every swap step must actually happen before anything is deleted: a
+    // rename that silently returned false followed by the cleanup deletes
+    // would destroy the only surviving copy.
+    def mv(a: String, b: String): Unit =
+      if (!fs.rename(hp(a), hp(b))) throw new java.io.IOException(
+        s"IVF rebuild: rename $a -> $b failed; aborting swap ($dir/_prev left for recovery)")
+    // Crash-mid-swap recovery BEFORE any cleanup: if a previous run renamed
+    // the live copies to _prev/ but never promoted _rebuild/, the live
+    // cells/centroids are missing and the displaced copy is the only one —
+    // restore it (or abort) instead of deleting both and failing the read.
+    def liveOk = fs.exists(hp(s"$dir/cells")) && fs.exists(hp(s"$dir/centroids"))
+    if (!liveOk) {
+      if (!(fs.exists(hp(s"$dir/_prev/cells")) && fs.exists(hp(s"$dir/_prev/centroids"))))
+        throw new IllegalStateException(
+          s"IVF index at $dir has neither a live copy nor a complete _prev/ — refusing to rebuild")
+      if (!fs.exists(hp(s"$dir/cells"))) mv(s"$dir/_prev/cells", s"$dir/cells")
+      if (!fs.exists(hp(s"$dir/centroids"))) mv(s"$dir/_prev/centroids", s"$dir/centroids")
+    }
     fs.delete(hp(s"$dir/_rebuild"), true)
     fs.delete(hp(s"$dir/_prev"), true)
     // build the replacement entirely beside the live index, reading from it
@@ -522,12 +549,14 @@ object Similarity {
     val cellSizes = model.cells.groupBy("cell").count()
       .as[(Int, Long)].collect().toMap
     model.unpersist()
-    // swap: displace the live copies, promote the rebuilt ones, then clean up
+    // swap: displace the live copies, promote the rebuilt ones, then clean
+    // up — each step asserted, so a failure leaves _prev/ (and the sidecar
+    // untouched) instead of refreshing stats for an index never promoted
     fs.mkdirs(hp(s"$dir/_prev"))
-    fs.rename(hp(s"$dir/cells"), hp(s"$dir/_prev/cells"))
-    fs.rename(hp(s"$dir/centroids"), hp(s"$dir/_prev/centroids"))
-    fs.rename(hp(s"$dir/_rebuild/cells"), hp(s"$dir/cells"))
-    fs.rename(hp(s"$dir/_rebuild/centroids"), hp(s"$dir/centroids"))
+    mv(s"$dir/cells", s"$dir/_prev/cells")
+    mv(s"$dir/centroids", s"$dir/_prev/centroids")
+    mv(s"$dir/_rebuild/cells", s"$dir/cells")
+    mv(s"$dir/_rebuild/centroids", s"$dir/centroids")
     fs.delete(hp(s"$dir/_prev"), true)
     fs.delete(hp(s"$dir/_rebuild"), true)
     val stats = statsFromCells(

@@ -213,7 +213,15 @@ object ChainStream {
       var stack = List.empty[String]
       var cur = r.getString(0)
       var anchorH: Option[Int] = None
+      // cycle guard: corrupt input whose parent pointers form a loop would
+      // otherwise walk parentOf forever (no height/cursor/genesis exit) — a
+      // legitimate walk visits each batch block at most once, so more steps
+      // than the batch has rows proves a cycle → the full path, which
+      // resolves heights by bounded doubling and never loops
+      var steps = 0
       while (anchorH.isEmpty && !heights.contains(cur)) {
+        steps += 1
+        if (steps > batchRows.length) return full("fallback")
         parentOf.get(cur) match {
           case Some(None) => // genesis root inside the batch: height 0
             heights.getOrElseUpdate(cur, 0)
@@ -501,13 +509,22 @@ object ChainStream {
           .localCheckpoint(true)
         graft.sinks.PartitionedGold.overwriteAffected(content, cursorPath)
       case _ =>
+        // The "unchanged" route only reaches here during a re-bootstrap
+        // (slots change / missing sidecar with a replayed or stale-only
+        // batch), where upd.best IS the lazy read of cursorPath: an
+        // already-bucketed cursor needs no rewrite at all (content is
+        // bit-identical by definition of the route), and a flat pre-bucketing
+        // cursor being migrated must be checkpointed first or the overwrite
+        // destroys the path its own plan reads mid-job.
+        val readsCursorPath = upd.route == "unchanged" ||
+          upd.extendDelta.exists(_._2 >= 0)
+        if (upd.route == "unchanged" &&
+            prevCursor.exists(_.columns.contains(bucketCol))) return
         // full resolution (checkpointed in the resolver — independent of
-        // cursorPath), a genesis-reset extend (pure local path), or a flat
-        // pre-bucketing cursor being migrated: rewrite the whole bucketed
-        // layout. Only the migration case still READS cursorPath — its
-        // one-time checkpoint breaks that cycle.
-        val src = if (upd.extendDelta.exists(_._2 >= 0))
-          upd.best.localCheckpoint(true) else upd.best
+        // cursorPath), a genesis-reset extend (pure local path), or a
+        // cursor whose plan reads cursorPath being migrated/rewritten: the
+        // one-time checkpoint breaks that read-from-overwritten-path cycle.
+        val src = if (readsCursorPath) upd.best.localCheckpoint(true) else upd.best
         graft.sinks.PartitionedGold.withBucket(
             src.select("hash", "height"), "height", CursorBucketSize)
           .write.mode("overwrite").partitionBy(bucketCol).parquet(cursorPath)

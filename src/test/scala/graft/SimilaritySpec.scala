@@ -421,4 +421,83 @@ class SimilaritySpec extends SparkSpec {
       assert(math.abs(norm - 1.0) < 1e-4, s"centroid norm $norm")
     }
   }
+
+  test("rebuild crash mid-swap: the displaced _prev copy is restored, never deleted") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sf)
+    val base = emb.filter(col("vec_id") < 200)
+    val built = Similarity.ivfIndex(base, "vec_id", "embedding", nlist = 16)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-crash").toString
+    Similarity.saveIvfIndex(built, dir)
+    built.unpersist()
+    // a sidecar whose skew trips any reasonable gate
+    Similarity.appendToIvfIndex(spark, dir,
+      emb.filter(col("vec_id") >= 200 && col("vec_id") < 210)
+        .select((col("vec_id") + 700000L).as("vec_id"), col("embedding")),
+      "vec_id", "embedding")
+    val before = spark.read.parquet(s"$dir/cells")
+      .select("vec_id").as[Long].collect().toSet
+
+    // simulate a crash after the swap displaced the live copies but before
+    // promotion: cells/centroids live under _prev/, _rebuild/ never promoted
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    def hp(s: String) = new org.apache.hadoop.fs.Path(s)
+    fs.mkdirs(hp(s"$dir/_prev"))
+    assert(fs.rename(hp(s"$dir/cells"), hp(s"$dir/_prev/cells")))
+    assert(fs.rename(hp(s"$dir/centroids"), hp(s"$dir/_prev/centroids")))
+    fs.mkdirs(hp(s"$dir/_rebuild")) // stale partial rebuild
+
+    // the next run must RESTORE from _prev (not delete both copies and die),
+    // then complete the rebuild with the exact same vector set
+    assert(Similarity.rebuildIvfIndexIfSkewed(spark, dir, "vec_id", "embedding",
+      maxSkew = 0.5, nlist = 16))
+    val after = spark.read.parquet(s"$dir/cells")
+      .select("vec_id").as[Long].collect().toSet
+    assert(after == before, "crash recovery lost or invented vectors")
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "_prev")))
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "_rebuild")))
+
+    // with NEITHER a live copy nor _prev, the rebuild must refuse, not wipe
+    assert(fs.rename(hp(s"$dir/cells"), hp(s"$dir/cells_hidden")))
+    intercept[IllegalStateException] {
+      Similarity.rebuildIvfIndexIfSkewed(spark, dir, "vec_id", "embedding",
+        maxSkew = 0.5, nlist = 16)
+    }
+    assert(fs.rename(hp(s"$dir/cells_hidden"), hp(s"$dir/cells")))
+  }
+
+  test("empty-batch append: no-op with well-defined stats on fresh and populated indexes") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sf)
+    val empty = emb.where(lit(false)).select("vec_id", "embedding")
+
+    // fresh index: centroids only, no cells/, no sidecar — must not throw
+    val built = Similarity.ivfIndex(emb.filter(col("vec_id") < 100),
+      "vec_id", "embedding", nlist = 8)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-empty").toString
+    Similarity.saveIvfIndex(built, dir)
+    built.unpersist()
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      java.nio.file.Paths.get(dir, "cells").toFile)
+    java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(dir, "_cellstats.json"))
+    val fresh = Similarity.appendToIvfIndex(spark, dir, empty, "vec_id", "embedding")
+    assert(fresh.newVectors == 0 && fresh.nonEmptyCells == 0 && fresh.skew == 0.0)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "cells")),
+      "empty append materialized an empty cells dir")
+
+    // populated index: stats report the prior state, files stay untouched
+    val built2 = Similarity.ivfIndex(emb.filter(col("vec_id") < 100),
+      "vec_id", "embedding", nlist = 8)
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-ivf-empty2").toString
+    Similarity.saveIvfIndex(built2, dir2)
+    built2.unpersist()
+    val seeded = Similarity.appendToIvfIndex(spark, dir2,
+      emb.filter(col("vec_id") >= 100 && col("vec_id") < 150)
+        .select((col("vec_id") + 800000L).as("vec_id"), col("embedding")),
+      "vec_id", "embedding")
+    val noop = Similarity.appendToIvfIndex(spark, dir2, empty, "vec_id", "embedding")
+    assert(noop.newVectors == 0 && noop.touchedCells == 0)
+    assert(noop.nonEmptyCells == seeded.nonEmptyCells && noop.maxCell == seeded.maxCell)
+  }
 }

@@ -552,4 +552,80 @@ class StreamingSpec extends SparkSpec {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(got.get("click").contains(2L))
   }
+
+  test("re-bootstrap on a replayed batch: the 'unchanged' cursor is never overwritten while read (and a flat cursor migrates)") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-stream-reboot").toString
+    def fundersOf(s: org.apache.spark.sql.SparkSession,
+        df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+      df.select(explode(col("txs")).as("t"))
+        .select(col("t._1").as("tx_hash"), explode(col("t._2")).as("src_address"))
+    def labels(): Map[String, String] = spark.read.parquet(s"$tmp/labels/labels")
+      .select("address", "wallet_id").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    def cursorSigs(): Map[String, String] = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(s"$tmp/labels/_bestchain"))
+        .iterator().asScala
+        .filter(f => f.getFileName.toString.endsWith(".parquet"))
+        .map { f =>
+          val h = java.security.MessageDigest.getInstance("MD5")
+            .digest(java.nio.file.Files.readAllBytes(f))
+          f.toString -> h.map("%02x".format(_)).mkString
+        }.toMap
+    }
+    val rows = Seq(
+      ("g", null, 1000L, Seq(("t1", Seq("a1", "a2")))),
+      ("a", "g", 1100L, Seq(("t2", Seq("a2", "a3")))))
+    val batch = rows.toDF("hash", "parent_hash", "ts", "txs")
+    ChainStream.walletLabelsBatch(spark, batch, s"$tmp/bronze", fundersOf,
+      s"$tmp/labels", slots = 8)
+    assert(labels() == Map("a1" -> "a1", "a2" -> "a1", "a3" -> "a1"))
+    val before = cursorSigs()
+
+    // Replay the SAME batch under a different slots value: bootstrapping is
+    // forced (sidecar disagrees) while the best chain is UNCHANGED — the
+    // cursor's plan is a read of its own path, so the write must be skipped
+    // (already bucketed, content identical), not an overwrite-while-reading
+    ChainStream.walletLabelsBatch(spark, batch, s"$tmp/bronze", fundersOf,
+      s"$tmp/labels", slots = 4)
+    assert(ChainStream.lastBestChainRoute == "unchanged")
+    assert(labels() == Map("a1" -> "a1", "a2" -> "a1", "a3" -> "a1"))
+    assert(cursorSigs() == before, "unchanged re-bootstrap rewrote the bucketed cursor")
+
+    // Flat pre-bucketing cursor (the r13 layout): the same re-bootstrap must
+    // MIGRATE it — checkpoint first, then rewrite bucketed — not crash
+    val flat = spark.read.parquet(s"$tmp/labels/_bestchain")
+      .select("hash", "height").localCheckpoint(true)
+    val fsPath = java.nio.file.Paths.get(s"$tmp/labels/_bestchain")
+    org.apache.commons.io.FileUtils.deleteDirectory(fsPath.toFile)
+    flat.write.mode("overwrite").parquet(s"$tmp/labels/_bestchain")
+    ChainStream.walletLabelsBatch(spark, batch, s"$tmp/bronze", fundersOf,
+      s"$tmp/labels", slots = 2)
+    assert(ChainStream.lastBestChainRoute == "unchanged")
+    val migrated = spark.read.parquet(s"$tmp/labels/_bestchain")
+    assert(migrated.columns.contains(graft.sinks.PartitionedGold.BucketCol),
+      "flat cursor was not migrated to the bucketed layout")
+    assert(migrated.count() == 2)
+    assert(labels() == Map("a1" -> "a1", "a2" -> "a1", "a3" -> "a1"))
+  }
+
+  test("cyclic parent pointers: the incremental walk exits to the full route, which errors instead of hanging") {
+    import spark.implicits._
+    // a healthy stored chain, then a corrupt batch whose parents form a loop
+    val cursor = Seq(("g", 0), ("a", 1)).toDF("hash", "height")
+    val batch = Seq(("c1", "c2", 3000L), ("c2", "c1", 3001L))
+      .toDF("hash", "parent_hash", "ts")
+    val bronze = Seq(("g", null.asInstanceOf[String], 1000L), ("a", "g", 1100L))
+      .toDF("hash", "parent_hash", "ts").unionByName(batch)
+    // the anchored walk must detect the loop in O(batch) steps and route to
+    // the full resolution — which then reports the corruption as a clear
+    // error (both its in-memory and doubling routes are themselves capped)
+    val ex = intercept[IllegalStateException] {
+      ChainStream.bestChainIncremental(spark, bronze, batch, Some(cursor))
+        .best.collect()
+    }
+    assert(ex.getMessage.toLowerCase.contains("cycl"))
+    assert(ChainStream.lastBestChainRoute == "fallback")
+  }
 }
