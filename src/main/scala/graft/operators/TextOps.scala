@@ -498,22 +498,36 @@ object TextOps {
     * hash exchange on `shard` + a within-partition sort, then a single
     * streaming pass with O(1) state per shard (state resets on the sorted
     * shard boundary, so co-located shards are safe and AQE coalescing is
-    * irrelevant). No driver materialization at any scale; `nShards` sets the
-    * parallelism/determinism trade — the assignment depends only on
-    * (id, n_tokens, ctxLen, nShards), never on physical partitioning.
+    * irrelevant). No driver materialization at any scale.
     *
+    * Determinism contract: the assignment depends only on
+    * (id, n_tokens, ctxLen, nShards) — never on physical partitioning — and
+    * the SHARD COUNT IS PART OF THAT KEY: different `nShards` values
+    * legitimately produce different (equally valid) packings. The default
+    * (`nShards = 0`) derives the count from the input's partitioning, so a
+    * 100 TB frame packs at the job's full parallelism instead of a fixed
+    * 8-task ceiling — but it therefore inherits the input layout's
+    * variability. Pin `nShards` explicitly wherever the exact assignment
+    * must be reproducible across runs or layouts (the oracle-gated t16
+    * query does).
+    *
+    * @param nShards shards to pack in parallel; 0 (default) = the input's
+    *                partition count (min 1)
     * @return (doc_id, shard, n_tokens, seq_id, pos_in_seq, fill_after)
     */
   def packGreedy(df: DataFrame, idCol: String, textCol: String,
-      ctxLen: Int, nShards: Int = 8): DataFrame = {
-    require(ctxLen > 0 && nShards > 0)
+      ctxLen: Int, nShards: Int = 0): DataFrame = {
+    require(ctxLen > 0 && nShards >= 0)
+    val shards =
+      if (nShards > 0) nShards
+      else math.max(df.rdd.getNumPartitions, 1)
     val spark = df.sparkSession
     import spark.implicits._
     df.select(
         col(idCol).cast("long").as("doc_id"),
         tokenCount(col(textCol)).cast("int").as("n_tokens"),
-        pmod(col(idCol).cast("long"), lit(nShards.toLong)).cast("int").as("shard"))
-      .repartition(nShards, col("shard"))
+        pmod(col(idCol).cast("long"), lit(shards.toLong)).cast("int").as("shard"))
+      .repartition(shards, col("shard"))
       .sortWithinPartitions("shard", "doc_id")
       .as[(Long, Int, Int)]
       .mapPartitions { it =>

@@ -1,6 +1,7 @@
 package graft
 
 import graft.functions.ExactDistinctWithRetraction
+import graft.tables.Tables
 
 import scala.collection.mutable
 
@@ -40,5 +41,32 @@ class ExactDistinctSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
     assert(got("g1") == ((2L, 2L)))
     assert(got("g2") == ((1L, 1L)))
+  }
+
+  test("a7b approx_count_distinct: HLL error bounded by 3x the configured rsd at both scales") {
+    import org.apache.spark.sql.functions._
+    // The a7b registry row is engine-defined (HLL sketches differ across
+    // engines, so no DuckDB hash gate) — this is its compensating
+    // machine-checked bound: on the exact query shape a7b registers, every
+    // group's relative error must sit within 3 standard deviations of the
+    // sketch's configured rsd (Spark default 0.05). 3σ makes the gate
+    // deterministic-in-practice (P[miss] ~ 1e-3 per group) while still
+    // catching a broken sketch outright.
+    val rsd = 0.05
+    Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01").foreach { dir =>
+      val li = Tables.lineitem(spark, dir)
+      val rows = li.groupBy("l_returnflag")
+        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          countDistinct(col("l_partkey")).as("exact_parts"))
+        .collect()
+      assert(rows.nonEmpty)
+      rows.foreach { r =>
+        val approx = r.getLong(1).toDouble
+        val exact = r.getLong(2).toDouble
+        val relErr = math.abs(approx - exact) / exact
+        assert(relErr <= 3 * rsd,
+          s"$dir flag=${r.getString(0)}: |$approx - $exact|/$exact = $relErr > ${3 * rsd}")
+      }
+    }
   }
 }

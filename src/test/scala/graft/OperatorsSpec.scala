@@ -633,4 +633,40 @@ class OperatorsSpec extends SparkSpec {
       assert(packed.exceptAll(shuffled).isEmpty && shuffled.exceptAll(packed).isEmpty)
     } finally { packed.unpersist(); () }
   }
+
+  test("packGreedy: derived shard default scales with the input; every shard count yields a valid packing") {
+    import spark.implicits._
+    val docs = (0L until 300L).map(i =>
+      (i, ("tok " * (1 + (i * 11 % 50).toInt)).trim)).toDF("doc_id", "text")
+
+    // the default derives nShards from the input's partition count — a
+    // 100 TB frame packs at the job's parallelism, not a fixed-8 ceiling
+    val wide = docs.repartition(24)
+    val derived = TextOps.packGreedy(wide, "doc_id", "text", ctxLen = 64)
+    assert(derived.select(col("shard")).distinct().count() == 24,
+      "derived default did not track the input's partition count")
+
+    // shard count is part of the layout key: different counts give different
+    // assignments, but EVERY count yields a complete, budget-respecting,
+    // layout-independent packing
+    Seq(1, 3, 24).foreach { n =>
+      val p = TextOps.packGreedy(docs, "doc_id", "text", ctxLen = 64, nShards = n)
+        .persist()
+      try {
+        assert(p.count() == 300 &&
+          p.select("doc_id").distinct().count() == 300,
+          s"nShards=$n lost or duplicated documents")
+        val overBudget = p.groupBy("shard", "seq_id")
+          .agg(max("fill_after").as("fill"), count(lit(1)).as("k"))
+          .where(col("fill") > 64 && col("k") > 1)
+        assert(overBudget.isEmpty, s"nShards=$n packed a multi-doc sequence over budget")
+        // same count, hostile layout: identical assignment (the layout key
+        // is (id, n_tokens, ctxLen, nShards), never physical partitioning)
+        val relaid = TextOps.packGreedy(docs.repartition(7), "doc_id", "text",
+          ctxLen = 64, nShards = n)
+        assert(p.exceptAll(relaid).isEmpty && relaid.exceptAll(p).isEmpty,
+          s"nShards=$n assignment depends on the physical layout")
+      } finally { p.unpersist(); () }
+    }
+  }
 }
