@@ -140,7 +140,10 @@ object ScaleRehearsal {
     // addresses and 3 txs — {0,1}, {2,3}, and the BRIDGE {1,2,4} — and the
     // reorg retracts the bridge tx of every 200th wallet, so the affected
     // components genuinely split (repair emits real replacement rows) while
-    // spanning only 0.5% of the store → contraction, not mass-recompute.
+    // spanning only 0.5% of the store. The ROUTE is now picked by economics:
+    // below ~2M stored rows the recompute-diff path wins (fixed job-ladder
+    // latency dominates), above it contraction does — this leg's 1×/10×/30×
+    // runs demonstrate the router tracking min(repair, full) at every scale.
     // Also timed: the no-op pre-route (a reorg of funder-less blocks).
     {
       import org.apache.spark.sql.functions._
@@ -169,6 +172,7 @@ object ScaleRehearsal {
         graft.chain.WalletCluster.repairAfterReorg(stored, invFunders, keptFunders)
           .collect()
       }
+      val route = graft.chain.WalletCluster.lastRepairRoute
       val keptAddrs = keptFunders.select(col("src_address").as("address")).distinct()
       val (full, tFull) = timed {
         graft.chain.WalletCluster.clusters(keptAddrs, keptFunders).collect()
@@ -183,7 +187,7 @@ object ScaleRehearsal {
       val fullMap = full.map(r => r.getString(0) -> r.getString(1)).toMap
       val exact = fullMap.forall { case (a, w) => repaired.get(a).contains(w) } &&
         (repaired.keySet -- fullMap.keySet).forall(a => repaired(a) == a)
-      Rehearsal.emit(f"""{"rehearsal":"wallet_reorg_repair_shallow","scale":$scale,"wallets":$nWallets,"affected_wallets":${nWallets / 200},"repair_s":$tRepair%.2f,"full_s":$tFull%.2f,"noop_s":$tNoop%.2f,"noop_rows":${noop.length},"repair_rows":${rep.length},"stored_rows":$nStored,"exact":$exact}""")
+      Rehearsal.emit(f"""{"rehearsal":"wallet_reorg_repair_shallow","scale":$scale,"wallets":$nWallets,"affected_wallets":${nWallets / 200},"route":"$route","repair_s":$tRepair%.2f,"full_s":$tFull%.2f,"noop_s":$tNoop%.2f,"noop_rows":${noop.length},"repair_rows":${rep.length},"stored_rows":$nStored,"exact":$exact}""")
     }
     spark.stop()
   }

@@ -122,7 +122,94 @@ object StreamRehearsal {
     if (legOn("node")) nodeFollowLeg(spark)
     if (legOn("resume")) killResumeLeg(spark)
     if (legOn("wallet")) walletLabelsLeg(spark)
+    if (legOn("backfill")) walletOrderedBackfillLeg(spark)
     spark.stop()
+  }
+
+  /** (tx_hash, src_address) funders of the given block rows over the
+    * corpus' resolved inputs — the callback both wallet legs hand the
+    * maintainer (the same extraction the batch queries use). `rinAll` is
+    * ALL resolved inputs, caller-persisted: invalidated funders live on
+    * stale branches by definition, so the best-chain-restricted silver
+    * cannot serve the reorg path.
+    */
+  private def corpusFundersOf(
+      rinAll: org.apache.spark.sql.DataFrame,
+      txsB: org.apache.spark.sql.DataFrame)(
+      s: SparkSession,
+      blockRows: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    rinAll.join(
+      txsB.join(blockRows.select(col("hash").as("block_hash")),
+          Seq("block_hash"), "left_semi")
+        .select("tx_hash"),
+      Seq("tx_hash"), "left_semi")
+
+  /** The wallet maintainer under a REALISTIC backfill: the same corpus fed
+    * in CHAIN ORDER (a node replaying history delivers blocks roughly by
+    * height), stepped synchronously through `walletLabelsBatch` in
+    * equal-size height slices. Every post-bootstrap batch must resolve on
+    * the O(batch) "extend" route — no full re-resolution, no corpus-sized
+    * funder recompute — so the per-batch times stay flat as history
+    * accumulates: THE 1M-block-backfill claim, measured. (The shuffled
+    * `wallet` leg keeps the adversarial fragment-attachment case, which
+    * legitimately pays one full in-memory resolution per batch.)
+    */
+  private def walletOrderedBackfillLeg(spark: SparkSession): Unit = {
+    import spark.implicits._
+    val workDir = Paths.get("target/stream_rehearsal_backfill")
+    deleteRecursively(workDir)
+    val txsB = graft.chain.BlkCorpus.bronze(spark, "transactions")
+    val rinAll = graft.chain.Enrich.resolvedInputs(
+        graft.chain.BlkCorpus.bronze(spark, "tx_inputs"),
+        graft.chain.BlkCorpus.bronze(spark, "tx_outputs"))
+      .select("tx_hash", "src_address").distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    rinAll.count()
+    val fundersOf = corpusFundersOf(rinAll, txsB) _
+    val ann = graft.chain.BlkCorpus.annotated(spark)
+    val maxH = ann.agg(max("height")).head.get(0).asInstanceOf[Number].intValue
+    // ≥10 slices, capped so a slice stays under the incremental walk's
+    // driver-side batch bound (the maintainer would fall back, correctly but
+    // measuring the wrong path) — 30× runs ~19 slices of ~75k blocks
+    val nBatches = math.max(10, maxH / 80000 + 1)
+    val step = maxH / nBatches + 1
+    graft.streaming.ChainStream.walletBatchLog.clear()
+    val runs = (0 until nBatches).map { i =>
+      val lo = i * step
+      val batch = ann
+        .where(col("height") >= lo && col("height") < lo + step)
+        .select(
+          col("hash"),
+          when(col("parent_hash") === "0" * 64, lit(null))
+            .otherwise(col("parent_hash")).as("parent_hash"),
+          col("ts"))
+      val t0 = System.nanoTime()
+      graft.streaming.ChainStream.walletLabelsBatch(
+        spark, batch, s"$workDir/bronze", fundersOf, s"$workDir/labels", 64)
+      ((System.nanoTime() - t0) / 1e9,
+        graft.streaming.ChainStream.lastBestChainRoute)
+    }
+    val batchWork = {
+      import scala.jdk.CollectionConverters._
+      graft.streaming.ChainStream.walletBatchLog.iterator().asScala.mkString(",")
+    }
+    // convergence: the ordered drain must land on the same labeling a
+    // from-scratch clustering of the final best chain produces
+    val bestTxs = graft.chain.GoldStats.chainTxs(txsB, ann).select("tx_hash")
+    val bestFunders = rinAll.join(bestTxs, Seq("tx_hash"), "left_semi")
+    val expect = graft.chain.WalletCluster.clusters(
+      bestFunders.select(col("src_address").as("address")).distinct(), bestFunders)
+    val store = spark.read.parquet(s"$workDir/labels/labels")
+      .select("address", "wallet_id")
+    val missing = expect.exceptAll(store).count()
+    val staleExtras = store.exceptAll(expect)
+      .where(col("address") =!= col("wallet_id")).count()
+    val converged = missing == 0 && staleExtras == 0
+    rinAll.unpersist(blocking = false)
+    Rehearsal.emit(
+      s"""{"rehearsal":"wallet_labels_ordered_backfill","scale":${graft.chain.BlkCorpus.Scale},"batches":$nBatches,"batch_s":[${runs.map(r => f"${r._1}%.1f").mkString(",")}],"routes":[${runs.map(r => "\"" + r._2 + "\"").mkString(",")}],"batch_work":[$batchWork],"missing":$missing,"stale_extras":$staleExtras,"converged":$converged}""")
+    if (!converged) throw new IllegalStateException(
+      s"ordered backfill diverged: missing=$missing stale=$staleExtras")
   }
 
   /** The round-13 surface at corpus scale: maintain the WALLET LABELING as
@@ -149,20 +236,19 @@ object StreamRehearsal {
       .select("tx_hash", "src_address").distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     rinAll.count()
-    def fundersOf(s: SparkSession,
-        blockRows: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
-      rinAll.join(
-        txsB.join(blockRows.select(col("hash").as("block_hash")),
-            Seq("block_hash"), "left_semi")
-          .select("tx_hash"),
-        Seq("tx_hash"), "left_semi")
+    val fundersOf = corpusFundersOf(rinAll, txsB) _
+    // same env knob as the gold catch-up leg (default 8 = the archived
+    // 4-batch drain); cross-scale campaigns drop it to get a finer-grained
+    // per-batch cost curve
+    val fpt = sys.env.getOrElse("SPARK_GRAFT_STREAM_FILES_PER_TRIGGER", "8").toInt
     val headers = graft.streaming.ChainStream
-      .blkFileStream(spark, rawDir, maxFilesPerTrigger = 8)
+      .blkFileStream(spark, rawDir, maxFilesPerTrigger = fpt)
       .select(
         col("hash"),
         when(col("parent_hash") === "0" * 64, lit(null))
           .otherwise(col("parent_hash")).as("parent_hash"),
         col("ts"))
+    graft.streaming.ChainStream.walletBatchLog.clear()
     val t0 = System.nanoTime()
     val q = graft.streaming.ChainStream.incrementalWalletLabels(
       headers, s"$workDir/bronze", fundersOf,
@@ -172,6 +258,12 @@ object StreamRehearsal {
     val progress = q.recentProgress.toSeq.filter(_.numInputRows > 0)
     val nBatches = progress.size
     val perBatch = progress.map(_.batchDuration / 1e3)
+    // per-batch work sizes (route, arrived, invalidated, repair route) — the
+    // O(delta) evidence beside the wall times
+    val batchWork = {
+      import scala.jdk.CollectionConverters._
+      graft.streaming.ChainStream.walletBatchLog.iterator().asScala.mkString(",")
+    }
 
     val ann = graft.chain.BlkCorpus.annotated(spark)
     val bestTxs = graft.chain.GoldStats.chainTxs(txsB, ann).select("tx_hash")
@@ -191,7 +283,7 @@ object StreamRehearsal {
     val nLabels = store.count()
     val converged = missing == 0 && staleExtras == 0
     Rehearsal.emit(
-      f"""{"rehearsal":"wallet_labels_catchup","scale":${graft.chain.BlkCorpus.Scale},"batches":$nBatches,"wall_s":$wallSec%.1f,"batch_s":[${perBatch.map(d => f"$d%.1f").mkString(",")}],"labels":$nLabels,"missing":$missing,"stale_extras":$staleExtras,"orphan_singletons":$orphanSingletons,"converged":$converged}""")
+      f"""{"rehearsal":"wallet_labels_catchup","scale":${graft.chain.BlkCorpus.Scale},"files_per_trigger":$fpt,"batches":$nBatches,"wall_s":$wallSec%.1f,"batch_s":[${perBatch.map(d => f"$d%.1f").mkString(",")}],"batch_work":[$batchWork],"labels":$nLabels,"missing":$missing,"stale_extras":$staleExtras,"orphan_singletons":$orphanSingletons,"converged":$converged}""")
     if (!converged) {
       rinAll.unpersist(blocking = false)
       throw new IllegalStateException(

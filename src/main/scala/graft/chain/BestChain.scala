@@ -35,25 +35,20 @@ object BestChain {
     */
   def annotate(blocks: DataFrame): DataFrame = annotateDistributed(blocks)
 
-  /** One-pass in-memory resolution of a collected parent forest: memoized
-    * height walk, tip pick, best-chain walk. Shared by [[annotate]]'s
-    * driver route and [[annotateDistributed]]'s broadcast-envelope route —
-    * identical semantics by construction.
+  /** The in-memory walk shared by every envelope route: memoized height
+    * walk over a collected parent forest, tip pick, best-chain walk.
+    * Returns (heights, on-chain set) — phantom parents (dangling pointers,
+    * never seen as blocks) are INCLUDED in the memo at their saturate-at-
+    * root positions and must be filtered by the caller against its id set.
     */
-  private def annotateInMemory(
-      blocks: DataFrame, pairs: Array[org.apache.spark.sql.Row]): DataFrame = {
-    if (pairs.isEmpty) return blocks
-      .withColumn("height", lit(0).cast("int"))
-      .withColumn("is_on_best_chain", lit(false))
-      .where(lit(false))
-
-    val ids = pairs.map(_.getString(0)).toSet
+  private def resolveInMemory(pairs: Array[org.apache.spark.sql.Row])
+      : (scala.collection.mutable.HashMap[String, Int],
+         scala.collection.mutable.HashSet[String]) = {
     // node → parent for every non-null pointer, INCLUDING dangling ones
     // (parents never seen as blocks): the walk terminates at the phantom
     // parent, so a dangling pointer counts its one unresolvable hop —
     // exactly ChainOps' saturate-at-root semantics (a null-parent root sits
     // at height 0, a dangling-parent block at 1), which the bk6 oracle pins.
-    // Phantom entries are filtered out again at emission below.
     val parentOf: Map[String, String] = pairs.flatMap(r =>
       Option(r.getString(1)).map(r.getString(0) -> _)).toMap
     val memo = scala.collection.mutable.HashMap.empty[String, Int]
@@ -84,11 +79,60 @@ object BestChain {
       parentOf.get(cur).foreach { p => onChain += p; cur = p }
       steps -= 1
     }
+    (memo, onChain)
+  }
+
+  /** One-pass in-memory resolution of a collected parent forest. Shared by
+    * [[annotate]]'s driver route and [[annotateDistributed]]'s
+    * broadcast-envelope route — identical semantics by construction.
+    */
+  private def annotateInMemory(
+      blocks: DataFrame, pairs: Array[org.apache.spark.sql.Row]): DataFrame = {
+    if (pairs.isEmpty) return blocks
+      .withColumn("height", lit(0).cast("int"))
+      .withColumn("is_on_best_chain", lit(false))
+      .where(lit(false))
+    val (memo, onChain) = resolveInMemory(pairs)
     val spark = blocks.sparkSession
+    // phantom memo entries drop out of the join (they are not block rows)
     val ann = spark.createDataFrame(
       memo.toSeq.map { case (k, v) => (k, v, onChain.contains(k)) })
       .toDF("hash", "height", "is_on_best_chain")
     blocks.join(ann, "hash")
+  }
+
+  /** (hash, height) of the BEST CHAIN only — the streaming maintainer's
+    * form of [[annotate]]: it never needs heights of stale branches, so on
+    * the envelope route the whole answer is derived in the one driver pass
+    * and returned as a LOCAL relation — no join back against the block set,
+    * no shuffle, no distributed materialization. On a fragment-attaching
+    * catch-up drain this is the difference between a ~1 s resolution and a
+    * chain × chain join per micro-batch. Above the envelope it is the
+    * filtered distributed annotation, unchanged.
+    */
+  def bestChain(blocks: DataFrame): DataFrame = {
+    import ChainOps.traced
+    val spark = blocks.sparkSession
+    import spark.implicits._
+    val envelope = math.min(ChainOps.BroadcastMaxRows, (Int.MaxValue - 1).toLong).toInt
+    val probe = traced("bestChain: envelope probe")(blocks
+      .select("hash", "parent_hash")
+      .limit(envelope + 1).collect())
+    if (probe.length <= envelope) {
+      if (probe.isEmpty)
+        return Seq.empty[(String, Int)].toDF("hash", "height")
+      val (memo, onChain) = traced("bestChain: in-memory walk")(
+        resolveInMemory(probe))
+      val ids = probe.iterator.map(_.getString(0)).toSet
+      // phantom parents saturate the walk but are not blocks — filter them
+      val rows = memo.iterator.collect {
+        case (k, v) if onChain.contains(k) && ids.contains(k) => (k, v)
+      }.toSeq
+      rows.toDF("hash", "height")
+    } else
+      annotateDistributed(blocks)
+        .where(col("is_on_best_chain"))
+        .select(col("hash"), col("height").cast("int").as("height"))
   }
 
   /** The previous invocation's materialized annotation: each call swaps its

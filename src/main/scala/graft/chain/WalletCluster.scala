@@ -35,6 +35,17 @@ import graft.operators.{ChainOps, UnionFind}
   */
 object WalletCluster {
 
+  /** Stored-row floor below which [[repairAfterReorg]] always takes the
+    * recompute-diff route — see its route-economics note for the
+    * calibration against the archived 1×/10×/30× rehearsal scales.
+    */
+  val ContractionMinStoreRows: Long = 2000000L
+
+  /** Route the last [[repairAfterReorg]] call took — observability for
+    * specs and rehearsals. One of: "noop", "mass", "contraction".
+    */
+  @volatile private[graft] var lastRepairRoute: String = ""
+
   /** The previous invocation's materialized clustering — swapped per call so
     * repeated runs (bench reruns) hold ONE copy, not one per run (same
     * discipline as BestChain.lastAnn).
@@ -146,13 +157,22 @@ object WalletCluster {
     */
   def incrementalClusters(oldLabels: DataFrame, newFunders: DataFrame): DataFrame = {
     val old = oldLabels.select(col("address"), col("wallet_id"))
+    // Both frames below are BATCH-grain (the day's funding pairs and their
+    // contraction — never the store or the chain) and each is consumed
+    // several times by the nested clustering (distincts, the hub self-join,
+    // the node universe, the two output joins): materialize each ONCE.
+    // Lineage roots in the immutable bronze/batch source, so the eager
+    // local checkpoint risks nothing a batch retry wouldn't recover —
+    // measured 2× on the catch-up drain's middle batches left lazy.
     val funders = newFunders
       .select(col("tx_hash"), col("src_address").as("address")).distinct()
+      .localCheckpoint(true)
     // contract: funder → its stored component label (itself when unseen)
     val contracted = funders.join(old, Seq("address"), "left")
       .select(col("tx_hash"),
         coalesce(col("wallet_id"), col("address")).as("src_address"))
       .distinct()
+      .localCheckpoint(true)
     val nodes = contracted.select(col("src_address").as("address")).distinct()
     // (contracted node → merged-component label); routing, star edges and
     // cache discipline are clusters' own
@@ -207,12 +227,30 @@ object WalletCluster {
     * repair (the property suite gates exactly that composition against a
     * full recompute of the post-reorg chain).
     *
+    * ROUTE ECONOMICS: the contraction route is O(affected) in DATA but pays
+    * a fixed ladder of ~10 jobs (affected probe, member materialization,
+    * contraction joins, the nested clustering); the recompute-diff route is
+    * one clustering of the post-reorg chain plus one store diff — O(store)
+    * data, ~4 jobs. Measured on the many-small-components rehearsal corpus
+    * (0.5% of wallets affected, bench/rehearsal_r14.json): at 100k stored
+    * rows full recompute wins 2.8 s vs 4.4 s, at 1M it still edges out 12.9
+    * vs 14.2 s, and only at 3M does contraction win 10.5 vs 15.0 s — the
+    * fixed job ladder amortizes roughly where the store crosses ~2M rows.
+    * The router therefore takes the recompute-diff route whenever the store
+    * is below [[ContractionMinStoreRows]] (as well as whenever the affected
+    * members span ≥ half the store), so repair never costs more than the
+    * full recompute it exists to avoid; `contractionMinStore` overrides the
+    * floor (0 forces contraction wherever the affected fraction allows —
+    * the spec fixtures pin the contraction route's output shape that way).
+    *
     * @param oldLabels    the stored labeling — (address, wallet_id), built
     *                     on the pre-reorg best chain
     * @param invalidated  (tx_hash, src_address) funding pairs of the
     *                     reorged-OUT blocks (the edges being retracted)
     * @param bestFunders  (tx_hash, src_address) funding pairs of the
     *                     current post-reorg best chain
+    * @param contractionMinStore stored-row floor below which the
+    *                     recompute-diff route is always taken
     * @return REPLACEMENT rows (address, wallet_id) for every stored member
     *         of an affected component (split members re-label, possibly to
     *         themselves), plus every member of an unaffected component
@@ -224,7 +262,9 @@ object WalletCluster {
     */
   def repairAfterReorg(
       oldLabels: DataFrame, invalidated: DataFrame,
-      bestFunders: DataFrame): DataFrame = {
+      bestFunders: DataFrame,
+      contractionMinStore: Long = ContractionMinStoreRows): DataFrame = {
+    lastRepairRoute = "noop"
     val old = oldLabels.select(col("address"), col("wallet_id"))
     val invAddrs = invalidated.select(col("src_address").as("address")).distinct()
     // 1. components with >=1 retracted edge — materialized ONCE: the set is
@@ -264,11 +304,16 @@ object WalletCluster {
       // store (one giant co-spend component is common on dense corpora),
       // the contraction machinery below re-clusters nearly everything
       // anyway and its derivation joins make it SLOWER than the recompute
-      // it exists to avoid (measured 4× at corpus scale). Recompute the
+      // it exists to avoid (measured 4× at corpus scale). The SAME route
+      // also wins whenever the store is simply small (the economics floor
+      // — see the Scaladoc): the contraction ladder's fixed job latency
+      // only amortizes on multi-million-row stores. Recompute the
       // best-chain labeling once and diff against the store — same output
       // contract, cost capped at one full clustering. The store count is
       // parquet-metadata-cheap for a parquet-backed labeling.
-      if (nMembers * 2 >= old.count()) {
+      val nStored = old.count()
+      if (nMembers * 2 >= nStored || nStored < contractionMinStore) {
+        lastRepairRoute = "mass"
         val fresh = clusters( // clusters distincts both inputs itself
             bf.select("address"),
             bf.select(col("tx_hash"), col("address").as("src_address")))
@@ -291,6 +336,7 @@ object WalletCluster {
       }
       // Materialized here (and only here): every contraction step below reads
       // the member set at least once.
+      lastRepairRoute = "contraction"
       val (members, membersRdd) = ChainOps.rebase(memberSet)
       try {
         // 2. every best-chain tx a member funds, and ALL funders of those txs

@@ -34,6 +34,12 @@ private[graft] object Hfs {
     finally out.close()
   }
 
+  /** Recursive delete; absent paths are a no-op. Returns true if removed. */
+  def delete(spark: SparkSession, path: String): Boolean = {
+    val p = new Path(path)
+    fs(spark, p).delete(p, /*recursive=*/ true)
+  }
+
   def readText(spark: SparkSession, path: String): Option[String] = {
     val p = new Path(path)
     val f = fs(spark, p)

@@ -126,6 +126,17 @@ object ChainStream {
     */
   @volatile private[graft] var lastBestChainRoute: String = ""
 
+  /** Per-batch work-size log of [[walletLabelsBatch]] (route, blocks newly
+    * on-chain, blocks reorged out, repair route) — the evidence that a
+    * batch's cost tracks ITS delta, not the accumulated corpus. Appended
+    * once per label-updating batch; rehearsal legs drain it alongside the
+    * per-batch durations. Counts are taken only where already materialized
+    * (checkpointed sets / local paths), so logging costs no extra jobs;
+    * -1 = not derived on that route.
+    */
+  private[graft] val walletBatchLog =
+    new java.util.concurrent.ConcurrentLinkedQueue[String]
+
   /** (hash, height) of the current best chain, computed O(batch) from the
     * prior cursor whenever the batch EXTENDS or shallowly REORGS the known
     * chain — the common steady-state shapes — and falling back to a full
@@ -160,13 +171,14 @@ object ChainStream {
       prevCursor: Option[DataFrame]): BestChainUpdate = {
     def full(route: String): BestChainUpdate = {
       lastBestChainRoute = route
-      // Checkpointed ONCE: on the broadcast-envelope route annotate returns
-      // a lazy join against a chain-sized DRIVER-LOCAL relation, and the
-      // maintainer's ~10 downstream consumers would each re-ship it
-      // (measured 2.6× on the corpus drain). The extend/unchanged routes
-      // never pay this — their plans are a cursor scan + a local path.
-      BestChainUpdate(graft.chain.BestChain.annotate(bronze)
-        .where(col("is_on_best_chain"))
+      // bestChain skips the full annotation's join back against bronze: on
+      // the envelope route the chain arrives as a driver-local relation.
+      // Checkpointed ONCE either way: the maintainer's ~10 downstream
+      // consumers would otherwise each re-ship it (measured 2.6× on the
+      // corpus drain — and above the envelope, re-run the doubling rounds).
+      // The extend/unchanged routes never pay this — their plans are a
+      // cursor scan + a local path.
+      BestChainUpdate(graft.chain.BestChain.bestChain(bronze)
         .select(col("hash"), col("height").cast("int").as("height"))
         .localCheckpoint(true),
         route, None)
@@ -353,7 +365,9 @@ object ChainStream {
       labelsDir: String,
       slots: Int): Unit = {
     import graft.chain.WalletCluster
-    batch.write.mode("append").parquet(bronzeDir)
+    import graft.operators.ChainOps.traced
+    traced("wallet: bronze append")(
+      batch.write.mode("append").parquet(bronzeDir))
     val bronze = spark.read.parquet(bronzeDir)
       .dropDuplicates("hash") // replayed appends collapse here
     val storePath = s"$labelsDir/labels"
@@ -366,7 +380,8 @@ object ChainStream {
       else Some(spark.read.parquet(cursorPath))
     val prevCursorH = prevCursorAny.filter(_.columns.contains("height"))
       .map(_.select(col("hash"), col("height")))
-    val upd = bestChainIncremental(spark, bronze, batch, prevCursorH)
+    val upd = traced("wallet: best chain")(
+      bestChainIncremental(spark, bronze, batch, prevCursorH))
     val route = upd.route
     // Slot assignment is a pure function of (address, slots), so the store
     // is only readable-for-overwrite under the SAME slots value it was
@@ -379,7 +394,11 @@ object ChainStream {
     val storedSlots = fsReadText(spark, slotsPath).map(_.trim.toInt)
     val bootstrapping = !fsExists(spark, storePath) || prevCursorAny.isEmpty ||
       !storedSlots.contains(slots)
-    if (!bootstrapping && route == "unchanged") return
+    if (!bootstrapping && route == "unchanged") {
+      walletBatchLog.add(
+        """{"route":"unchanged","arrived":0,"invalidated":0,"repair":"skipped"}""")
+      return
+    }
     // bestFunders is only EVALUATED by the bootstrap clustering and the
     // reorg repair (both rare) — a pure tip extension never pays this
     // chain-sized derivation, it stays a lazy plan.
@@ -407,6 +426,9 @@ object ChainStream {
         .withColumn(bucket, slotOf(col("address")))
         .write.mode("overwrite").partitionBy(bucket).parquet(storePath)
       fsWriteText(spark, slotsPath, slots.toString + "\n")
+      walletBatchLog.add(
+        s"""{"route":"$route","arrived":-1,"invalidated":-1,"repair":"bootstrap"}""")
+      ()
     } else {
       val stored = spark.read.parquet(storePath).select("address", "wallet_id")
       // arrived/invalidated: on the "extend" route the walk already knows
@@ -417,8 +439,11 @@ object ChainStream {
       // resolution fallback. Every plan consuming these is materialized
       // (collect / checkpoint) before the cursor swap at the end.
       import spark.implicits._
+      var (nArrived, nInvalidated) = (-1L, -1L)
       val (invalidated, arrived) = upd.extendDelta match {
-        case Some((path, anchorH)) => (
+        case Some((path, anchorH)) =>
+          nArrived = path.length.toLong
+          (
           // bucket predicate first: on a height-bucketed cursor the reorged-
           // out rows live at or above the anchor's bucket, so the scan is
           // partition-pruned to the tip buckets (a pre-bucketing cursor just
@@ -427,26 +452,57 @@ object ChainStream {
             .where(col("height") > anchorH).select("hash"),
           path.map(_._1).toDF("hash"))
         case None =>
+          // Full-resolution fallback (the catch-up drain's steady state):
+          // both hash sets are consumed several times below — invalidated by
+          // the isEmpty pre-route AND the repair's input derivation, arrived
+          // by the incremental path — and each is block-hash-grain (bounded
+          // by the chain, KBs–MBs), so one eager checkpoint apiece beats
+          // re-running the chain × chain set-diff join per consumer.
           val prevBest = prevCursorAny.get.select("hash")
-          (prevBest.join(bestHashes, Seq("hash"), "left_anti"),
-            bestHashes.join(prevBest, Seq("hash"), "left_anti"))
+          val inv = prevBest.join(bestHashes, Seq("hash"), "left_anti").localCheckpoint(true)
+          val arr = bestHashes.join(prevBest, Seq("hash"), "left_anti").localCheckpoint(true)
+          nArrived = arr.count(); nInvalidated = inv.count() // local, checkpointed
+          (inv, arr)
       }
+      // Each change set below is MATERIALIZED the moment it is derived
+      // (label-delta grain — bounded by the store, usually far smaller):
+      // repairChanges feeds afterRepair + changes, delta feeds changes, and
+      // changes feeds the slot derivation + the slot-content rewrite — left
+      // lazy, every one of those consumers re-evaluates the whole
+      // corpus-sized funder-join subtree underneath (measured 3–6× on the
+      // catch-up drain's middle batches, the difference between O(batch)
+      // and O(corpus) per batch).
+      WalletCluster.lastRepairRoute = "skipped"
       val repairChanges =
-        if (invalidated.isEmpty) None
-        else Some(minimize(stored, WalletCluster.repairAfterReorg(
-          stored,
-          fundersOf(spark, bronze.join(invalidated, Seq("hash"), "left_semi")),
-          bestFunders)))
+        if (traced("wallet: invalidated probe")(invalidated.isEmpty)) None
+        else traced("wallet: repair") {
+          // the repair reads its corpus-sized funder input ~5 times
+          // (affected probe, member txs, contraction, both cluster routes) —
+          // materialize it ONCE for the call, drop it right after
+          val (bf, bfRdd) = graft.operators.ChainOps.rebase(bestFunders)
+          try Some(minimize(stored, WalletCluster.repairAfterReorg(
+              stored,
+              fundersOf(spark, bronze.join(invalidated, Seq("hash"), "left_semi")),
+              bf)).localCheckpoint(true))
+          finally bfRdd.unpersist(blocking = false)
+        }
       val afterRepair = repairChanges.fold(stored)(upsert(stored, _))
-      val delta = WalletCluster.incrementalClusters(
-        afterRepair,
-        fundersOf(spark, bronze.join(arrived, Seq("hash"), "left_semi")))
+      // nothing newly on-chain → no new edges, provably an empty delta: skip
+      // the whole incremental pass (its funder derivation alone is a
+      // corpus-grain scan a quiet fallback batch should never pay)
+      val delta =
+        if (nArrived == 0L) Seq.empty[(String, String)].toDF("address", "wallet_id")
+        else traced("wallet: incremental")(WalletCluster.incrementalClusters(
+          afterRepair,
+          fundersOf(spark, bronze.join(arrived, Seq("hash"), "left_semi")))
+          .localCheckpoint(true))
       // combined changed-row set vs the ON-DISK store
       val changes = repairChanges.fold(delta)(upsert(_, delta))
       val slotted = changes.withColumn(bucket, slotOf(col("address")))
       val changedSlots = slotted.select(bucket).distinct()
         .collect().map(_.getInt(0))
-      if (changedSlots.nonEmpty) {
+      walletBatchLog.add(s"""{"route":"$route","arrived":$nArrived,"invalidated":$nInvalidated,"repair":"${WalletCluster.lastRepairRoute}"}""")
+      if (changedSlots.nonEmpty) traced("wallet: slot write") {
         // full content of ONLY the changed slots; localCheckpoint is
         // slot-sized, not store-sized, and breaks the cycle of reading
         // the path being overwritten
@@ -520,14 +576,46 @@ object ChainStream {
           upd.extendDelta.exists(_._2 >= 0)
         if (upd.route == "unchanged" &&
             prevCursor.exists(_.columns.contains(bucketCol))) return
-        // full resolution (checkpointed in the resolver — independent of
-        // cursorPath), a genesis-reset extend (pure local path), or a
-        // cursor whose plan reads cursorPath being migrated/rewritten: the
-        // one-time checkpoint breaks that read-from-overwritten-path cycle.
-        val src = if (readsCursorPath) upd.best.localCheckpoint(true) else upd.best
-        graft.sinks.PartitionedGold.withBucket(
-            src.select("hash", "height"), "height", CursorBucketSize)
-          .write.mode("overwrite").partitionBy(bucketCol).parquet(cursorPath)
+        // checkpoint wherever the plan reads cursorPath (migration cases) —
+        // the full-resolution route is already checkpointed in the resolver
+        val src = (if (readsCursorPath) upd.best.localCheckpoint(true) else upd.best)
+          .select(col("hash"), col("height").cast("int").as("height"))
+        val newBuckets = graft.sinks.PartitionedGold.withBucket(
+          src, "height", CursorBucketSize)
+        prevCursor.filter(_.columns.contains(bucketCol)) match {
+          case Some(prev) =>
+            // Bucketed prior cursor: write ONLY the buckets whose content
+            // changed — rows present on exactly one side mark their bucket
+            // (hashes are unique per side, so count==2 ⇔ row unchanged).
+            // A fragment-attaching catch-up batch that barely moves the
+            // best chain rewrites one bucket, not the whole chain layout;
+            // the batch that finally connects the corpus rewrites them all,
+            // which is its honest cost.
+            val prevB = graft.sinks.PartitionedGold.withBucket(
+              prev.select(col("hash"), col("height").cast("int").as("height")),
+              "height", CursorBucketSize)
+            val changed = newBuckets.unionByName(prevB)
+              .groupBy("hash", "height", bucketCol).count()
+              .where(col("count") === 1)
+              .select(bucketCol).distinct()
+              .collect().map(_.getInt(0)).toSet
+            if (changed.nonEmpty) {
+              val content = newBuckets
+                .where(col(bucketCol).isin(changed.toSeq.map(Integer.valueOf): _*))
+              graft.sinks.PartitionedGold.overwriteAffected(content, cursorPath)
+              // a changed bucket with NO new content (the chain shrank past
+              // its boundary) gets nothing from the dynamic overwrite — its
+              // stale directory must go explicitly
+              val kept = newBuckets.select(bucketCol).distinct()
+                .collect().map(_.getInt(0)).toSet
+              (changed -- kept).foreach { b =>
+                graft.sinks.Hfs.delete(spark, s"$cursorPath/$bucketCol=$b")
+              }
+            }
+          case None =>
+            // bootstrap or flat-cursor migration: whole bucketed layout
+            newBuckets.write.mode("overwrite").partitionBy(bucketCol).parquet(cursorPath)
+        }
     }
     ()
   }

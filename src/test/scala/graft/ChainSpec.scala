@@ -163,13 +163,25 @@ class ChainSpec extends SparkSpec {
     assert(stored.count() == 24)
 
     // SMALL reorg: only t00 retracts → members = 2 of 24 → contraction
-    // route, which emits replacement rows for every member of the affected
-    // component (the x00 row is a no-op re-assertion of its own label)
+    // route (forced past the economics floor — a 24-row store would
+    // otherwise take the recompute-diff route), which emits replacement
+    // rows for every member of the affected component (the x00 row is a
+    // no-op re-assertion of its own label)
     val inv1 = all.where(col("tx_hash") === "t00")
     val best1 = all.where(col("tx_hash") =!= "t00")
-    val small = WalletCluster.repairAfterReorg(stored, inv1, best1)
+    val small = WalletCluster.repairAfterReorg(stored, inv1, best1,
+        contractionMinStore = 0)
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(WalletCluster.lastRepairRoute == "contraction")
     assert(small == Map("x00" -> "x00", "y00" -> "y00"))
+
+    // the SAME small reorg under the default economics floor: the store is
+    // tiny, so the router takes the recompute-diff route — only genuinely
+    // changed rows emitted, same converged state
+    val smallMass = WalletCluster.repairAfterReorg(stored, inv1, best1)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(WalletCluster.lastRepairRoute == "mass")
+    assert(smallMass == Map("y00" -> "y00"))
 
     // MASS reorg: t00..t06 retract → members = 14 of 24 → recompute-diff
     // route, which emits ONLY rows whose label changes: the y of each
@@ -177,8 +189,10 @@ class ChainSpec extends SparkSpec {
     val hot = (0 until 7).map(i => f"t$i%02d")
     val inv2 = all.where(col("tx_hash").isin(hot: _*))
     val best2 = all.where(!col("tx_hash").isin(hot: _*))
-    val mass = WalletCluster.repairAfterReorg(stored, inv2, best2)
+    val mass = WalletCluster.repairAfterReorg(stored, inv2, best2,
+        contractionMinStore = 0) // member fraction alone picks the route
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(WalletCluster.lastRepairRoute == "mass")
     assert(mass == (0 until 7).map(i => f"y$i%02d" -> f"y$i%02d").toMap)
 
     // both routes converge to the same state as a full recompute

@@ -191,7 +191,8 @@ class PlanSpec extends SparkSpec {
       .toDF("address", "wallet_id")
     val p = graft.chain.WalletCluster
       .repairAfterReorg(stored, all.where(col("tx_hash") === "t00"),
-        all.where(col("tx_hash") =!= "t00"))
+        all.where(col("tx_hash") =!= "t00"),
+        contractionMinStore = 0) // pin the contraction route's plan shape
       .queryExecution.explainString(FormattedMode)
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }

@@ -444,8 +444,13 @@ class PropertySpec extends SparkSpec {
         val stored = WalletCluster.clusters(preAddrs, common.unionByName(oldBr))
           .collect().map(r => r.getString(0) -> r.getString(1)).toMap
         val bestFunders = common.unionByName(newBr)
+        // contraction forced past the economics floor: this property exists
+        // to gate the O(affected) route on random graphs (tiny stores would
+        // otherwise all route to the recompute-diff path, which ChainSpec
+        // pins separately)
         val repair = WalletCluster.repairAfterReorg(
-            stored.toSeq.toDF("address", "wallet_id"), oldBr, bestFunders)
+            stored.toSeq.toDF("address", "wallet_id"), oldBr, bestFunders,
+            contractionMinStore = 0)
           .collect().map(r => r.getString(0) -> r.getString(1)).toMap
         val afterRepair = stored ++ repair
         val delta = WalletCluster.incrementalClusters(
