@@ -123,7 +123,109 @@ object StreamRehearsal {
     if (legOn("resume")) killResumeLeg(spark)
     if (legOn("wallet")) walletLabelsLeg(spark)
     if (legOn("backfill")) walletOrderedBackfillLeg(spark)
+    if (legOn("contraction")) maintainerContractionLeg(spark)
     spark.stop()
+  }
+
+  /** The STREAMING MAINTAINER routing a shallow reorg to the contraction
+    * repair — the ScaleRehearsal shallow leg proves the operator in
+    * isolation; this leg proves the maintainer's `repairAfterReorg` call
+    * takes that route and wins. Fixture = the many-small-components corpus
+    * (20k·scale wallets of 5 addresses; at 30× the store crosses the 2M-row
+    * economics floor): the bridge tx of every 200th wallet lives in the top
+    * ten blocks, a longer replacement branch orphans exactly those blocks,
+    * and the maintainer's batch resolves the flip O(batch) on the cursor
+    * ("extend"), derives the invalidated set from the anchor, and repairs
+    * 0.5% of a multi-million-row store by contraction. The mass alternative
+    * the router rejected is then timed directly on identical inputs.
+    */
+  private def maintainerContractionLeg(spark: SparkSession): Unit = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val workDir = Paths.get("target/stream_rehearsal_contraction")
+    deleteRecursively(workDir)
+    val scale = graft.chain.BlkCorpus.Scale
+    val nWallets = 20000L * scale
+    val walletSize = 5
+    val nBlocks = 1000
+    // wallet w's txs: {0,1} and {2,3} in block w%990, the BRIDGE {1,2,4} in
+    // a top-ten block for every 200th wallet (the reorg target), block
+    // w%990 otherwise
+    val txs = spark.range(nWallets * 3).select(
+      concat(lit("t"), col("id")).as("tx_hash"),
+      (col("id") / 3).cast("long").as("wallet"),
+      pmod(col("id"), lit(3)).as("j"))
+    val funders = txs
+      .withColumn("block_hash",
+        when(col("j") === 2 && col("wallet") % 200 === 0,
+          format_string("h%06d",
+            (lit(990) + pmod((col("wallet") / 200).cast("long"), lit(10L))).cast("int")))
+        .otherwise(format_string("h%06d", pmod(col("wallet"), lit(990L)).cast("int"))))
+      .select(col("block_hash"), col("tx_hash"), col("wallet"),
+        explode(when(col("j") === 0, array(lit(0), lit(1)))
+          .when(col("j") === 1, array(lit(2), lit(3)))
+          .otherwise(array(lit(1), lit(2), lit(4)))).as("k"))
+      .select(col("block_hash"), col("tx_hash"),
+        concat(lit("a"), col("wallet") * walletSize + col("k")).as("src_address"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    funders.count()
+    def fundersOf(s: SparkSession,
+        blockRows: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+      funders.join(blockRows.select(col("hash").as("block_hash")),
+          Seq("block_hash"), "left_semi")
+        .select("tx_hash", "src_address")
+    def timed[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
+    }
+    // batch 1: the whole chain h0..h999 — bootstrap clustering + store write
+    val chain = (0 until nBlocks).map(i =>
+      (f"h$i%06d", if (i == 0) null else f"h${i - 1}%06d", 1000L + i))
+    val (_, tBoot) = timed(graft.streaming.ChainStream.walletLabelsBatch(
+      spark, chain.toDF("hash", "parent_hash", "ts"),
+      s"$workDir/bronze", fundersOf, s"$workDir/labels", 64))
+    val nStored = spark.read.parquet(s"$workDir/labels/labels").count()
+    // the PRE-reorg store, pinned before batch 2 overwrites slots — both
+    // direct route timings below must see exactly what the maintainer saw
+    val preStored = spark.read.parquet(s"$workDir/labels/labels")
+      .select("address", "wallet_id").localCheckpoint(true)
+    // batch 2: a 12-block replacement branch forking at h989 — orphans the
+    // ten bridge blocks; the maintainer must route extend → contraction
+    val fork = (0 until 12).map(i =>
+      (f"o$i%06d", if (i == 0) f"h${989}%06d" else f"o${i - 1}%06d", 3000L + i))
+    val (_, tBatch) = timed(graft.streaming.ChainStream.walletLabelsBatch(
+      spark, fork.toDF("hash", "parent_hash", "ts"),
+      s"$workDir/bronze", fundersOf, s"$workDir/labels", 64))
+    val chainRoute = graft.streaming.ChainStream.lastBestChainRoute
+    val repairRoute = graft.chain.WalletCluster.lastRepairRoute
+    // both routes timed directly on identical pre-reorg inputs: the one the
+    // router chose, and the alternative it rejected
+    val topTen = (990 until 1000).map(i => f"h$i%06d")
+    val invFunders = funders.where(col("block_hash").isin(topTen: _*))
+      .select("tx_hash", "src_address")
+    val bestFunders = funders.where(!col("block_hash").isin(topTen: _*))
+      .select("tx_hash", "src_address")
+    val (_, tChosen) = timed(graft.chain.WalletCluster.repairAfterReorg(
+        preStored, invFunders, bestFunders)
+      .count())
+    val (massRows, tMass) = timed(graft.chain.WalletCluster.repairAfterReorg(
+        preStored, invFunders, bestFunders,
+        contractionMinStore = Long.MaxValue)
+      .count())
+    // converged? the post-reorg store must equal a from-scratch clustering
+    // of the surviving funders
+    val expect = graft.chain.WalletCluster.clusters(
+      bestFunders.select(col("src_address").as("address")).distinct(), bestFunders)
+    val store2 = spark.read.parquet(s"$workDir/labels/labels")
+      .select("address", "wallet_id")
+    val missing = expect.exceptAll(store2).count()
+    val staleExtras = store2.exceptAll(expect)
+      .where(col("address") =!= col("wallet_id")).count()
+    val converged = missing == 0 && staleExtras == 0
+    funders.unpersist(blocking = false)
+    Rehearsal.emit(
+      f"""{"rehearsal":"maintainer_contraction","scale":$scale,"wallets":$nWallets,"stored_rows":$nStored,"bootstrap_s":$tBoot%.2f,"reorg_batch_s":$tBatch%.2f,"chain_route":"$chainRoute","repair_route":"$repairRoute","chosen_route_s":$tChosen%.2f,"mass_alternative_s":$tMass%.2f,"mass_rows":$massRows,"missing":$missing,"stale_extras":$staleExtras,"converged":$converged}""")
+    if (!converged) throw new IllegalStateException(
+      s"maintainer contraction leg diverged: missing=$missing stale=$staleExtras")
   }
 
   /** (tx_hash, src_address) funders of the given block rows over the
@@ -354,10 +456,23 @@ object StreamRehearsal {
         q1.isActive && System.nanoTime() < deadline)
       Thread.sleep(50)
     val batchesBeforeKill = q1.recentProgress.count(_.numInputRows > 0)
-    // Land the kill MID-batch (batches run ~1.5 s here): half a batch after
-    // the third commit, the fourth batch's bronze append has typically run
-    // while its checkpoint commit has not — the replay-duplicate case.
-    Thread.sleep(700)
+    // Land the kill MID-batch DETERMINISTICALLY: poll the bronze store for
+    // the NEXT batch's append landing (files only appear at its job commit)
+    // and stop the instant it does — the side effect is on disk while the
+    // checkpoint commit, which follows the gold recompute, is not. A fixed
+    // sleep here landed on a batch boundary at 10× corpus scale and the
+    // replay evidence silently vanished (replayed_rows 0).
+    def bronzeFiles(): Int = {
+      val d = Paths.get(bronzeDir)
+      if (!Files.exists(d)) 0
+      else Files.list(d).filter(_.getFileName.toString.endsWith(".parquet"))
+        .count().toInt
+    }
+    val filesAtKillPoint = bronzeFiles()
+    val deadline2 = System.nanoTime() + 120e9.toLong
+    while (bronzeFiles() <= filesAtKillPoint && q1.isActive &&
+        System.nanoTime() < deadline2)
+      Thread.sleep(20)
     q1.stop()
 
     // Phase 2: fresh writer, same checkpoint — resume and finish.
@@ -379,6 +494,10 @@ object StreamRehearsal {
       f"""{"rehearsal":"kill_resume","scale":${graft.chain.BlkCorpus.Scale},"batches_before_kill":$batchesBeforeKill,"resumed_batches":$resumedBatches,"resume_s":$resumeSec%.1f,"replayed_rows":$replayedRows,"converged":$converged}""")
     if (!converged) throw new IllegalStateException(
       "kill-resume diverged from batch annotation")
+    // the leg's POINT is the replay: zero duplicates means the kill landed
+    // on a batch boundary and exactly-once was never actually exercised
+    if (replayedRows == 0) throw new IllegalStateException(
+      "kill-resume replayed nothing — kill landed on a batch boundary; leg is vacuous")
   }
 
   /** Node-follow leg: the reference's OTHER ingest surface — follow a node's
