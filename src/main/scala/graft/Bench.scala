@@ -188,6 +188,29 @@ object Bench {
       name -> (median(times), trimmed(times), times.max - times.min)
     }
     failures.foreach(n => diag += s"[bench] WARNING: $n time is a failure, not a run")
+    // Recall audit folded into the round's bench run: the ANN queries are
+    // rows-only in the oracle gate, so without this a recall drift would
+    // surface only when someone re-ran Verify by hand. Written to
+    // target/recall.json (same format as Verify's) and summarized as one
+    // boolean on the bench line.
+    val recallOk =
+      try {
+        Graft.releaseCaches()
+        val recalls = RecallAudit.checks.toSeq.sortBy(_._1).map {
+          case (n, fn) => n -> fn(spark, sfDir)
+        }
+        val recallJson = recalls.map { case (n, r) =>
+          f""""$n": {"recall_vs_bruteforce": $r%.4f, "floor": ${RecallAudit.floors(n)}%.2f, "pass": ${r >= RecallAudit.floors(n)}}"""
+        }.mkString("{", ", ", "}")
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get("target"))
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get("target/recall.json"), recallJson)
+        diag += s"[bench] recall: $recallJson"
+        recalls.forall { case (n, r) => r >= RecallAudit.floors(n) }
+      } catch { case e: Throwable =>
+        diag += s"[bench] WARNING: recall audit failed: ${e.getMessage.linesIterator.next()}"
+        false
+      }
     // Self-diagnose protocol problems: a spread comparable to the median
     // means the samples measure session state (cache eviction, GC pressure),
     // not the query — exactly how round 7's retained-cache contamination
@@ -227,7 +250,7 @@ object Bench {
       val shown = if (xs.length > 8) xs.take(8) :+ s"+${xs.length - 8} more" else xs
       strArr(shown)
     }
-    val fullJson = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"spread":$spread$spreadRaw,"runs":$runs,"sf":"$sfDir","valid":$valid,"unstable":${strArr(unstableNames)},"failures":${strArr(failures.reverse)}}"""
+    val fullJson = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"spread":$spread$spreadRaw,"runs":$runs,"sf":"$sfDir","valid":$valid,"recall_ok":$recallOk,"unstable":${strArr(unstableNames)},"failures":${strArr(failures.reverse)}}"""
     // The driver's tail window is ~2,000 chars and it parses the LAST line of
     // the captured log as JSON — a 3.5 KB line survives complete at EOF but
     // arrives front-truncated in the window (the r13 failure mode: the full
@@ -238,7 +261,7 @@ object Bench {
     // drops "queries" too if the line would ever approach the window.
     def compactLine(withQueries: Boolean): String = {
       val q = if (withQueries) s""","queries":$qs""" else ""
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","runs":$runs,"sf":"$sfDir","valid":$valid,"unstable":${cappedArr(unstableNames)},"failures":${cappedArr(failures.reverse)}$q,"detail":"bench/BENCH_FULL_latest.json"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","runs":$runs,"sf":"$sfDir","valid":$valid,"recall_ok":$recallOk,"unstable":${cappedArr(unstableNames)},"failures":${cappedArr(failures.reverse)}$q,"detail":"bench/BENCH_FULL_latest.json"}"""
     }
     val withQ = compactLine(withQueries = true)
     val compactJson = if (withQ.length <= 1800) withQ else compactLine(withQueries = false)
