@@ -39,7 +39,7 @@ object WalletCluster {
     * recompute-diff route — see its route-economics note for the
     * calibration against the archived 1×/10×/30× rehearsal scales.
     */
-  val ContractionMinStoreRows: Long = 2000000L
+  val ContractionMinStoreRows: Long = 500000L
 
   /** Route the last [[repairAfterReorg]] call took — observability for
     * specs and rehearsals. One of: "noop", "mass", "contraction".
@@ -53,9 +53,18 @@ object WalletCluster {
   private val lastResult =
     new java.util.concurrent.atomic.AtomicReference[org.apache.spark.rdd.RDD[_]](null)
 
+  /** The mass repair route's materialized best-chain funders — same swap
+    * discipline (the route's OUTPUT is lazy, so the input must outlive the
+    * call; the next repair or [[release]] drops it).
+    */
+  private val lastMassBf =
+    new java.util.concurrent.atomic.AtomicReference[org.apache.spark.rdd.RDD[_]](null)
+
   /** Drop the retained clustering ([[graft.Graft.releaseCaches]]). */
-  private[graft] def release(): Unit =
+  private[graft] def release(): Unit = {
     Option(lastResult.getAndSet(null)).foreach(_.unpersist(blocking = false))
+    Option(lastMassBf.getAndSet(null)).foreach(_.unpersist(blocking = false))
+  }
 
   /** @param addresses  one-column DF of the full address universe
     * @param txFunders  (tx_hash, src_address) distinct funding pairs
@@ -229,19 +238,20 @@ object WalletCluster {
     *
     * ROUTE ECONOMICS: the contraction route is O(affected) in DATA but pays
     * a fixed ladder of ~10 jobs (affected probe, member materialization,
-    * contraction joins, the nested clustering); the recompute-diff route is
-    * one clustering of the post-reorg chain plus one store diff — O(store)
-    * data, ~4 jobs. Measured on the many-small-components rehearsal corpus
-    * (0.5% of wallets affected, bench/rehearsal_r14.json): at 100k stored
-    * rows full recompute wins 2.8 s vs 4.4 s, at 1M it still edges out 12.9
-    * vs 14.2 s, and only at 3M does contraction win 10.5 vs 15.0 s — the
-    * fixed job ladder amortizes roughly where the store crosses ~2M rows.
-    * The router therefore takes the recompute-diff route whenever the store
-    * is below [[ContractionMinStoreRows]] (as well as whenever the affected
-    * members span ≥ half the store), so repair never costs more than the
-    * full recompute it exists to avoid; `contractionMinStore` overrides the
-    * floor (0 forces contraction wherever the affected fraction allows —
-    * the spec fixtures pin the contraction route's output shape that way).
+    * contraction joins, the nested clustering); the recompute-diff route
+    * re-clusters the whole post-reorg chain and diffs the store — O(store)
+    * data, fewer jobs. Measured route-vs-route on the many-small-components
+    * rehearsal corpus (0.5% of wallets affected, bench/rehearsal_r15.json):
+    * at a 100k-row store the recompute-diff route wins ~5.1 s vs ~5.8 s; at
+    * 1M contraction wins ~14–16 s vs ~23.7 s, and at 3M it wins ~15.0 s vs
+    * ~25.9 s — the fixed job ladder amortizes where the store crosses a few
+    * hundred thousand rows. The router therefore takes the recompute-diff
+    * route whenever the store is below [[ContractionMinStoreRows]] (as well
+    * as whenever the affected members span ≥ half the store), so repair
+    * tracks the cheaper route at every scale; `contractionMinStore`
+    * overrides the floor (0 forces contraction wherever the affected
+    * fraction allows — the spec fixtures pin the contraction route's output
+    * shape that way).
     *
     * @param oldLabels    the stored labeling — (address, wallet_id), built
     *                     on the pre-reorg best chain
@@ -296,10 +306,15 @@ object WalletCluster {
       // cache churn at exactly the scale where churn hurts. The contraction
       // route re-derives the set once under a persist; one extra store-scan
       // semi-join on the SMALL-affected path buys never caching a store-sized
-      // relation on the giant-component path.
+      // relation on the giant-component path. When the store is below the
+      // economics floor the member fraction cannot change the route, so the
+      // member-count probe is skipped outright (it was a fifth of the whole
+      // repair on the small-store path).
+      val nStored = old.count()
+      val massForced = nStored < contractionMinStore
       val memberSet =
         old.join(affected, Seq("wallet_id"), "left_semi").select("address")
-      val nMembers = memberSet.count()
+      val nMembers = if (massForced) 0L else memberSet.count()
       // MASS-reorg route: when the affected components span most of the
       // store (one giant co-spend component is common on dense corpora),
       // the contraction machinery below re-clusters nearly everything
@@ -311,12 +326,21 @@ object WalletCluster {
       // best-chain labeling once and diff against the store — same output
       // contract, cost capped at one full clustering. The store count is
       // parquet-metadata-cheap for a parquet-backed labeling.
-      val nStored = old.count()
-      if (nMembers * 2 >= nStored || nStored < contractionMinStore) {
+      if (massForced || nMembers * 2 >= nStored) {
         lastRepairRoute = "mass"
+        // the recompute consumes bf ~4× (universe distinct, funder distinct,
+        // hub self-join, the final label join) — materialize it ONCE, held
+        // in the swap register because the route's output is lazy. The
+        // contraction route deliberately does NOT do this: its consumers
+        // are semi-joins that push down to the source scan, and a corpus-
+        // sized persist on the O(affected) path is exactly the cache churn
+        // the route exists to avoid.
+        val (bfM, bfRdd) = ChainOps.rebase(
+          bf, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+        Option(lastMassBf.getAndSet(bfRdd)).foreach(_.unpersist(blocking = false))
         val fresh = clusters( // clusters distincts both inputs itself
-            bf.select("address"),
-            bf.select(col("tx_hash"), col("address").as("src_address")))
+            bfM.select("address"),
+            bfM.select(col("tx_hash"), col("address").as("src_address")))
           .select(col("address"), col("wallet_id").as("new_id"))
         // ONE pass over the store consuming fresh ONCE (the in-memory
         // clusters route returns an unmaterialized corpus-distinct + broadcast

@@ -475,17 +475,14 @@ object ChainStream {
       WalletCluster.lastRepairRoute = "skipped"
       val repairChanges =
         if (traced("wallet: invalidated probe")(invalidated.isEmpty)) None
-        else traced("wallet: repair") {
-          // the repair reads its corpus-sized funder input ~5 times
-          // (affected probe, member txs, contraction, both cluster routes) —
-          // materialize it ONCE for the call, drop it right after
-          val (bf, bfRdd) = graft.operators.ChainOps.rebase(bestFunders)
-          try Some(minimize(stored, WalletCluster.repairAfterReorg(
+        else traced("wallet: repair")(
+          // the mass route materializes its own funder input (swap-register
+          // discipline in repairAfterReorg); the change set is checkpointed
+          // here so its several consumers below never re-run the repair
+          Some(minimize(stored, WalletCluster.repairAfterReorg(
               stored,
               fundersOf(spark, bronze.join(invalidated, Seq("hash"), "left_semi")),
-              bf)).localCheckpoint(true))
-          finally bfRdd.unpersist(blocking = false)
-        }
+              bestFunders)).localCheckpoint(true)))
       val afterRepair = repairChanges.fold(stored)(upsert(stored, _))
       // nothing newly on-chain → no new edges, provably an empty delta: skip
       // the whole incremental pass (its funder derivation alone is a
