@@ -34,6 +34,16 @@ private[graft] object Hfs {
     finally out.close()
   }
 
+  /** Names of the immediate child directories of `path` (empty when the
+    * path is absent) — partition-directory discovery without a table scan.
+    */
+  def listDirNames(spark: SparkSession, path: String): Seq[String] = {
+    val p = new Path(path)
+    val f = fs(spark, p)
+    if (!f.exists(p)) Seq.empty
+    else f.listStatus(p).toSeq.filter(_.isDirectory).map(_.getPath.getName)
+  }
+
   /** Recursive delete; absent paths are a no-op. Returns true if removed. */
   def delete(spark: SparkSession, path: String): Boolean = {
     val p = new Path(path)

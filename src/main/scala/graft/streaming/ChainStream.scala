@@ -168,7 +168,8 @@ object ChainStream {
     */
   private[graft] def bestChainIncremental(
       spark: SparkSession, bronze: DataFrame, batch: DataFrame,
-      prevCursor: Option[DataFrame]): BestChainUpdate = {
+      prevCursor: Option[DataFrame],
+      prevTipHint: Option[(String, Int)] = None): BestChainUpdate = {
     def full(route: String): BestChainUpdate = {
       lastBestChainRoute = route
       // bestChain skips the full annotation's join back against bronze: on
@@ -251,8 +252,13 @@ object ChainStream {
     // candidate tip among the new blocks vs the prior tip — annotate's exact
     // ordering (max height, then min hash)
     val candidate = heights.minBy { case (k, v) => (-v, k) }
-    val prevTipRow = cursor.orderBy(col("height").desc, col("hash").asc).limit(1).collect()
-    val prevTip = prevTipRow.headOption.map(r => (r.getString(0), r.getInt(1)))
+    // the caller can hand the prior tip in (walletLabelsBatch derives it
+    // from the cursor's TOP height bucket — partition-pruned, O(bucket));
+    // the TakeOrdered fallback scans the whole cursor, which a 100M-block
+    // chain should never pay per batch
+    val prevTip = prevTipHint.orElse(
+      cursor.orderBy(col("height").desc, col("hash").asc).limit(1).collect()
+        .headOption.map(r => (r.getString(0), r.getInt(1))))
     val candWins = prevTip.forall { case (ph, pH) =>
       candidate._2 > pH || (candidate._2 == pH && candidate._1 < ph)
     }
@@ -380,8 +386,24 @@ object ChainStream {
       else Some(spark.read.parquet(cursorPath))
     val prevCursorH = prevCursorAny.filter(_.columns.contains("height"))
       .map(_.select(col("hash"), col("height")))
+    // prior tip from the TOP height bucket only: the bucket set comes from a
+    // directory listing (no scan) and the filter partition-prunes the read —
+    // O(one bucket) instead of a TakeOrdered over the whole cursor
+    val bucketColName = graft.sinks.PartitionedGold.BucketCol
+    val prevTipHint: Option[(String, Int)] = prevCursorAny.flatMap { c =>
+      if (!c.columns.contains(bucketColName)) None
+      else {
+        val buckets = graft.sinks.Hfs.listDirNames(spark, cursorPath)
+          .filter(_.startsWith(bucketColName + "="))
+          .flatMap(n => scala.util.Try(n.split("=")(1).toInt).toOption)
+        if (buckets.isEmpty) None
+        else c.where(col(bucketColName) === buckets.max)
+          .orderBy(col("height").desc, col("hash").asc).limit(1).collect()
+          .headOption.map(r => (r.getAs[String]("hash"), r.getAs[Number]("height").intValue))
+      }
+    }
     val upd = traced("wallet: best chain")(
-      bestChainIncremental(spark, bronze, batch, prevCursorH))
+      bestChainIncremental(spark, bronze, batch, prevCursorH, prevTipHint))
     val route = upd.route
     // Slot assignment is a pure function of (address, slots), so the store
     // is only readable-for-overwrite under the SAME slots value it was

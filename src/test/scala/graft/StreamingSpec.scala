@@ -610,6 +610,65 @@ class StreamingSpec extends SparkSpec {
     assert(labels() == Map("a1" -> "a1", "a2" -> "a1", "a3" -> "a1"))
   }
 
+  test("fallback cursor write is a changed-bucket diff: quiet fallbacks write nothing, extensions touch only the tip bucket") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-cursor-diff").toString
+    def fundersOf(s: org.apache.spark.sql.SparkSession,
+        df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+      df.select(explode(col("txs")).as("t"))
+        .select(col("t._1").as("tx_hash"), explode(col("t._2")).as("src_address"))
+    def batchOf(rows: Seq[(String, String, Long)]) = rows
+      .map { case (h, p, ts) => (h, p, ts, Seq.empty[(String, Seq[String])]) }
+      .toDF("hash", "parent_hash", "ts", "txs")
+    def step(rows: Seq[(String, String, Long)]): Unit =
+      ChainStream.walletLabelsBatch(spark, batchOf(rows), s"$tmp/bronze",
+        fundersOf, s"$tmp/labels", 8)
+    def cursorSigs(): Map[String, String] = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(s"$tmp/labels/_bestchain"))
+        .iterator().asScala
+        .filter(f => f.getFileName.toString.endsWith(".parquet"))
+        .map { f =>
+          val h = java.security.MessageDigest.getInstance("MD5")
+            .digest(java.nio.file.Files.readAllBytes(f))
+          f.toString -> h.map("%02x".format(_)).mkString
+        }.toMap
+    }
+    // bootstrap a two-bucket chain (heights 0..10000) + one funded block
+    val n = 10001
+    val chain = (0 until n).map(i =>
+      (f"b$i%06d", if (i == 0) null else f"b${i - 1}%06d", 1000L + i))
+    ChainStream.walletLabelsBatch(spark,
+      chain.map { case (h, p, ts) =>
+        (h, p, ts, if (p == null) Seq(("t1", Seq("a1", "a2"))) else Seq.empty[(String, Seq[String])])
+      }.toDF("hash", "parent_hash", "ts", "txs"),
+      s"$tmp/bronze", fundersOf, s"$tmp/labels", 8)
+    val sigs0 = cursorSigs()
+
+    // a dangling fragment (parent not yet arrived) routes to the full
+    // resolution but leaves the best chain unchanged — the diff write must
+    // touch NOTHING (the old full rewrite replaced the whole layout)
+    step(Seq(("x00001".padTo(64, 'x').mkString, "f" * 64, 9000L)))
+    assert(ChainStream.lastBestChainRoute == "fallback")
+    assert(cursorSigs() == sigs0, "quiet fallback rewrote cursor buckets")
+
+    // the missing parent arrives, attaching the fragment and extending the
+    // chain by 2 — still a fallback (bronze points into the batch), and the
+    // diff write must rewrite only the TIP bucket
+    step(Seq(("f" * 64, f"b${n - 1}%06d", 9001L)))
+    assert(ChainStream.lastBestChainRoute == "fallback")
+    val sigs1 = cursorSigs()
+    val b0Before = sigs0.filter(_._1.contains("height_bucket=0"))
+    val b0After = sigs1.filter(_._1.contains("height_bucket=0"))
+    assert(b0Before == b0After, "bucket 0 rewritten by a tip-range fallback")
+    assert(sigs1.keys.exists(p => p.contains("height_bucket=1") && !sigs0.contains(p)),
+      "tip bucket not rewritten")
+    // read-back: the diffed cursor is the full best chain
+    val cursor = spark.read.parquet(s"$tmp/labels/_bestchain")
+    assert(cursor.count() == n + 2)
+    assert(cursor.agg(max("height")).head.getInt(0) == n + 1)
+  }
+
   test("cyclic parent pointers: the incremental walk exits to the full route, which errors instead of hanging") {
     import spark.implicits._
     // a healthy stored chain, then a corrupt batch whose parents form a loop
