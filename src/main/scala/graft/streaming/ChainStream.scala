@@ -132,10 +132,18 @@ object ChainStream {
     * once per label-updating batch; rehearsal legs drain it alongside the
     * per-batch durations. Counts are taken only where already materialized
     * (checkpointed sets / local paths), so logging costs no extra jobs;
-    * -1 = not derived on that route.
+    * -1 = not derived on that route. Bounded: a month-long maintainer must
+    * not accumulate a line per batch forever — the oldest entries drop past
+    * [[WalletBatchLogCap]] (rehearsals drain it per leg, far below the cap).
     */
+  private[graft] val WalletBatchLogCap = 10000
   private[graft] val walletBatchLog =
     new java.util.concurrent.ConcurrentLinkedQueue[String]
+  private def logWalletBatch(line: String): Unit = {
+    walletBatchLog.add(line)
+    while (walletBatchLog.size() > WalletBatchLogCap) walletBatchLog.poll()
+    ()
+  }
 
   /** (hash, height) of the current best chain, computed O(batch) from the
     * prior cursor whenever the batch EXTENDS or shallowly REORGS the known
@@ -417,7 +425,7 @@ object ChainStream {
     val bootstrapping = !fsExists(spark, storePath) || prevCursorAny.isEmpty ||
       !storedSlots.contains(slots)
     if (!bootstrapping && route == "unchanged") {
-      walletBatchLog.add(
+      logWalletBatch(
         """{"route":"unchanged","arrived":0,"invalidated":0,"repair":"skipped"}""")
       return
     }
@@ -448,7 +456,7 @@ object ChainStream {
         .withColumn(bucket, slotOf(col("address")))
         .write.mode("overwrite").partitionBy(bucket).parquet(storePath)
       fsWriteText(spark, slotsPath, slots.toString + "\n")
-      walletBatchLog.add(
+      logWalletBatch(
         s"""{"route":"$route","arrived":-1,"invalidated":-1,"repair":"bootstrap"}""")
       ()
     } else {
@@ -520,7 +528,7 @@ object ChainStream {
       val slotted = changes.withColumn(bucket, slotOf(col("address")))
       val changedSlots = slotted.select(bucket).distinct()
         .collect().map(_.getInt(0))
-      walletBatchLog.add(s"""{"route":"$route","arrived":$nArrived,"invalidated":$nInvalidated,"repair":"${WalletCluster.lastRepairRoute}"}""")
+      logWalletBatch(s"""{"route":"$route","arrived":$nArrived,"invalidated":$nInvalidated,"repair":"${WalletCluster.lastRepairRoute}"}""")
       if (changedSlots.nonEmpty) traced("wallet: slot write") {
         // full content of ONLY the changed slots; localCheckpoint is
         // slot-sized, not store-sized, and breaks the cycle of reading
