@@ -170,14 +170,34 @@ object ChainStream {
     *                   schema-incompatible (pre-height cursors force one
     *                   full resolution, after which the new cursor carries
     *                   heights)
+    * @param prevTipHint the prior tip, when the caller can derive it without
+    *                   a full cursor scan (top height bucket)
+    * @param probeCursor a PRUNED view of prevCursor (e.g. its top height
+    *                   buckets) to serve the membership/anchor lookups — the
+    *                   O(bucket) form of the one remaining cursor-sized scan
+    *                   on the extend path. Sound by construction: a key the
+    *                   pruned view misses routes to the full resolution
+    *                   (replays and anchors live near the tip in steady
+    *                   state, so the fallback fires only for reorgs deeper
+    *                   than the pruned range)
+    * @param danglingParents parent hashes referenced by bronze but absent
+    *                   from it (the maintained fragment index): when given,
+    *                   the fragment-attachment check is a driver set
+    *                   intersection instead of a bronze scan. None = scan
+    *                   bronze (authoritative).
     * @return the new best chain plus, on the "extend" route, the EXACT
     *         delta the walk derived — callers then never re-derive
-    *         arrived/invalidated with chain-sized set-diff joins
+    *         arrived/invalidated with chain-sized set-diff joins — and the
+    *         updated dangling set where the route could maintain it
+    *         (extend/unchanged remove resolved batch hashes; the full
+    *         routes return None = recompute from bronze)
     */
   private[graft] def bestChainIncremental(
       spark: SparkSession, bronze: DataFrame, batch: DataFrame,
       prevCursor: Option[DataFrame],
-      prevTipHint: Option[(String, Int)] = None): BestChainUpdate = {
+      prevTipHint: Option[(String, Int)] = None,
+      probeCursor: Option[DataFrame] = None,
+      danglingParents: Option[Set[String]] = None): BestChainUpdate = {
     def full(route: String): BestChainUpdate = {
       lastBestChainRoute = route
       // bestChain skips the full annotation's join back against bronze: on
@@ -204,27 +224,40 @@ object ChainStream {
     val parentOf: Map[String, Option[String]] =
       batchRows.map(r => r.getString(0) -> Option(r.getString(1))).toMap
     // ONE cursor lookup serves membership (replayed/known blocks) and anchor
-    // heights (parents the new blocks hang from): cursor ∩ (hashes ∪ parents).
-    // Probe sets ride local relations + broadcast semi-joins, never literal
-    // isin lists (a catch-up batch's thousands of keys would blow the plan).
+    // heights (parents the new blocks hang from): cursor ∩ (hashes ∪ parents),
+    // against the PRUNED probe view when the caller provides one — a probe
+    // miss is never trusted as absence for routing, it just fails to anchor
+    // and falls back. Probe sets ride local relations + broadcast semi-joins,
+    // never literal isin lists (a catch-up batch's thousands of keys would
+    // blow the plan).
     import spark.implicits._
     val probeKeys = (batchHashes ++ batchRows.flatMap(r => Option(r.getString(1)))).toSeq
+    val probeView = probeCursor
+      .map(_.select(col("hash"), col("height").cast("int").as("height")))
+      .getOrElse(cursor)
     val cursorHits: Map[String, Int] =
       if (probeKeys.isEmpty) Map.empty
-      else cursor.join(broadcast(probeKeys.toDF("hash")), Seq("hash"), "left_semi")
+      else probeView.join(broadcast(probeKeys.toDF("hash")), Seq("hash"), "left_semi")
         .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
     val batchNew = batchRows.filterNot(r => cursorHits.contains(r.getString(0)))
     if (batchNew.isEmpty) {
       lastBestChainRoute = "unchanged"
-      return BestChainUpdate(cursor, "unchanged", None)
+      return BestChainUpdate(cursor, "unchanged", None, danglingParents)
     }
     // a pre-existing bronze block pointing INTO the new batch = a dangling
-    // fragment being attached; its heights change outside the batch → full
+    // fragment being attached; its heights change outside the batch → full.
+    // With the maintained dangling-parent index the check is a driver set
+    // intersection (a fragment head's parent is BY DEFINITION a dangling
+    // reference until it arrives); without it, the authoritative bronze scan.
     val newHashes = batchNew.map(_.getString(0)).toSeq
-    val attaches = bronze.select("hash", "parent_hash")
-      .join(broadcast(newHashes.toDF("parent_hash")), Seq("parent_hash"), "left_semi")
-      .join(broadcast(batchHashes.toSeq.toDF("hash")), Seq("hash"), "left_anti")
-    if (!attaches.isEmpty) return full("fallback")
+    val attaches = danglingParents match {
+      case Some(dp) => newHashes.exists(dp.contains)
+      case None => !bronze.select("hash", "parent_hash")
+        .join(broadcast(newHashes.toDF("parent_hash")), Seq("parent_hash"), "left_semi")
+        .join(broadcast(batchHashes.toSeq.toDF("hash")), Seq("hash"), "left_anti")
+        .isEmpty
+    }
+    if (attaches) return full("fallback")
     // anchored height walk over the new blocks (memoized, stack-safe):
     // height = anchor height + path length; a missing anchor (parent neither
     // in batch nor on the known chain — a stale-branch extension or an
@@ -271,8 +304,10 @@ object ChainStream {
       candidate._2 > pH || (candidate._2 == pH && candidate._1 < ph)
     }
     if (!candWins) {
+      // new stale blocks joined bronze, but every parent resolved (anchor,
+      // batch, or genesis) — nothing newly dangling, the index passes through
       lastBestChainRoute = "unchanged"
-      return BestChainUpdate(cursor, "unchanged", None)
+      return BestChainUpdate(cursor, "unchanged", None, danglingParents)
     }
     // new best = the winner's path through the batch down to its anchor,
     // plus the known chain's prefix at or below the anchor height
@@ -294,7 +329,9 @@ object ChainStream {
     val best =
       if (anchorHeight < 0) pathDf
       else cursor.where(col("height") <= anchorHeight).unionByName(pathDf)
-    BestChainUpdate(best, "extend", Some((path.toSeq, anchorHeight)))
+    // same pass-through as the unchanged routes: the extend walk proved
+    // every batch parent resolves, so the dangling index cannot have grown
+    BestChainUpdate(best, "extend", Some((path.toSeq, anchorHeight)), danglingParents)
   }
 
   /** Result of [[bestChainIncremental]]: the full best chain, the route
@@ -302,10 +339,14 @@ object ChainStream {
     * that joined the chain (tip-down, driver-sized) and the anchor height
     * (prior-chain rows ABOVE it are the ones reorged out; on a pure
     * extension the anchor is the prior tip and that set is empty).
+    * `newDangling` = the maintained dangling-parent index where the route
+    * could carry it forward (the incremental routes prove no growth); None
+    * on the full routes, whose callers re-derive it from bronze.
     */
   private[graft] final case class BestChainUpdate(
       best: DataFrame, route: String,
-      extendDelta: Option[(Seq[(String, Int)], Int)])
+      extendDelta: Option[(Seq[(String, Int)], Int)],
+      newDangling: Option[Set[String]] = None)
 
   /** Streaming maintenance of the WALLET LABELING (T4 applied to the one
     * derived property the reference declared but never finished —
@@ -394,24 +435,39 @@ object ChainStream {
       else Some(spark.read.parquet(cursorPath))
     val prevCursorH = prevCursorAny.filter(_.columns.contains("height"))
       .map(_.select(col("hash"), col("height")))
-    // prior tip from the TOP height bucket only: the bucket set comes from a
-    // directory listing (no scan) and the filter partition-prunes the read —
-    // O(one bucket) instead of a TakeOrdered over the whole cursor
+    // prior tip + membership probe from the TOP height buckets only: the
+    // bucket set comes from a directory listing (no scan) and the filters
+    // partition-prune the reads — O(buckets probed) instead of full cursor
+    // scans per micro-batch. The pruned probe is sound: an anchor it misses
+    // (a reorg deeper than the probed range) routes to the full resolution.
     val bucketColName = graft.sinks.PartitionedGold.BucketCol
-    val prevTipHint: Option[(String, Int)] = prevCursorAny.flatMap { c =>
-      if (!c.columns.contains(bucketColName)) None
-      else {
-        val buckets = graft.sinks.Hfs.listDirNames(spark, cursorPath)
+    val tipBuckets: Seq[Int] = prevCursorAny match {
+      case Some(c) if c.columns.contains(bucketColName) =>
+        graft.sinks.Hfs.listDirNames(spark, cursorPath)
           .filter(_.startsWith(bucketColName + "="))
           .flatMap(n => scala.util.Try(n.split("=")(1).toInt).toOption)
-        if (buckets.isEmpty) None
-        else c.where(col(bucketColName) === buckets.max)
-          .orderBy(col("height").desc, col("hash").asc).limit(1).collect()
-          .headOption.map(r => (r.getAs[String]("hash"), r.getAs[Number]("height").intValue))
-      }
+      case _ => Seq.empty
+    }
+    val prevTipHint: Option[(String, Int)] =
+      if (tipBuckets.isEmpty) None
+      else prevCursorAny.get.where(col(bucketColName) === tipBuckets.max)
+        .orderBy(col("height").desc, col("hash").asc).limit(1).collect()
+        .headOption.map(r => (r.getAs[String]("hash"), r.getAs[Number]("height").intValue))
+    val probeCursor: Option[DataFrame] =
+      if (tipBuckets.isEmpty) None
+      else Some(prevCursorAny.get.where(col(bucketColName) >= tipBuckets.max - 1))
+    // the dangling-parent index: parent hashes bronze references but does
+    // not contain — the O(1) form of the per-batch fragment-attachment
+    // check. "!overflow" marks an index past the driver cap (adversarial
+    // mostly-dangling corpora): those sessions use the bronze scan instead.
+    val danglingPath = s"$labelsDir/_dangling"
+    val dangling: Option[Set[String]] = fsReadText(spark, danglingPath).flatMap { txt =>
+      if (txt.startsWith("!overflow")) None
+      else Some(txt.linesIterator.filter(_.nonEmpty).toSet)
     }
     val upd = traced("wallet: best chain")(
-      bestChainIncremental(spark, bronze, batch, prevCursorH, prevTipHint))
+      bestChainIncremental(spark, bronze, batch, prevCursorH, prevTipHint,
+        probeCursor, dangling))
     val route = upd.route
     // Slot assignment is a pure function of (address, slots), so the store
     // is only readable-for-overwrite under the SAME slots value it was
@@ -543,6 +599,30 @@ object ChainStream {
         graft.sinks.PartitionedGold.overwriteAffected(content, storePath, bucket)
       }
     }
+    // Dangling-index upkeep, ordered store → dangling → cursor: the index
+    // may only ever run AHEAD of the cursor (a stale-ahead index is merely
+    // conservative — it can force a spurious full resolution — while a
+    // stale-behind one could mis-route a fragment attachment as an extend
+    // and silently corrupt heights; cursor-written-last makes stale-behind
+    // impossible). The incremental routes prove the set unchanged and skip
+    // the write; the full routes re-derive it from post-append bronze — one
+    // anti-join amortized into the resolution they already paid for.
+    val refreshedDangling: Option[Set[String]] = upd.newDangling.orElse {
+      import spark.implicits._
+      val parents = bronze.select(col("parent_hash").as("h"))
+        .where(col("h").isNotNull).distinct()
+      val rows = parents
+        .join(bronze.select(col("hash").as("h")), Seq("h"), "left_anti")
+        .limit(DanglingCap + 1).collect().map(_.getString(0))
+      if (rows.length > DanglingCap) None else Some(rows.toSet)
+    }
+    if (refreshedDangling != dangling || !fsExists(spark, danglingPath)) {
+      val body = refreshedDangling match {
+        case Some(dp) => dp.toSeq.sorted.mkString("", "\n", "\n")
+        case None => "!overflow\n"
+      }
+      fsWriteText(spark, danglingPath, body)
+    }
     // Write ordering is store-then-cursor: a crash between them leaves a
     // stale cursor, so the next batch re-derives a change set that includes
     // already-applied blocks — both update paths then produce empty deltas
@@ -562,6 +642,13 @@ object ChainStream {
 
   /** Height-bucket width of the `_bestchain` cursor layout. */
   private[graft] val CursorBucketSize = 10000
+
+  /** Driver-side cap on the maintained dangling-parent index — a corpus
+    * arriving mostly out of order can keep half its blocks dangling, and
+    * past this size the sidecar records overflow and the maintainer uses
+    * the distributed bronze-scan attachment check instead.
+    */
+  private[graft] val DanglingCap = 1000000
 
   /** Partition-prune a bucketed cursor to the buckets at/above `anchorH`;
     * a pre-bucketing (flat) cursor is returned as-is.

@@ -669,6 +669,67 @@ class StreamingSpec extends SparkSpec {
     assert(cursor.agg(max("height")).head.getInt(0) == n + 1)
   }
 
+  test("dangling-parent index + pruned probe: O(batch) tip-follow, fragment attach and deep reorg still route full") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-dangling").toString
+    def fundersOf(s: org.apache.spark.sql.SparkSession,
+        df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+      df.select(explode(col("txs")).as("t"))
+        .select(col("t._1").as("tx_hash"), explode(col("t._2")).as("src_address"))
+    def step(rows: Seq[(String, String, Long)]): String = {
+      ChainStream.walletLabelsBatch(spark,
+        rows.map { case (h, p, ts) => (h, p, ts, Seq.empty[(String, Seq[String])]) }
+          .toDF("hash", "parent_hash", "ts", "txs"),
+        s"$tmp/bronze", fundersOf, s"$tmp/labels", 8)
+      ChainStream.lastBestChainRoute
+    }
+    def danglingFile(): Set[String] = {
+      val p = java.nio.file.Paths.get(s"$tmp/labels/_dangling")
+      if (!java.nio.file.Files.exists(p)) Set.empty
+      else java.nio.file.Files.readString(p).linesIterator.filter(_.nonEmpty).toSet
+    }
+    // bootstrap a three-bucket chain (heights 0..20000), one funded block
+    val n = 20001
+    ChainStream.walletLabelsBatch(spark,
+      (0 until n).map(i =>
+        (f"b$i%06d", if (i == 0) null else f"b${i - 1}%06d", 1000L + i,
+          if (i == 0) Seq(("t1", Seq("a1", "a2"))) else Seq.empty[(String, Seq[String])]))
+        .toDF("hash", "parent_hash", "ts", "txs"),
+      s"$tmp/bronze", fundersOf, s"$tmp/labels", 8)
+    assert(danglingFile().isEmpty, "a fully-connected chain left a dangling index")
+
+    // steady tip-follow: extend route, index stays empty
+    assert(step(Seq(("e" * 64, f"b${n - 1}%06d", 50000L))) == "extend")
+    assert(danglingFile().isEmpty)
+
+    // a fragment arrives child-first: full route, and the missing parent
+    // lands in the index
+    val missingParent = "d" * 64
+    assert(step(Seq(("c" * 64, missingParent, 50001L))) == "fallback")
+    assert(danglingFile() == Set(missingParent))
+
+    // the missing parent arrives, extending the tip: the INDEX (not a
+    // bronze scan) must recognize the attachment and route full — the
+    // fragment's heights change outside the batch
+    assert(step(Seq((missingParent, "e" * 64, 50002L))) == "fallback")
+    assert(danglingFile().isEmpty, "attachment did not clear the index")
+    val cursor = spark.read.parquet(s"$tmp/labels/_bestchain")
+    assert(cursor.agg(max("height")).head.getInt(0) == n + 2) // e <- d <- c on top
+    assert(cursor.count() == n + 3)
+
+    // deep reorg past the pruned probe range (anchor in bucket 0, probe
+    // covers the top two buckets): must fall back, never mis-anchor — and
+    // the longer branch must win exactly as the full resolution says
+    val deep = (0 until 4).map(i =>
+      (("f%02d".format(i)).padTo(64, 'f').mkString,
+        if (i == 0) f"b${100}%06d" else ("f%02d".format(i - 1)).padTo(64, 'f').mkString,
+        60000L + i))
+    assert(step(deep) == "fallback")
+    // the deep branch loses (shorter than the main chain) — chain unchanged
+    val cursor2 = spark.read.parquet(s"$tmp/labels/_bestchain")
+    assert(cursor2.agg(max("height")).head.getInt(0) == n + 2)
+  }
+
   test("cyclic parent pointers: the incremental walk exits to the full route, which errors instead of hanging") {
     import spark.implicits._
     // a healthy stored chain, then a corrupt batch whose parents form a loop
