@@ -124,7 +124,87 @@ object StreamRehearsal {
     if (legOn("wallet")) walletLabelsLeg(spark)
     if (legOn("backfill")) walletOrderedBackfillLeg(spark)
     if (legOn("contraction")) maintainerContractionLeg(spark)
+    if (legOn("walletresume")) walletKillResumeLeg(spark)
     spark.stop()
+  }
+
+  /** Kill-resume through the WALLET maintainer — the state machine with the
+    * most intricate crash reasoning (store → dangling → cursor write
+    * ordering, slot-store idempotence, the dangling index's stale-AHEAD-only
+    * guarantee): drain the corpus through `incrementalWalletLabels`, kill
+    * the query the instant a batch's bronze append lands (side effect on
+    * disk, checkpoint commit not), resume from the same checkpoint, and
+    * gate the final store against a from-scratch clustering of the final
+    * best chain. Replayed bronze rows are reported as evidence the replay
+    * actually engaged — and asserted nonzero, like the gold leg.
+    */
+  private def walletKillResumeLeg(spark: SparkSession): Unit = {
+    val workDir = Paths.get("target/stream_rehearsal_wresume")
+    deleteRecursively(workDir)
+    val bronzeDir = s"$workDir/bronze"
+    val txsB = graft.chain.BlkCorpus.bronze(spark, "transactions")
+    val rinAll = graft.chain.Enrich.resolvedInputs(
+        graft.chain.BlkCorpus.bronze(spark, "tx_inputs"),
+        graft.chain.BlkCorpus.bronze(spark, "tx_outputs"))
+      .select("tx_hash", "src_address").distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    rinAll.count()
+    val fundersOf = corpusFundersOf(rinAll, txsB) _
+    def writer() = graft.streaming.ChainStream.incrementalWalletLabels(
+      graft.streaming.ChainStream
+        .blkFileStream(spark, graft.chain.BlkCorpus.rawDir, maxFilesPerTrigger = 8)
+        .select(
+          col("hash"),
+          when(col("parent_hash") === "0" * 64, lit(null))
+            .otherwise(col("parent_hash")).as("parent_hash"),
+          col("ts")),
+      bronzeDir, fundersOf, s"$workDir/labels", s"$workDir/ckpt")
+
+    def bronzeFiles(): Int = {
+      val d = Paths.get(bronzeDir)
+      if (!Files.exists(d)) 0
+      else Files.list(d).filter(_.getFileName.toString.endsWith(".parquet"))
+        .count().toInt
+    }
+    // phase 1: let the bootstrap batch commit, then kill the moment the
+    // SECOND batch's append lands — mid-batch by construction
+    val q1 = writer().start()
+    val deadline = System.nanoTime() + 180e9.toLong
+    while (q1.recentProgress.count(_.numInputRows > 0) < 1 &&
+        q1.isActive && System.nanoTime() < deadline)
+      Thread.sleep(50)
+    val filesAtKill = bronzeFiles()
+    while (bronzeFiles() <= filesAtKill && q1.isActive &&
+        System.nanoTime() < deadline)
+      Thread.sleep(20)
+    q1.stop()
+
+    // phase 2: resume and finish from the same checkpoint
+    val t0 = System.nanoTime()
+    val q2 = writer().start()
+    q2.awaitTermination()
+    val resumeSec = (System.nanoTime() - t0) / 1e9
+    val bronzeAll = spark.read.parquet(bronzeDir)
+    val replayedRows = bronzeAll.count() - bronzeAll.dropDuplicates("hash").count()
+
+    val ann = graft.chain.BlkCorpus.annotated(spark)
+    val bestTxs = graft.chain.GoldStats.chainTxs(txsB, ann).select("tx_hash")
+    val bestFunders = rinAll.join(bestTxs, Seq("tx_hash"), "left_semi")
+    val expect = graft.chain.WalletCluster.clusters(
+      bestFunders.select(col("src_address").as("address")).distinct(), bestFunders)
+    val store = spark.read.parquet(s"$workDir/labels/labels")
+      .select("address", "wallet_id")
+    val missing = expect.exceptAll(store).count()
+    val staleExtras = store.exceptAll(expect)
+      .where(col("address") =!= col("wallet_id")).count()
+    val converged = missing == 0 && staleExtras == 0
+    rinAll.unpersist(blocking = false)
+    Rehearsal.emit(
+      f"""{"rehearsal":"wallet_kill_resume","scale":${graft.chain.BlkCorpus.Scale},"resume_s":$resumeSec%.1f,"replayed_rows":$replayedRows,"missing":$missing,"stale_extras":$staleExtras,"converged":$converged}""")
+    if (!converged) throw new IllegalStateException(
+      s"wallet kill-resume diverged: missing=$missing stale=$staleExtras")
+    if (replayedRows == 0) throw new IllegalStateException(
+      "wallet kill-resume replayed nothing — kill landed on a batch boundary; leg is vacuous")
   }
 
   /** The STREAMING MAINTAINER routing a shallow reorg to the contraction
