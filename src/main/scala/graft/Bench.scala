@@ -208,7 +208,11 @@ object Bench {
         diag += s"[bench] recall: $recallJson"
         recalls.forall { case (n, r) => r >= RecallAudit.floors(n) }
       } catch { case e: Throwable =>
-        diag += s"[bench] WARNING: recall audit failed: ${e.getMessage.linesIterator.next()}"
+        // e.getMessage can be null (bare NPE) or empty — the handler must
+        // never itself throw after all query timing succeeded
+        val msg = Option(e.getMessage).flatMap(_.linesIterator.nextOption())
+          .getOrElse(e.getClass.getName)
+        diag += s"[bench] WARNING: recall audit failed: $msg"
         false
       }
     // Self-diagnose protocol problems: a spread comparable to the median

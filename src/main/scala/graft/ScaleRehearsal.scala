@@ -140,10 +140,11 @@ object ScaleRehearsal {
     // addresses and 3 txs — {0,1}, {2,3}, and the BRIDGE {1,2,4} — and the
     // reorg retracts the bridge tx of every 200th wallet, so the affected
     // components genuinely split (repair emits real replacement rows) while
-    // spanning only 0.5% of the store. The ROUTE is now picked by economics:
-    // below ~2M stored rows the recompute-diff path wins (fixed job-ladder
-    // latency dominates), above it contraction does — this leg's 1×/10×/30×
-    // runs demonstrate the router tracking min(repair, full) at every scale.
+    // spanning only 0.5% of the store. The ROUTE is picked by economics:
+    // below ~500k stored rows (WalletCluster.ContractionMinStoreRows) the
+    // recompute-diff path wins (fixed job-ladder latency dominates), above
+    // it contraction does — this leg's 1×/10×/30× runs are the calibration
+    // evidence, with the router tracking the cheaper route at every scale.
     // Also timed: the no-op pre-route (a reorg of funder-less blocks).
     {
       import org.apache.spark.sql.functions._

@@ -163,8 +163,13 @@ object StreamRehearsal {
     def bronzeFiles(): Int = {
       val d = Paths.get(bronzeDir)
       if (!Files.exists(d)) 0
-      else Files.list(d).filter(_.getFileName.toString.endsWith(".parquet"))
-        .count().toInt
+      else {
+        // Files.list leaks a directory fd unless closed — this polls every
+        // 20 ms for minutes, which would exhaust the ulimit mid-leg
+        val s = Files.list(d)
+        try s.filter(_.getFileName.toString.endsWith(".parquet")).count().toInt
+        finally s.close()
+      }
     }
     // phase 1: let the bootstrap batch commit, then kill the moment the
     // SECOND batch's append lands — mid-batch by construction
@@ -306,6 +311,17 @@ object StreamRehearsal {
       f"""{"rehearsal":"maintainer_contraction","scale":$scale,"wallets":$nWallets,"stored_rows":$nStored,"bootstrap_s":$tBoot%.2f,"reorg_batch_s":$tBatch%.2f,"chain_route":"$chainRoute","repair_route":"$repairRoute","chosen_route_s":$tChosen%.2f,"mass_alternative_s":$tMass%.2f,"mass_rows":$massRows,"missing":$missing,"stale_extras":$staleExtras,"converged":$converged}""")
     if (!converged) throw new IllegalStateException(
       s"maintainer contraction leg diverged: missing=$missing stale=$staleExtras")
+    // vacuousness guards (same discipline as the kill-resume legs): the
+    // leg's POINT is the routing — a regression that silently falls back to
+    // full resolution or always takes the mass route must fail the leg, not
+    // just change a JSON field nobody re-reads
+    if (chainRoute != "extend") throw new IllegalStateException(
+      s"maintainer reorg batch routed '$chainRoute', not the O(batch) extend")
+    val expectRepair =
+      if (nStored >= graft.chain.WalletCluster.ContractionMinStoreRows) "contraction"
+      else "mass"
+    if (repairRoute != expectRepair) throw new IllegalStateException(
+      s"maintainer repair routed '$repairRoute', expected '$expectRepair' at $nStored stored rows")
   }
 
   /** (tx_hash, src_address) funders of the given block rows over the
@@ -545,8 +561,13 @@ object StreamRehearsal {
     def bronzeFiles(): Int = {
       val d = Paths.get(bronzeDir)
       if (!Files.exists(d)) 0
-      else Files.list(d).filter(_.getFileName.toString.endsWith(".parquet"))
-        .count().toInt
+      else {
+        // Files.list leaks a directory fd unless closed — this polls every
+        // 20 ms for minutes, which would exhaust the ulimit mid-leg
+        val s = Files.list(d)
+        try s.filter(_.getFileName.toString.endsWith(".parquet")).count().toInt
+        finally s.close()
+      }
     }
     val filesAtKillPoint = bronzeFiles()
     val deadline2 = System.nanoTime() + 120e9.toLong

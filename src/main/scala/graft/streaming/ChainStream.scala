@@ -460,11 +460,29 @@ object ChainStream {
     // not contain — the O(1) form of the per-batch fragment-attachment
     // check. "!overflow" marks an index past the driver cap (adversarial
     // mostly-dangling corpora): those sessions use the bronze scan instead.
+    //
+    // VALIDITY STAMP: the index body is only trusted when the `_dangling_ok`
+    // stamp equals the cursor's CURRENT tip. Every batch invalidates the
+    // stamp before touching the body or the cursor and re-stamps with the
+    // new tip only after both are written, so a crash ANYWHERE in between
+    // leaves a non-matching stamp and the next batch falls back to the
+    // authoritative bronze scan. Without the stamp, a crash after the body
+    // rewrite but before the cursor write would pair a post-batch index
+    // (entries REMOVED) with a pre-batch cursor — and the replayed batch
+    // would mis-route a fragment attachment as an extend, silently dropping
+    // the fragment's blocks from the chain.
     val danglingPath = s"$labelsDir/_dangling"
-    val dangling: Option[Set[String]] = fsReadText(spark, danglingPath).flatMap { txt =>
-      if (txt.startsWith("!overflow")) None
-      else Some(txt.linesIterator.filter(_.nonEmpty).toSet)
+    val danglingStampPath = s"$labelsDir/_dangling_ok"
+    val danglingBody: Option[String] = fsReadText(spark, danglingPath)
+    val stampOk = (fsReadText(spark, danglingStampPath).map(_.trim),
+      prevTipHint.map(_._1)) match {
+      case (Some(s), Some(tip)) => s == tip
+      case _ => false
     }
+    val danglingOverflow = danglingBody.exists(_.startsWith("!overflow"))
+    val dangling: Option[Set[String]] =
+      if (!stampOk || danglingOverflow) None
+      else danglingBody.map(_.linesIterator.filter(_.nonEmpty).toSet)
     val upd = traced("wallet: best chain")(
       bestChainIncremental(spark, bronze, batch, prevCursorH, prevTipHint,
         probeCursor, dangling))
@@ -599,30 +617,35 @@ object ChainStream {
         graft.sinks.PartitionedGold.overwriteAffected(content, storePath, bucket)
       }
     }
-    // Dangling-index upkeep, ordered store → dangling → cursor: the index
-    // may only ever run AHEAD of the cursor (a stale-ahead index is merely
-    // conservative — it can force a spurious full resolution — while a
-    // stale-behind one could mis-route a fragment attachment as an extend
-    // and silently corrupt heights; cursor-written-last makes stale-behind
-    // impossible). The incremental routes prove the set unchanged and skip
-    // the write; the full routes re-derive it from post-append bronze — one
-    // anti-join amortized into the resolution they already paid for.
+    // Dangling-index upkeep, stamp-invalidate-first (see the read-side
+    // note): 1. invalidate the stamp, 2. rewrite the body if it changed,
+    // 3. write the cursor, 4. re-stamp with the new tip. The incremental
+    // routes prove the set unchanged and carry it through; the full routes
+    // re-derive it from post-append bronze — one anti-join amortized into
+    // the resolution they already paid for — EXCEPT when the index was
+    // already in overflow and the route was incremental: re-deriving a
+    // known-overflowed index every tip extension would put a bronze-sized
+    // anti-join plus a capped driver collect back on the O(batch) path, so
+    // overflow sticks until the next full route refreshes it.
+    val incrementalRoute = route == "extend" || route == "unchanged"
     val refreshedDangling: Option[Set[String]] = upd.newDangling.orElse {
-      import spark.implicits._
-      val parents = bronze.select(col("parent_hash").as("h"))
-        .where(col("h").isNotNull).distinct()
-      val rows = parents
-        .join(bronze.select(col("hash").as("h")), Seq("h"), "left_anti")
-        .limit(DanglingCap + 1).collect().map(_.getString(0))
-      if (rows.length > DanglingCap) None else Some(rows.toSet)
-    }
-    if (refreshedDangling != dangling || !fsExists(spark, danglingPath)) {
-      val body = refreshedDangling match {
-        case Some(dp) => dp.toSeq.sorted.mkString("", "\n", "\n")
-        case None => "!overflow\n"
+      if (danglingOverflow && incrementalRoute) None
+      else {
+        import spark.implicits._
+        val parents = bronze.select(col("parent_hash").as("h"))
+          .where(col("h").isNotNull).distinct()
+        val rows = parents
+          .join(bronze.select(col("hash").as("h")), Seq("h"), "left_anti")
+          .limit(DanglingCap + 1).collect().map(_.getString(0))
+        if (rows.length > DanglingCap) None else Some(rows.toSet)
       }
-      fsWriteText(spark, danglingPath, body)
     }
+    fsWriteText(spark, danglingStampPath, "!pending\n")
+    val newBody = refreshedDangling match {
+      case Some(dp) => dp.toSeq.sorted.mkString("", "\n", "\n")
+      case None => "!overflow\n"
+    }
+    if (!danglingBody.contains(newBody)) fsWriteText(spark, danglingPath, newBody)
     // Write ordering is store-then-cursor: a crash between them leaves a
     // stale cursor, so the next batch re-derives a change set that includes
     // already-applied blocks — both update paths then produce empty deltas
@@ -636,7 +659,16 @@ object ChainStream {
     // sync instead of a GB-scale cursor rewrite. The full routes (fallback/
     // bootstrap/migration from a pre-bucketed or genesis-reset cursor)
     // rewrite the whole bucketed layout from the checkpointed resolution.
+    // the new tip, derived BEFORE the cursor write — on the migration
+    // routes upd.best is a lazy read of the very files the write replaces
+    val newTip: Option[String] = upd.extendDelta.map(_._1.head._1)
+      .orElse(if (route == "unchanged") prevTipHint.map(_._1) else None)
+      .orElse(upd.best.orderBy(col("height").desc, col("hash").asc).limit(1)
+        .collect().headOption.map(_.getString(0)))
     writeCursor(spark, upd, prevCursorAny, cursorPath)
+    // 4. re-stamp with the NEW tip — the last write of the batch, so a
+    // matching stamp proves body and cursor were both committed together
+    newTip.foreach(t => fsWriteText(spark, danglingStampPath, t + "\n"))
     ()
   }
 

@@ -730,6 +730,58 @@ class StreamingSpec extends SparkSpec {
     assert(cursor2.agg(max("height")).head.getInt(0) == n + 2)
   }
 
+  test("dangling-index crash window: an invalidated stamp forces the authoritative scan, never a mis-routed attachment") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-dangling-crash").toString
+    def fundersOf(s: org.apache.spark.sql.SparkSession,
+        df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+      df.select(explode(col("txs")).as("t"))
+        .select(col("t._1").as("tx_hash"), explode(col("t._2")).as("src_address"))
+    def step(rows: Seq[(String, String, Long)]): String = {
+      ChainStream.walletLabelsBatch(spark,
+        rows.map { case (h, p, ts) => (h, p, ts, Seq.empty[(String, Seq[String])]) }
+          .toDF("hash", "parent_hash", "ts", "txs"),
+        s"$tmp/bronze", fundersOf, s"$tmp/labels", 8)
+      ChainStream.lastBestChainRoute
+    }
+    val P = "p" * 64
+    val C = "c" * 64
+    // bootstrap g <- a, then a fragment child C (parent P absent) → dp={P}
+    ChainStream.walletLabelsBatch(spark,
+      Seq(("g", null, 1000L, Seq(("t1", Seq("a1", "a2")))),
+        ("a", "g", 1100L, Seq.empty[(String, Seq[String])]))
+        .toDF("hash", "parent_hash", "ts", "txs"),
+      s"$tmp/bronze", fundersOf, s"$tmp/labels", 8)
+    assert(step(Seq((C, P, 1200L))) == "fallback")
+    assert(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$tmp/labels/_dangling")).contains(P))
+
+    // simulate the exact crash window: the batch {P} got as far as its
+    // bronze append AND the dangling-body rewrite (P removed), but died
+    // before the cursor write and the re-stamp. A stale-ahead body paired
+    // with a pre-batch cursor is the lethal combination: trusted, it would
+    // route the replayed {P} as a pure extend and silently drop C.
+    Seq((P, "a", 1300L)).toDF("hash", "parent_hash", "ts")
+      .write.mode("append").parquet(s"$tmp/bronze")
+    graft.sinks.Hfs.writeText(spark, s"$tmp/labels/_dangling", "\n")
+    graft.sinks.Hfs.writeText(spark, s"$tmp/labels/_dangling_ok", "!pending\n")
+
+    // the replay must IGNORE the unstamped body, detect the attachment on
+    // the authoritative bronze scan, and resolve the whole fragment
+    assert(step(Seq((P, "a", 1300L))) == "fallback",
+      "replay trusted a crash-orphaned dangling body and mis-routed the attachment")
+    val cursor = spark.read.parquet(s"$tmp/labels/_bestchain")
+    val byHash = cursor.collect().map(r =>
+      r.getAs[String]("hash") -> r.getAs[Number]("height").intValue).toMap
+    assert(byHash.get(C).contains(3), s"fragment child missing from the chain: $byHash")
+    assert(byHash.get(P).contains(2))
+    // the protocol re-synced: stamp matches the new tip, body is empty again
+    assert(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$tmp/labels/_dangling_ok")).trim == C)
+    assert(!java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$tmp/labels/_dangling")).contains(P))
+  }
+
   test("cyclic parent pointers: the incremental walk exits to the full route, which errors instead of hanging") {
     import spark.implicits._
     // a healthy stored chain, then a corrupt batch whose parents form a loop
