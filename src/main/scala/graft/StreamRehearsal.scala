@@ -408,6 +408,15 @@ object StreamRehearsal {
       s"""{"rehearsal":"wallet_labels_ordered_backfill","scale":${graft.chain.BlkCorpus.Scale},"batches":$nBatches,"batch_s":[${runs.map(r => f"${r._1}%.1f").mkString(",")}],"routes":[${runs.map(r => "\"" + r._2 + "\"").mkString(",")}],"batch_work":[$batchWork],"missing":$missing,"stale_extras":$staleExtras,"converged":$converged}""")
     if (!converged) throw new IllegalStateException(
       s"ordered backfill diverged: missing=$missing stale=$staleExtras")
+    // Vacuousness guard (the other legs' discipline): this leg's entire
+    // point is that ordered ingest resolves O(batch) — a regression that
+    // silently routes every batch through the full resolution would still
+    // converge and pass, with only the emitted routes array (which nobody
+    // re-reads) changing. Batch 0 bootstraps; every later batch must extend.
+    val offRoute = runs.drop(1).map(_._2).filterNot(_ == "extend")
+    if (offRoute.nonEmpty) throw new IllegalStateException(
+      "ordered backfill left the O(batch) path: route histogram = " +
+        runs.map(_._2).groupBy(identity).view.mapValues(_.size).toMap.toString)
   }
 
   /** The round-13 surface at corpus scale: maintain the WALLET LABELING as

@@ -42,7 +42,12 @@ object BlkScale {
     new java.util.concurrent.atomic.AtomicReference[Seq[org.apache.spark.sql.DataFrame]](Nil)
   private def stageForRun(dfs: org.apache.spark.sql.DataFrame*): Unit = {
     scratch.getAndSet(dfs.toSeq).foreach(_.unpersist(blocking = false))
-    dfs.foreach(_.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    // SER, not deserialized rows: bk0 is the bench's heaviest query and the
+    // one whose peak footprint decides whether a contended host window can
+    // triple its samples (r15's official bench was invalidated on exactly
+    // that) — the serialized form is ~4× smaller for these string-keyed
+    // frames, trading a little per-read CPU for page-cache headroom.
+    dfs.foreach(_.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER))
   }
 
   /** Drop the retained pipeline scratch ([[graft.Graft.releaseCaches]]). */
