@@ -31,8 +31,15 @@ object ScaleRehearsal {
     val (_, matSec) = timed(graft.chain.BlkCorpus.ensureMaterialized(spark))
     val nBlocks = spark.read.parquet(graft.chain.BlkCorpus.bronzeDir("blocks")).count()
     Rehearsal.emit(f"""{"rehearsal":"materialize","scale":$scale,"blocks":$nBlocks,"sec":$matSec%.1f}""")
-    val names = Seq("bk0_e2e_pipeline", "bk1_best_chain",
-      "bk4_address_stats", "bk7_utxo_set")
+    // Leg filter for targeted re-measurement (same knob style as
+    // StreamRehearsal's SPARK_GRAFT_STREAM_LEGS): a comma list of
+    // queries,incremental,reorg,shallow; unset = all.
+    val legs = sys.env.get("SPARK_GRAFT_SCALE_LEGS")
+      .map(_.split(",").map(_.trim).toSet)
+    def legOn(name: String): Boolean = legs.forall(_.contains(name))
+    val names = if (!legOn("queries")) Seq.empty[String]
+      else Seq("bk0_e2e_pipeline", "bk1_best_chain",
+        "bk4_address_stats", "bk7_utxo_set")
     names.foreach { name =>
       Graft.releaseCaches()
       def once(): Double = timed(
@@ -58,7 +65,7 @@ object ScaleRehearsal {
     // the full path re-derives and rewrites every row. Non-trivial deltas
     // (new addresses, cluster merges) are property-gated against full
     // recompute on random graphs in PropertySpec.
-    {
+    if (legOn("incremental")) {
       import org.apache.spark.sql.functions._
       Graft.releaseCaches()
       val rin = graft.chain.BlkCorpus.silver(spark, "rin")
@@ -99,7 +106,7 @@ object ScaleRehearsal {
     // recompute of the truncated chain, at 50k/500k-block scale) plus the
     // affected fraction; O(affected) cost scaling is property-gated on
     // random graphs whose components are small (PropertySpec).
-    {
+    if (legOn("reorg")) {
       import org.apache.spark.sql.functions._
       Graft.releaseCaches()
       val rin = graft.chain.BlkCorpus.silver(spark, "rin")
@@ -146,7 +153,7 @@ object ScaleRehearsal {
     // it contraction does — this leg's 1×/10×/30× runs are the calibration
     // evidence, with the router tracking the cheaper route at every scale.
     // Also timed: the no-op pre-route (a reorg of funder-less blocks).
-    {
+    if (legOn("shallow")) {
       import org.apache.spark.sql.functions._
       Graft.releaseCaches()
       val nWallets = 20000L * scale

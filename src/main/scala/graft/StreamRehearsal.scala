@@ -319,7 +319,7 @@ object StreamRehearsal {
       s"maintainer reorg batch routed '$chainRoute', not the O(batch) extend")
     val expectRepair =
       if (nStored >= graft.chain.WalletCluster.ContractionMinStoreRows) "contraction"
-      else "mass"
+      else "replace"
     if (repairRoute != expectRepair) throw new IllegalStateException(
       s"maintainer repair routed '$repairRoute', expected '$expectRepair' at $nStored stored rows")
   }

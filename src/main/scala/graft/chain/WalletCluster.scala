@@ -42,7 +42,7 @@ object WalletCluster {
   val ContractionMinStoreRows: Long = 500000L
 
   /** Route the last [[repairAfterReorg]] call took — observability for
-    * specs and rehearsals. One of: "noop", "mass", "contraction".
+    * specs and rehearsals. One of: "noop", "replace", "mass", "contraction".
     */
   @volatile private[graft] var lastRepairRoute: String = ""
 
@@ -245,13 +245,15 @@ object WalletCluster {
     * at a 100k-row store the recompute-diff route wins ~5.1 s vs ~5.8 s; at
     * 1M contraction wins ~14–16 s vs ~23.7 s, and at 3M it wins ~15.0 s vs
     * ~25.9 s — the fixed job ladder amortizes where the store crosses a few
-    * hundred thousand rows. The router therefore takes the recompute-diff
-    * route whenever the store is below [[ContractionMinStoreRows]] (as well
-    * as whenever the affected members span ≥ half the store), so repair
-    * tracks the cheaper route at every scale; `contractionMinStore`
-    * overrides the floor (0 forces contraction wherever the affected
-    * fraction allows — the spec fixtures pin the contraction route's output
-    * shape that way).
+    * hundred thousand rows. Below [[ContractionMinStoreRows]] the router
+    * goes one step further: the store is driver-sized by the same bound, so
+    * the REPLACE route collects it, recomputes the post-reorg clustering
+    * once and diffs in memory — no store joins at all, repair ≈ the full
+    * recompute plus two tiny collects (r15's small-store premium was the
+    * distributed diff machinery itself). Above the floor the member
+    * fraction picks mass vs contraction; `contractionMinStore` overrides
+    * the floor (0 forces the distributed routes — the spec fixtures pin the
+    * contraction route's output shape that way).
     *
     * @param oldLabels    the stored labeling — (address, wallet_id), built
     *                     on the pre-reorg best chain
@@ -277,6 +279,57 @@ object WalletCluster {
     lastRepairRoute = "noop"
     val old = oldLabels.select(col("address"), col("wallet_id"))
     val invAddrs = invalidated.select(col("src_address").as("address")).distinct()
+    // REPLACE route — store below the economics floor: the store bounds the
+    // universe (up to the replacement branch's new addresses), so the whole
+    // labeling is driver-sized BY THE SAME BOUND that routes here, and the
+    // diff that costs a store-join ladder at scale is a hash-map pass. Cost
+    // = ONE clustering of the post-reorg chain (exactly what the full
+    // recompute this route is measured against) + two driver-sized collects;
+    // r15's measured premium over the full recompute on small stores — the
+    // corpus-grain bestFunders materialization plus the 3-way diff join of
+    // the mass route below — is gone. Output contract unchanged: only
+    // genuinely changed rows, vanished affected members self-labeled.
+    // the store count is parquet-metadata-cheap for a parquet-backed labeling
+    val nStored = old.count()
+    val belowFloor = nStored < contractionMinStore
+    // The hard driver bound is separate from the economics floor: callers
+    // force routes by moving the floor (0 = contraction, MaxValue = mass),
+    // and a forced-mass call on a multi-million-row store must stay
+    // distributed — the replace route only ever collects what a broadcast
+    // would ship.
+    if (belowFloor && nStored <= ChainOps.BroadcastMaxRows) {
+      val spark = oldLabels.sparkSession
+      import spark.implicits._
+      // no-op pre-route, driver-side, cheapest check first: a reorg with no
+      // funders at all needs no store read; one whose funders never reached
+      // the store cannot split or merge anything
+      val invRows = invAddrs.collect().map(_.getString(0))
+      if (invRows.isEmpty)
+        return old.select(col("address"), col("wallet_id")).where(lit(false))
+      val storedRows = old.collect().map(r => (r.getString(0), r.getString(1)))
+      val storedMap = storedRows.toMap
+      val affectedSet = invRows.iterator.flatMap(storedMap.get).toSet
+      if (affectedSet.isEmpty)
+        return old.select(col("address"), col("wallet_id")).where(lit(false))
+      lastRepairRoute = "replace"
+      val bf = bestFunders
+        .select(col("tx_hash"), col("src_address").as("address"))
+      val freshMap = clusters( // clusters distincts both inputs itself
+          bf.select("address"),
+          bf.select(col("tx_hash"), col("address").as("src_address")))
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      // same emission rule as the mass route's diff join, as a map pass:
+      // changed labels (including unaffected components merged by
+      // replacement-branch edges), and vanished affected members singleton
+      val out = storedRows.iterator.flatMap { case (a, w) =>
+        freshMap.get(a) match {
+          case Some(nw) if nw != w => Some((a, nw))
+          case None if affectedSet(w) && w != a => Some((a, a))
+          case _ => None
+        }
+      }.toSeq
+      return out.toDF("address", "wallet_id")
+    }
     // 1. components with >=1 retracted edge — materialized ONCE: the set is
     // LABEL-grain (small on every route — a handful of labels on the
     // giant-component mass case, one per touched wallet on the shallow
@@ -306,27 +359,23 @@ object WalletCluster {
       // cache churn at exactly the scale where churn hurts. The contraction
       // route re-derives the set once under a persist; one extra store-scan
       // semi-join on the SMALL-affected path buys never caching a store-sized
-      // relation on the giant-component path. When the store is below the
-      // economics floor the member fraction cannot change the route, so the
-      // member-count probe is skipped outright (it was a fifth of the whole
-      // repair on the small-store path).
-      val nStored = old.count()
-      val massForced = nStored < contractionMinStore
+      // relation on the giant-component path.
       val memberSet =
         old.join(affected, Seq("wallet_id"), "left_semi").select("address")
-      val nMembers = if (massForced) 0L else memberSet.count()
+      // belowFloor already decides the route — skip the member-count probe
+      // (it was a fifth of the whole repair on the small-store path)
+      val nMembers = if (belowFloor) 0L else memberSet.count()
       // MASS-reorg route: when the affected components span most of the
       // store (one giant co-spend component is common on dense corpora),
       // the contraction machinery below re-clusters nearly everything
       // anyway and its derivation joins make it SLOWER than the recompute
-      // it exists to avoid (measured 4× at corpus scale). The SAME route
-      // also wins whenever the store is simply small (the economics floor
-      // — see the Scaladoc): the contraction ladder's fixed job latency
-      // only amortizes on multi-million-row stores. Recompute the
+      // it exists to avoid (measured 4× at corpus scale). Recompute the
       // best-chain labeling once and diff against the store — same output
-      // contract, cost capped at one full clustering. The store count is
-      // parquet-metadata-cheap for a parquet-backed labeling.
-      if (massForced || nMembers * 2 >= nStored) {
+      // contract, cost capped at one full clustering. belowFloor forces this
+      // route when a caller pinned the floor above a store too large for the
+      // driver-side replace route (the leg that measures the mass
+      // alternative does exactly that).
+      if (belowFloor || nMembers * 2 >= nStored) {
         lastRepairRoute = "mass"
         // the recompute consumes bf ~4× (universe distinct, funder distinct,
         // hub self-join, the final label join) — materialize it ONCE, held

@@ -145,6 +145,38 @@ object ChainStream {
     ()
   }
 
+  /** The maintained OFF-CHAIN index beside the cursor: `dangling` = parent
+    * hashes bronze references but does not contain; `pending` = every bronze
+    * block NOT on the best chain, as (hash → parent hash, null for a stale
+    * genesis root). Together they make the per-batch fragment logic a pure
+    * driver computation: a batch block whose parent is neither on the
+    * cursor, in the batch, nor in `pending` is provably absent from bronze
+    * (bronze = chain ∪ pending when the index is complete), and a batch
+    * block that ARRIVES a `dangling` parent resolves its waiting fragment
+    * by a driver cascade instead of a full re-resolution. This is the
+    * streaming twin of the reference's 1,126-block reorder buffer
+    * (BlockchainToGraph.java:34–35): unconnected blocks WAIT — they are not
+    * tip candidates — until the block that anchors them lands, which is
+    * also where the mid-stream semantics deliberately differ from the batch
+    * annotator's total orphan semantics (a dangling-parent block counts as
+    * a height-1 root there, because a batch query must label everything).
+    * Once every parent has arrived, `pending` drains through the cascade
+    * and the maintained chain equals the batch annotation exactly
+    * (spec-gated per batch against the annotator over the connected
+    * subgraph, and at convergence against the full annotation).
+    */
+  /** `chainRootParent`: when the chain's own root is orphan-rooted (a
+    * bootstrap over a bronze whose true genesis has not arrived — annotate's
+    * orphan semantics seat the deepest fragment as the chain), this is the
+    * root's missing parent. Its ARRIVAL must rebase the whole chain (every
+    * cursor height shifts), which only the full resolution can do — the one
+    * arrival the cascade must not absorb. None once the chain roots at a
+    * true (null-parent) genesis.
+    */
+  private[graft] final case class Frontier(
+      dangling: Set[String], pending: Map[String, String],
+      chainRootParent: Option[String] = None)
+
   /** (hash, height) of the current best chain, computed O(batch) from the
     * prior cursor whenever the batch EXTENDS or shallowly REORGS the known
     * chain — the common steady-state shapes — and falling back to a full
@@ -154,17 +186,20 @@ object ChainStream {
     * O(batch) joins against the KB–MB cursor instead of the O(chain log
     * chain) doubling resolution every batch.
     *
-    * The O(batch) path applies when every batch block not already on the
-    * known chain resolves its height THROUGH the batch to a known-chain
-    * anchor (or a genesis root), and no pre-existing bronze block hangs off
-    * the batch (a batch that ATTACHES a previously-dangling fragment changes
-    * heights of blocks outside the batch — exactly the case the full
-    * resolution exists for). Both conditions are checked cheaply: one
-    * semi-join of the batch's hashes+parents against the cursor, and one
-    * limit-1 probe of bronze's (hash, parent_hash) columns. Tip selection
-    * replicates annotate's exactly (max height, ties to the min hash), so a
-    * losing candidate leaves the chain bit-identical to what the full path
-    * would produce.
+    * WITHOUT a [[Frontier]], the O(batch) path applies only when every batch
+    * block not already on the known chain resolves its height THROUGH the
+    * batch to a known-chain anchor (or a genesis root), and no pre-existing
+    * bronze block hangs off the batch (checked by one limit-1 bronze probe —
+    * authoritative but O(history)); anything else routes to the full
+    * resolution. WITH a stamped Frontier, unresolvable batch blocks are
+    * BUFFERED (they join `pending` and the route is "unchanged"), and a
+    * batch that arrives a dangling parent resolves the waiting fragment by
+    * a driver cascade over `pending` — the full resolution then runs only
+    * on bootstrap, cursor/stamp loss, index overflow, or corrupt input.
+    * Tip selection replicates annotate's exactly (max height, ties to the
+    * min hash) over the RESOLVED blocks, so a losing candidate leaves the
+    * chain bit-identical to what the full path would produce on the
+    * connected subgraph.
     *
     * @param prevCursor prior best chain (hash, height) — None when absent or
     *                   schema-incompatible (pre-height cursors force one
@@ -176,28 +211,27 @@ object ChainStream {
     *                   buckets) to serve the membership/anchor lookups — the
     *                   O(bucket) form of the one remaining cursor-sized scan
     *                   on the extend path. Sound by construction: a key the
-    *                   pruned view misses routes to the full resolution
-    *                   (replays and anchors live near the tip in steady
-    *                   state, so the fallback fires only for reorgs deeper
-    *                   than the pruned range)
-    * @param danglingParents parent hashes referenced by bronze but absent
-    *                   from it (the maintained fragment index): when given,
-    *                   the fragment-attachment check is a driver set
-    *                   intersection instead of a bronze scan. None = scan
-    *                   bronze (authoritative).
+    *                   pruned view misses is never trusted as absence — with
+    *                   a Frontier it gets a second-chance lookup against the
+    *                   FULL cursor (deep anchors), without one it routes to
+    *                   the full resolution
+    * @param frontier   the stamped off-chain index, or None when absent,
+    *                   crash-invalidated, or overflowed (→ the conservative
+    *                   bronze-probe path above)
     * @return the new best chain plus, on the "extend" route, the EXACT
     *         delta the walk derived — callers then never re-derive
     *         arrived/invalidated with chain-sized set-diff joins — and the
-    *         updated dangling set where the route could maintain it
-    *         (extend/unchanged remove resolved batch hashes; the full
-    *         routes return None = recompute from bronze)
+    *         updated frontier where the route could maintain it (the full
+    *         routes return None = recompute from bronze). On the extend
+    *         route the caller must still fold the reorged-out cursor rows
+    *         into `pending` (they are cursor-derived, see walletLabelsBatch)
     */
   private[graft] def bestChainIncremental(
       spark: SparkSession, bronze: DataFrame, batch: DataFrame,
       prevCursor: Option[DataFrame],
       prevTipHint: Option[(String, Int)] = None,
       probeCursor: Option[DataFrame] = None,
-      danglingParents: Option[Set[String]] = None): BestChainUpdate = {
+      frontier: Option[Frontier] = None): BestChainUpdate = {
     def full(route: String): BestChainUpdate = {
       lastBestChainRoute = route
       // bestChain skips the full annotation's join back against bronze: on
@@ -216,10 +250,14 @@ object ChainStream {
     val cursor = prevCursor.get.select(col("hash"), col("height").cast("int").as("height"))
     // the batch must be driver-sized for the in-memory walk; micro-batches
     // are bounded by maxFilesPerTrigger, so the cap only trips on abusive
-    // inputs — which take the always-correct full path
+    // inputs — which take the always-correct full path. 250k (hash, parent)
+    // rows ≈ 75 MB of driver heap — a quarter of the pending index's own
+    // budget, and comfortably above a catch-up drain's file-bounded batches
+    // (the 10× rehearsal lands ~125k blocks per batch; the old 100k cap
+    // silently routed every one of them to the full resolution).
     val batchRows = batch.select("hash", "parent_hash")
-      .dropDuplicates("hash").limit(100001).collect()
-    if (batchRows.length > 100000) return full("fallback")
+      .dropDuplicates("hash").limit(BatchWalkCap + 1).collect()
+    if (batchRows.length > BatchWalkCap) return full("fallback")
     val batchHashes = batchRows.map(_.getString(0)).toSet
     val parentOf: Map[String, Option[String]] =
       batchRows.map(r => r.getString(0) -> Option(r.getString(1))).toMap
@@ -239,59 +277,165 @@ object ChainStream {
       if (probeKeys.isEmpty) Map.empty
       else probeView.join(broadcast(probeKeys.toDF("hash")), Seq("hash"), "left_semi")
         .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
-    val batchNew = batchRows.filterNot(r => cursorHits.contains(r.getString(0)))
+    // With a frontier: pending blocks are walkable (their parents are in
+    // pending or dangling by the index invariant), and a key known to NONE
+    // of batch/pending/dangling/probe gets a second-chance lookup against
+    // the FULL cursor — found = a deep anchor or a deep replay (below the
+    // probe window), absent = provably absent from bronze (bronze = chain ∪
+    // pending when the index is complete) = a NEW dangling parent. Without
+    // a frontier the second-chance map is empty and an unresolved parent
+    // routes to the full resolution.
+    val pendParent: Map[String, String] = frontier.map(_.pending).getOrElse(Map.empty)
+    val danglingSet: Set[String] = frontier.map(_.dangling).getOrElse(Set.empty)
+    val allParent: Map[String, Option[String]] =
+      pendParent.map { case (h, p) => h -> Option(p) } ++ parentOf
+    val deepHits: Map[String, Int] = frontier match {
+      case None => Map.empty
+      case Some(_) =>
+        val unknownParents = batchRows.flatMap(r => Option(r.getString(1)))
+          .filterNot(p => allParent.contains(p) || danglingSet.contains(p) ||
+            cursorHits.contains(p))
+        // batch hashes too: a replayed block deep on the chain must read as
+        // "already known", not as a new off-chain arrival
+        val unknown = (unknownParents ++
+          batchHashes.filterNot(cursorHits.contains)).distinct
+        if (unknown.isEmpty) Map.empty
+        else cursor.join(broadcast(unknown.toSeq.toDF("hash")), Seq("hash"), "left_semi")
+          .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    }
+    var anchors = cursorHits ++ deepHits
+    val batchNew = batchRows.filterNot(r => anchors.contains(r.getString(0)))
     if (batchNew.isEmpty) {
       lastBestChainRoute = "unchanged"
-      return BestChainUpdate(cursor, "unchanged", None, danglingParents)
+      return BestChainUpdate(cursor, "unchanged", None, frontier)
     }
-    // a pre-existing bronze block pointing INTO the new batch = a dangling
-    // fragment being attached; its heights change outside the batch → full.
-    // With the maintained dangling-parent index the check is a driver set
-    // intersection (a fragment head's parent is BY DEFINITION a dangling
-    // reference until it arrives); without it, the authoritative bronze scan.
+    // the one arrival the cascade must NOT absorb: the parent of an
+    // orphan-rooted chain's own root — every cursor height shifts, so only
+    // the full resolution can rebase
+    if (frontier.exists(_.chainRootParent.exists(batchHashes.contains)))
+      return full("fallback")
     val newHashes = batchNew.map(_.getString(0)).toSeq
-    val attaches = danglingParents match {
-      case Some(dp) => newHashes.exists(dp.contains)
-      case None => !bronze.select("hash", "parent_hash")
+    // Frontier-free path (no stamped index): a pre-existing bronze block
+    // pointing INTO the new batch = a dangling fragment being attached; its
+    // heights change outside the batch and nothing tracks the fragment, so
+    // the only correct move is the full resolution. The check is the
+    // authoritative bronze scan.
+    if (frontier.isEmpty) {
+      val attaches = !bronze.select("hash", "parent_hash")
         .join(broadcast(newHashes.toDF("parent_hash")), Seq("parent_hash"), "left_semi")
         .join(broadcast(batchHashes.toSeq.toDF("hash")), Seq("hash"), "left_anti")
         .isEmpty
+      if (attaches) return full("fallback")
     }
-    if (attaches) return full("fallback")
     // anchored height walk over the new blocks (memoized, stack-safe):
-    // height = anchor height + path length; a missing anchor (parent neither
-    // in batch nor on the known chain — a stale-branch extension or an
-    // orphan) is unresolvable here → full
+    // height = anchor height + path length. An unresolvable parent (neither
+    // walkable nor anchored) PENDS the whole stack under a frontier — the
+    // blocks wait, off the chain, until the arrival that anchors them — and
+    // routes to the full resolution without one. TWO-PHASE: a walk through
+    // `pending` can reach a pending block whose parent is ON the chain but
+    // deep (a stale branch hanging off old history — its root anchored when
+    // it first arrived, but anchors are not stored in the index); phase 1
+    // collects those keys, one full-cursor lookup anchors them, phase 2
+    // re-walks. Steady-state batches never touch a pending chain, so the
+    // extra lookup fires only when the batch actually extends one.
     val heights = scala.collection.mutable.HashMap.empty[String, Int]
-    for (r <- batchNew) {
-      var stack = List.empty[String]
-      var cur = r.getString(0)
-      var anchorH: Option[Int] = None
-      // cycle guard: corrupt input whose parent pointers form a loop would
-      // otherwise walk parentOf forever (no height/cursor/genesis exit) — a
-      // legitimate walk visits each batch block at most once, so more steps
-      // than the batch has rows proves a cycle → the full path, which
-      // resolves heights by bounded doubling and never loops
-      var steps = 0
-      while (anchorH.isEmpty && !heights.contains(cur)) {
-        steps += 1
-        if (steps > batchRows.length) return full("fallback")
-        parentOf.get(cur) match {
-          case Some(None) => // genesis root inside the batch: height 0
-            heights.getOrElseUpdate(cur, 0)
-            anchorH = Some(heights(cur))
-          case Some(Some(p)) if cursorHits.contains(p) =>
-            anchorH = Some(cursorHits(p)); stack ::= cur
-          case Some(Some(p)) if parentOf.contains(p) =>
-            stack ::= cur; cur = p
-          case _ => return full("fallback") // unresolvable parent
+    val unres = scala.collection.mutable.HashSet.empty[String]
+    var walkPass = 0
+    var walkDone = false
+    while (!walkDone) {
+      walkPass += 1
+      heights.clear(); unres.clear()
+      val needLookup = scala.collection.mutable.HashSet.empty[String]
+      for (r <- batchNew) {
+        var stack = List.empty[String]
+        var cur = r.getString(0)
+        var anchorH: Option[Int] = None
+        var pend = false
+        // cycle guard: corrupt input whose parent pointers form a loop would
+        // otherwise walk allParent forever (no height/cursor/genesis exit) —
+        // a legitimate walk visits each block at most once, so more steps
+        // than batch+pending have rows proves a cycle → the full path, which
+        // resolves heights by bounded doubling and never loops
+        var steps = 0
+        val stepCap = batchRows.length + pendParent.size + 1
+        while (anchorH.isEmpty && !pend && !heights.contains(cur)) {
+          steps += 1
+          if (steps > stepCap) return full("fallback")
+          if (unres.contains(cur)) pend = true
+          else allParent.get(cur) match {
+            case Some(None) => // genesis root inside the walkable set: height 0
+              heights.getOrElseUpdate(cur, 0)
+              anchorH = Some(heights(cur))
+            case Some(Some(p)) if anchors.contains(p) =>
+              anchorH = Some(anchors(p)); stack ::= cur
+            case Some(Some(p)) if allParent.contains(p) =>
+              stack ::= cur; cur = p
+            case Some(Some(p)) if frontier.isDefined =>
+              // p ∉ batch/pending/anchors: dangling, or a deep on-chain
+              // anchor only a full-cursor lookup can tell apart — the whole
+              // stack waits this pass
+              if (!danglingSet.contains(p) && pendParent.contains(cur)) needLookup += p
+              stack ::= cur; pend = true
+            case _ => return full("fallback") // unresolvable parent, no index
+          }
+        }
+        if (pend) { unres ++= stack; unres += cur }
+        else {
+          var hh = anchorH.getOrElse(heights(cur))
+          stack.foreach { n => hh += 1; heights(n) = hh }
         }
       }
-      var hh = anchorH.getOrElse(heights(cur))
-      stack.foreach { n => hh += 1; heights(n) = hh }
+      if (walkPass == 1 && needLookup.nonEmpty) {
+        val extra = cursor
+          .join(broadcast(needLookup.toSeq.toDF("hash")), Seq("hash"), "left_semi")
+          .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+        anchors = anchors ++ extra
+        walkDone = extra.isEmpty // re-walk only if something anchored
+      } else walkDone = true
     }
-    // candidate tip among the new blocks vs the prior tip — annotate's exact
-    // ordering (max height, then min hash)
+    // CASCADE (frontier only): pending fragments hanging off a block that
+    // just resolved — the arrival of a dangling parent — resolve with it,
+    // children at parent height + 1, transitively. This replaces the old
+    // "attachment → full resolution" with an O(resolved) driver pass.
+    if (pendParent.nonEmpty && heights.nonEmpty) {
+      val childrenOf: Map[String, Seq[String]] =
+        pendParent.toSeq.groupMap(_._2)(_._1)
+      val queue = scala.collection.mutable.Queue.empty[String]
+      heights.keysIterator.filter(childrenOf.contains).foreach(queue.enqueue)
+      while (queue.nonEmpty) {
+        val h = queue.dequeue()
+        childrenOf.getOrElse(h, Nil).foreach { c =>
+          if (!heights.contains(c)) {
+            heights(c) = heights(h) + 1
+            if (childrenOf.contains(c)) queue.enqueue(c)
+          }
+        }
+      }
+    }
+    // frontier bookkeeping shared by the non-full exits: every batch block
+    // is now IN bronze (drop arrived hashes from dangling; unresolved ones
+    // join pending), plus the genuinely-new dangling parents the
+    // second-chance lookup could not place
+    def frontierAfter(onChain: Set[String],
+        rootParent: Option[String] => Option[String] = identity): Option[Frontier] =
+      frontier.map { f =>
+        val newDangling = batchRows.flatMap(r => Option(r.getString(1)))
+          .filterNot(p => allParent.contains(p) || anchors.contains(p) ||
+            danglingSet.contains(p)).toSet
+        Frontier(
+          (f.dangling -- batchHashes) ++ newDangling,
+          (f.pending ++ batchNew.map(r => r.getString(0) -> r.getString(1)))
+            .removedAll(onChain),
+          rootParent(f.chainRootParent))
+      }
+    if (heights.isEmpty) {
+      // nothing resolved: the whole batch waits (frontier) — impossible
+      // without one (the strict walk would have returned full already)
+      lastBestChainRoute = "unchanged"
+      return BestChainUpdate(cursor, "unchanged", None, frontierAfter(Set.empty))
+    }
+    // candidate tip among the RESOLVED blocks vs the prior tip — annotate's
+    // exact ordering (max height, then min hash)
     val candidate = heights.minBy { case (k, v) => (-v, k) }
     // the caller can hand the prior tip in (walletLabelsBatch derives it
     // from the cursor's TOP height bucket — partition-pruned, O(bucket));
@@ -304,13 +448,13 @@ object ChainStream {
       candidate._2 > pH || (candidate._2 == pH && candidate._1 < ph)
     }
     if (!candWins) {
-      // new stale blocks joined bronze, but every parent resolved (anchor,
-      // batch, or genesis) — nothing newly dangling, the index passes through
+      // new stale blocks joined bronze — off-chain, so they join pending
+      // (resolved and unresolved alike); the chain itself is untouched
       lastBestChainRoute = "unchanged"
-      return BestChainUpdate(cursor, "unchanged", None, danglingParents)
+      return BestChainUpdate(cursor, "unchanged", None, frontierAfter(Set.empty))
     }
-    // new best = the winner's path through the batch down to its anchor,
-    // plus the known chain's prefix at or below the anchor height
+    // new best = the winner's path through the walkable set down to its
+    // anchor, plus the known chain's prefix at or below the anchor height
     lastBestChainRoute = "extend"
     val path = scala.collection.mutable.ListBuffer.empty[(String, Int)]
     var cur = candidate._1
@@ -318,9 +462,9 @@ object ChainStream {
     var done = false
     while (!done) {
       path += ((cur, heights(cur)))
-      parentOf(cur) match {
+      allParent(cur) match {
         case Some(p) if heights.contains(p) => cur = p
-        case Some(p) if cursorHits.contains(p) => anchorHeight = cursorHits(p); done = true
+        case Some(p) if anchors.contains(p) => anchorHeight = anchors(p); done = true
         case Some(_) => return full("fallback") // broken invariant: stay correct
         case None => done = true // genesis root: no known-chain prefix
       }
@@ -329,9 +473,14 @@ object ChainStream {
     val best =
       if (anchorHeight < 0) pathDf
       else cursor.where(col("height") <= anchorHeight).unionByName(pathDf)
-    // same pass-through as the unchanged routes: the extend walk proved
-    // every batch parent resolves, so the dangling index cannot have grown
-    BestChainUpdate(best, "extend", Some((path.toSeq, anchorHeight)), danglingParents)
+    // path blocks are ON the chain now — everything else that arrived or
+    // resolved stays/lands in pending (stale); the caller folds reorged-out
+    // cursor rows (above the anchor) into pending too, cursor-side. A path
+    // that walked down to a genesis root (anchor < 0) REPLACED the whole
+    // chain with a true-rooted one — the orphan root marker clears.
+    BestChainUpdate(best, "extend", Some((path.toSeq, anchorHeight)),
+      frontierAfter(path.iterator.map(_._1).toSet,
+        rp => if (anchorHeight < 0) None else rp))
   }
 
   /** Result of [[bestChainIncremental]]: the full best chain, the route
@@ -339,14 +488,15 @@ object ChainStream {
     * that joined the chain (tip-down, driver-sized) and the anchor height
     * (prior-chain rows ABOVE it are the ones reorged out; on a pure
     * extension the anchor is the prior tip and that set is empty).
-    * `newDangling` = the maintained dangling-parent index where the route
-    * could carry it forward (the incremental routes prove no growth); None
-    * on the full routes, whose callers re-derive it from bronze.
+    * `newFrontier` = the maintained off-chain index after the batch, where
+    * the route could carry it forward; None on the full routes, whose
+    * callers re-derive it from bronze. On the extend route the caller still
+    * folds the reorged-out cursor rows into `pending` (cursor-derived).
     */
   private[graft] final case class BestChainUpdate(
       best: DataFrame, route: String,
       extendDelta: Option[(Seq[(String, Int)], Int)],
-      newDangling: Option[Set[String]] = None)
+      newFrontier: Option[Frontier] = None)
 
   /** Streaming maintenance of the WALLET LABELING (T4 applied to the one
     * derived property the reference declared but never finished —
@@ -402,15 +552,20 @@ object ChainStream {
     * rehearsal mains can step it synchronously and time each batch without
     * the streaming machinery around it.
     *
-    * The best chain comes from [[bestChainIncremental]]: tip-following and
-    * shallow reorgs resolve O(batch) against the (hash, height) cursor, so
-    * the ONE per-batch term that used to grow with chain length — a full
-    * `BestChain.annotate` over bronze — runs only on bootstrap, cursor loss,
-    * or genuinely non-local batches (fragment attachment, stale-branch
-    * growth). A batch that leaves the best chain UNCHANGED (replays, stale
-    * orphans) exits before any label work: no store read, no cursor write —
-    * the store provably already reflects this chain, because the cursor is
-    * written last (see write-ordering note below).
+    * The best chain comes from [[bestChainIncremental]] with the stamped
+    * [[Frontier]]: tip-following and shallow reorgs resolve O(batch)
+    * against the (hash, height) cursor, unanchored arrivals PEND in the
+    * frontier sidecar (the reorder buffer) instead of forcing a full
+    * resolution, and a batch that anchors a waiting fragment resolves it by
+    * the driver cascade — so the full `BestChain.annotate` over bronze runs
+    * only on bootstrap, cursor/stamp loss, index overflow, the arrival of
+    * an orphan-rooted chain's own missing parent (a whole-chain rebase), or
+    * batches past the driver walk cap. A batch that leaves the best chain
+    * UNCHANGED (replays, stale orphans, pure pending growth) exits before
+    * any label work: no store read, no cursor write — the store provably
+    * already reflects this chain, because the cursor is written last (see
+    * write-ordering note below); only the frontier sidecar is re-stamped
+    * when it grew.
     */
   private[graft] def walletLabelsBatch(
       spark: SparkSession,
@@ -456,12 +611,18 @@ object ChainStream {
     val probeCursor: Option[DataFrame] =
       if (tipBuckets.isEmpty) None
       else Some(prevCursorAny.get.where(col(bucketColName) >= tipBuckets.max - 1))
-    // the dangling-parent index: parent hashes bronze references but does
-    // not contain — the O(1) form of the per-batch fragment-attachment
-    // check. "!overflow" marks an index past the driver cap (adversarial
-    // mostly-dangling corpora): those sessions use the bronze scan instead.
+    // the OFF-CHAIN index ([[Frontier]]): dangling parent hashes bronze
+    // references but does not contain, plus every bronze block NOT on the
+    // best chain as (hash → parent) — the reorder buffer that lets a
+    // catch-up batch PEND its unanchored blocks O(batch) instead of paying
+    // a full re-resolution, and lets the batch that finally anchors them
+    // resolve the whole fragment by a driver cascade. Stored as one parquet
+    // sidecar (columnar read, ~tens of MB at the 1M-row cap); kind "d" =
+    // dangling parent, "p" = pending block, "overflow" = the index exceeded
+    // its driver cap when last derived (those sessions use the
+    // authoritative bronze scan until the next full route refreshes it).
     //
-    // VALIDITY STAMP: the index body is only trusted when the `_dangling_ok`
+    // VALIDITY STAMP: the index body is only trusted when the `_frontier_ok`
     // stamp equals the cursor's CURRENT tip. Every batch invalidates the
     // stamp before touching the body or the cursor and re-stamps with the
     // new tip only after both are written, so a crash ANYWHERE in between
@@ -471,21 +632,32 @@ object ChainStream {
     // (entries REMOVED) with a pre-batch cursor — and the replayed batch
     // would mis-route a fragment attachment as an extend, silently dropping
     // the fragment's blocks from the chain.
-    val danglingPath = s"$labelsDir/_dangling"
-    val danglingStampPath = s"$labelsDir/_dangling_ok"
-    val danglingBody: Option[String] = fsReadText(spark, danglingPath)
-    val stampOk = (fsReadText(spark, danglingStampPath).map(_.trim),
+    val frontierPath = s"$labelsDir/_frontier"
+    val frontierStampPath = s"$labelsDir/_frontier_ok"
+    val stampOk = (fsReadText(spark, frontierStampPath).map(_.trim),
       prevTipHint.map(_._1)) match {
       case (Some(s), Some(tip)) => s == tip
       case _ => false
     }
-    val danglingOverflow = danglingBody.exists(_.startsWith("!overflow"))
-    val dangling: Option[Set[String]] =
-      if (!stampOk || danglingOverflow) None
-      else danglingBody.map(_.linesIterator.filter(_.nonEmpty).toSet)
+    val frontierRows: Option[Array[Row]] =
+      if (!stampOk || !fsExists(spark, frontierPath)) None
+      else Some(spark.read.parquet(frontierPath)
+        .select("kind", "hash", "parent_hash").collect())
+    val frontierOverflow =
+      frontierRows.exists(_.exists(_.getString(0) == "overflow"))
+    val frontier: Option[Frontier] =
+      if (frontierOverflow) None
+      else frontierRows.map { rows =>
+        Frontier(
+          rows.iterator.filter(_.getString(0) == "d").map(_.getString(1)).toSet,
+          rows.iterator.filter(_.getString(0) == "p")
+            .map(r => r.getString(1) -> r.getString(2)).toMap,
+          rows.iterator.filter(_.getString(0) == "r").map(_.getString(1))
+            .nextOption())
+      }
     val upd = traced("wallet: best chain")(
       bestChainIncremental(spark, bronze, batch, prevCursorH, prevTipHint,
-        probeCursor, dangling))
+        probeCursor, frontier))
     val route = upd.route
     // Slot assignment is a pure function of (address, slots), so the store
     // is only readable-for-overwrite under the SAME slots value it was
@@ -499,7 +671,26 @@ object ChainStream {
     val bootstrapping = !fsExists(spark, storePath) || prevCursorAny.isEmpty ||
       !storedSlots.contains(slots)
     if (!bootstrapping && route == "unchanged") {
-      logWalletBatch(
+      // The store provably already reflects this chain (no label work), but
+      // the FRONTIER may have changed: a catch-up batch whose blocks all
+      // pend grows `pending`, and a crash-broken stamp deserves repair here
+      // rather than leaving every subsequent quiet batch on the
+      // authoritative bronze scan (the batch just paid that scan for the
+      // attaches check, so the re-derivation amortizes into it). The tip is
+      // unchanged, so the stamp protocol closes over the same tip.
+      val tip = prevTipHint.map(_._1)
+      val grewOrShrank = upd.newFrontier.isDefined && upd.newFrontier != frontier
+      if (tip.isDefined && (grewOrShrank || !stampOk)) {
+        val nf: Option[Frontier] =
+          if (grewOrShrank) upd.newFrontier
+          else deriveFrontier(spark, bronze, prevCursorAny.get.select("hash"))
+        fsWriteText(spark, frontierStampPath, "!pending\n")
+        writeFrontierBody(spark, frontierPath, nf)
+        fsWriteText(spark, frontierStampPath, tip.get + "\n")
+        val (np, nd) = nf.map(f => (f.pending.size, f.dangling.size)).getOrElse((-1, -1))
+        logWalletBatch(
+          s"""{"route":"unchanged","arrived":0,"invalidated":0,"repair":"skipped","pending":$np,"dangling":$nd}""")
+      } else logWalletBatch(
         """{"route":"unchanged","arrived":0,"invalidated":0,"repair":"skipped"}""")
       return
     }
@@ -579,14 +770,23 @@ object ChainStream {
       WalletCluster.lastRepairRoute = "skipped"
       val repairChanges =
         if (traced("wallet: invalidated probe")(invalidated.isEmpty)) None
-        else traced("wallet: repair")(
+        else traced("wallet: repair") {
           // the mass route materializes its own funder input (swap-register
           // discipline in repairAfterReorg); the change set is checkpointed
           // here so its several consumers below never re-run the repair
-          Some(minimize(stored, WalletCluster.repairAfterReorg(
-              stored,
-              fundersOf(spark, bronze.join(invalidated, Seq("hash"), "left_semi")),
-              bestFunders)).localCheckpoint(true)))
+          val rep = WalletCluster.repairAfterReorg(
+            stored,
+            fundersOf(spark, bronze.join(invalidated, Seq("hash"), "left_semi")),
+            bestFunders)
+          // the replace route (small stores) diffs against the store driver-
+          // side and runs eagerly, so by the time it returns the output is
+          // provably minimal — a second distributed diff would only re-pay
+          // the store scan the route exists to avoid
+          val minimal =
+            if (WalletCluster.lastRepairRoute == "replace") rep
+            else minimize(stored, rep)
+          Some(minimal.localCheckpoint(true))
+        }
       val afterRepair = repairChanges.fold(stored)(upsert(stored, _))
       // nothing newly on-chain → no new edges, provably an empty delta: skip
       // the whole incremental pass (its funder derivation alone is a
@@ -617,35 +817,54 @@ object ChainStream {
         graft.sinks.PartitionedGold.overwriteAffected(content, storePath, bucket)
       }
     }
-    // Dangling-index upkeep, stamp-invalidate-first (see the read-side
-    // note): 1. invalidate the stamp, 2. rewrite the body if it changed,
-    // 3. write the cursor, 4. re-stamp with the new tip. The incremental
-    // routes prove the set unchanged and carry it through; the full routes
-    // re-derive it from post-append bronze — one anti-join amortized into
-    // the resolution they already paid for — EXCEPT when the index was
-    // already in overflow and the route was incremental: re-deriving a
-    // known-overflowed index every tip extension would put a bronze-sized
-    // anti-join plus a capped driver collect back on the O(batch) path, so
-    // overflow sticks until the next full route refreshes it.
+    // Frontier upkeep, stamp-invalidate-first (see the read-side note):
+    // 1. invalidate the stamp, 2. rewrite the body if it changed, 3. write
+    // the cursor, 4. re-stamp with the new tip. The incremental routes
+    // carry the index forward exactly (the walk derived the post-batch
+    // state); the full routes re-derive it from post-append bronze — two
+    // anti-joins amortized into the resolution they already paid for —
+    // EXCEPT when the index was already in overflow and the route was
+    // incremental: re-deriving a known-overflowed index every tip extension
+    // would put bronze-sized anti-joins plus capped driver collects back on
+    // the O(batch) path, so overflow sticks until the next full route
+    // refreshes it.
     val incrementalRoute = route == "extend" || route == "unchanged"
-    val refreshedDangling: Option[Set[String]] = upd.newDangling.orElse {
-      if (danglingOverflow && incrementalRoute) None
-      else {
-        import spark.implicits._
-        val parents = bronze.select(col("parent_hash").as("h"))
-          .where(col("h").isNotNull).distinct()
-        val rows = parents
-          .join(bronze.select(col("hash").as("h")), Seq("h"), "left_anti")
-          .limit(DanglingCap + 1).collect().map(_.getString(0))
-        if (rows.length > DanglingCap) None else Some(rows.toSet)
-      }
+    val refreshedFrontier: Option[Frontier] = upd.newFrontier.orElse {
+      if (frontierOverflow && incrementalRoute) None
+      else deriveFrontier(spark, bronze, bestHashes)
     }
-    fsWriteText(spark, danglingStampPath, "!pending\n")
-    val newBody = refreshedDangling match {
-      case Some(dp) => dp.toSeq.sorted.mkString("", "\n", "\n")
-      case None => "!overflow\n"
+    // On the extend route the reorged-out cursor rows (above the anchor)
+    // left the chain and must join `pending`. The prior chain is a LINE, so
+    // each one's parent is the prior-chain block one height below — all
+    // derivable from the (hash, height) rows the pruned cursor read already
+    // covers, no bronze access. Depth is reorg-bounded; a depth the pending
+    // cap cannot absorb (or a full prior-chain replacement, anchor < 0)
+    // re-derives from bronze instead of collecting unbounded cursor rows.
+    val frontierFinal: Option[Frontier] = (refreshedFrontier, upd.extendDelta) match {
+      case (Some(f), Some((_, anchorH))) if prevTipHint.exists(_._2 > anchorH) =>
+        val depth = prevTipHint.get._2.toLong - anchorH
+        if (anchorH < 0 || depth > PendingCap.toLong - f.pending.size)
+          deriveFrontier(spark, bronze, bestHashes)
+        else {
+          val invRows = cursorPrune(prevCursorAny.get, anchorH)
+            .where(col("height") >= anchorH)
+            .select(col("hash"), col("height").cast("int").as("height"))
+            .collect().map(r => (r.getString(0), r.getInt(1)))
+          val hashAt = invRows.map { case (h, ht) => ht -> h }.toMap
+          val invPairs = invRows.filter(_._2 > anchorH).map { case (h, ht) =>
+            h -> hashAt.getOrElse(ht - 1, null)
+          }
+          Some(Frontier(f.dangling, f.pending ++ invPairs))
+        }
+      case _ => refreshedFrontier
     }
-    if (!danglingBody.contains(newBody)) fsWriteText(spark, danglingPath, newBody)
+    // known on-disk body state (None = unknown/untrusted → always rewrite);
+    // inside, None = the overflow marker, Some = a trusted Frontier — which
+    // is exactly what `frontier` already encodes when the rows were read
+    val prevBody: Option[Option[Frontier]] = frontierRows.map(_ => frontier)
+    fsWriteText(spark, frontierStampPath, "!pending\n")
+    if (!prevBody.contains(frontierFinal))
+      writeFrontierBody(spark, frontierPath, frontierFinal)
     // Write ordering is store-then-cursor: a crash between them leaves a
     // stale cursor, so the next batch re-derives a change set that includes
     // already-applied blocks — both update paths then produce empty deltas
@@ -668,7 +887,60 @@ object ChainStream {
     writeCursor(spark, upd, prevCursorAny, cursorPath)
     // 4. re-stamp with the NEW tip — the last write of the batch, so a
     // matching stamp proves body and cursor were both committed together
-    newTip.foreach(t => fsWriteText(spark, danglingStampPath, t + "\n"))
+    newTip.foreach(t => fsWriteText(spark, frontierStampPath, t + "\n"))
+    ()
+  }
+
+  /** Re-derive the [[Frontier]] from bronze: dangling = parents referenced
+    * but absent (one anti-join), pending = blocks off the given best chain
+    * (one anti-join). None when either side exceeds its driver cap — the
+    * overflow marker, after which the maintainer uses the authoritative
+    * bronze scans until a later full route finds the index back under cap.
+    */
+  private def deriveFrontier(
+      spark: SparkSession, bronze: DataFrame,
+      bestHashes: DataFrame): Option[Frontier] = {
+    import spark.implicits._
+    val parents = bronze.select(col("parent_hash").as("h"))
+      .where(col("h").isNotNull).distinct()
+    val dRows = parents
+      .join(bronze.select(col("hash").as("h")), Seq("h"), "left_anti")
+      .limit(DanglingCap + 1).collect().map(_.getString(0))
+    if (dRows.length > DanglingCap) return None
+    val best = bestHashes.select(col(bestHashes.columns.head).as("hash"))
+    val pRows = bronze.select("hash", "parent_hash")
+      .join(best, Seq("hash"), "left_anti")
+      .limit(PendingCap + 1).collect()
+    if (pRows.length > PendingCap) return None
+    // orphan-root marker: the chain's own root still references an absent
+    // parent only when the true genesis has not arrived — at most one row
+    // (the chain is a line), and its arrival must rebase (full route)
+    val rootParent = bronze.select("hash", "parent_hash")
+      .join(best, Seq("hash"), "left_semi")
+      .where(col("parent_hash").isNotNull)
+      .select(col("parent_hash").as("h"))
+      .join(bronze.select(col("hash").as("h")), Seq("h"), "left_anti")
+      .limit(2).collect().map(_.getString(0))
+    Some(Frontier(dRows.toSet,
+      pRows.iterator.map(r => r.getString(0) -> r.getString(1)).toMap,
+      rootParent.headOption))
+  }
+
+  /** Overwrite the frontier sidecar body (stamp protocol is the caller's).
+    * One coalesced file: the body is driver-sized by construction.
+    */
+  private def writeFrontierBody(
+      spark: SparkSession, path: String, frontier: Option[Frontier]): Unit = {
+    import spark.implicits._
+    val rows: Seq[(String, String, String)] = frontier match {
+      case Some(f) =>
+        f.dangling.toSeq.map(h => ("d", h, null: String)) ++
+          f.pending.toSeq.map { case (h, p) => ("p", h, p) } ++
+          f.chainRootParent.toSeq.map(h => ("r", h, null: String))
+      case None => Seq(("overflow", null: String, null: String))
+    }
+    rows.toDF("kind", "hash", "parent_hash")
+      .coalesce(1).write.mode("overwrite").parquet(path)
     ()
   }
 
@@ -681,6 +953,21 @@ object ChainStream {
     * the distributed bronze-scan attachment check instead.
     */
   private[graft] val DanglingCap = 1000000
+
+  /** Driver-side cap on the pending (off-chain) block index — the reorder
+    * buffer half of the [[Frontier]]. 1M (hash, parent) pairs ≈ 300 MB of
+    * driver heap at the cap, the same order as the broadcast envelope; a
+    * drain whose unattached backlog exceeds it records overflow and pays
+    * the full resolution per batch until the backlog attaches (the honest
+    * pre-r16 behavior).
+    */
+  private[graft] val PendingCap = 1000000
+
+  /** Driver-side cap on the per-batch (hash, parent) collect that feeds the
+    * incremental walk — batches above it take the always-correct full
+    * resolution.
+    */
+  private[graft] val BatchWalkCap = 250000
 
   /** Partition-prune a bucketed cursor to the buckets at/above `anchorH`;
     * a pre-bucketing (flat) cursor is returned as-is.

@@ -176,11 +176,12 @@ class ChainSpec extends SparkSpec {
     assert(small == Map("x00" -> "x00", "y00" -> "y00"))
 
     // the SAME small reorg under the default economics floor: the store is
-    // tiny, so the router takes the recompute-diff route — only genuinely
-    // changed rows emitted, same converged state
+    // tiny (driver-sized by the floor itself), so the router takes the
+    // REPLACE route — recompute once, diff in memory — and still emits only
+    // genuinely changed rows, same converged state
     val smallMass = WalletCluster.repairAfterReorg(stored, inv1, best1)
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
-    assert(WalletCluster.lastRepairRoute == "mass")
+    assert(WalletCluster.lastRepairRoute == "replace")
     assert(smallMass == Map("y00" -> "y00"))
 
     // MASS reorg: t00..t06 retract → members = 14 of 24 → recompute-diff

@@ -18,7 +18,7 @@ class SimilaritySpec extends SparkSpec {
     df.select(col("query_id").cast("long"), col(idCol).cast("long"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
 
-  test("IVF top-k recall >= 0.9 of brute force on sf0.1 embeddings") {
+  test("IVF top-k recall >= 0.89 of brute force on sf0.1 embeddings") {
     val emb = Tables.embeddings(spark, sf)
     val queries = emb.filter(col("vec_id") < 10)
     val exact = topkSet(
@@ -28,12 +28,12 @@ class SimilaritySpec extends SparkSpec {
     // costs here; clustered corpora reach it at a tenth of that
     val ivf = topkSet(
       Similarity.ivfTopK(emb, queries, "vec_id", "embedding", k = 5,
-        nlist = 64, nprobe = 40), "vec_id")
+        nlist = 64, nprobe = 48), "vec_id")
     val recall = (ivf & exact).size.toDouble / exact.size
-    assert(recall >= 0.9, s"IVF recall $recall (${(ivf & exact).size}/${exact.size})")
+    assert(recall >= 0.89, s"IVF recall $recall (${(ivf & exact).size}/${exact.size})")
   }
 
-  test("PQ top-k recall >= 0.9 of brute force; deterministic; codes bounded") {
+  test("PQ top-k recall >= 0.91 of brute force; deterministic; codes bounded") {
     val emb = Tables.embeddings(spark, sf)
     val queries = emb.filter(col("vec_id") < 10)
     val exact = topkSet(
@@ -49,7 +49,7 @@ class SimilaritySpec extends SparkSpec {
       graft.operators.ProductQuantizer.pqTopK(model, queries, k = 5, rerank = 100),
       "vec_id")
     val recall = (pq & exact).size.toDouble / exact.size
-    assert(recall >= 0.9, s"PQ recall $recall (${(pq & exact).size}/${exact.size})")
+    assert(recall >= 0.91, s"PQ recall $recall (${(pq & exact).size}/${exact.size})")
     // deterministic: rebuild + reprobe is bit-identical
     val model2 = graft.operators.ProductQuantizer.pqIndex(
       emb, "vec_id", "embedding", m = 16, ksub = 32)
@@ -64,7 +64,7 @@ class SimilaritySpec extends SparkSpec {
     model.unpersist(); model2.unpersist()
   }
 
-  test("IVF-PQ top-k recall >= 0.85 of brute force; scans only probed cells") {
+  test("IVF-PQ top-k recall >= 0.87 of brute force; scans only probed cells") {
     val emb = Tables.embeddings(spark, sf)
     val queries = emb.filter(col("vec_id") < 10)
     val exact = topkSet(
@@ -76,9 +76,9 @@ class SimilaritySpec extends SparkSpec {
       emb, "vec_id", "embedding", nlist = 64, m = 16, ksub = 32)
     val got = topkSet(
       graft.operators.ProductQuantizer.ivfPqTopK(model, queries, k = 5,
-        nprobe = 40, rerank = 100), "vec_id")
+        nprobe = 48, rerank = 200), "vec_id")
     val recall = (got & exact).size.toDouble / exact.size
-    assert(recall >= 0.85, s"IVF-PQ recall $recall (${(got & exact).size}/${exact.size})")
+    assert(recall >= 0.87, s"IVF-PQ recall $recall (${(got & exact).size}/${exact.size})")
     // the scan provably touches only the probed slice: with nprobe=1 the
     // scanned fraction is bounded by the biggest single cell
     val one = graft.operators.ProductQuantizer.ivfPqTopK(model, queries, k = 5,
@@ -90,7 +90,7 @@ class SimilaritySpec extends SparkSpec {
     model.unpersist()
   }
 
-  test("p1 media pipeline: IVF over embedMedia output keeps recall >= 0.9") {
+  test("p1 media pipeline: IVF over embedMedia output keeps recall >= 0.95") {
     // End-to-end gate for the mm→ANN composition p1_media_pipeline: the
     // byte-histogram×JL embeddings (REAL content structure — text blobs
     // cluster by language/byte distribution, unlike the structureless
@@ -107,7 +107,7 @@ class SimilaritySpec extends SparkSpec {
       Similarity.ivfTopK(emb, queries, "media_id", "embedding", k = 5,
         nlist = 64, nprobe = 40), "media_id")
     val recall = (ivf & exact).size.toDouble / exact.size
-    assert(recall >= 0.9, s"media-pipeline recall $recall (${(ivf & exact).size}/${exact.size})")
+    assert(recall >= 0.95, s"media-pipeline recall $recall (${(ivf & exact).size}/${exact.size})")
     emb.unpersist()
   }
 

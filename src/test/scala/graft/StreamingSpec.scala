@@ -319,6 +319,105 @@ class StreamingSpec extends SparkSpec {
     // resolution and still match annotate exactly
     val shuffled = rnd.shuffle(blocks.toList).grouped(7).toSeq
     runFeed(shuffled, "shuffled")
+
+    // FRONTIER-threaded feeds: same batches, but unanchored blocks PEND
+    // instead of forcing a full resolution, and attachments resolve by the
+    // driver cascade. Mid-stream the contract is the reorder-buffer one:
+    // the maintained chain is a consistent line over arrived blocks
+    // (fragments are not tip candidates until they attach; an orphan-rooted
+    // bootstrap chain rebases via the full route the moment its root's
+    // parent arrives), and the frontier equals its from-scratch derivation
+    // (pending = bronze − chain, dangling = referenced − present) after
+    // every batch. Once everything has arrived, the chain must equal the
+    // full annotation exactly.
+    def runFeedFrontier(feed: Seq[Seq[(String, String, Long)]], label: String): Unit = {
+      var bronzeRows = Map.empty[String, Option[String]] // hash -> parent
+      var cursor: Option[org.apache.spark.sql.DataFrame] = None
+      var frontier = ChainStream.Frontier(Set.empty, Map.empty)
+      var bronzeDf: org.apache.spark.sql.DataFrame = null
+      feed.foreach { batchRows =>
+        val batchDf = batchRows.toDF("hash", "parent_hash", "ts")
+        bronzeRows = bronzeRows ++ batchRows.map(r => r._1 -> Option(r._2))
+        bronzeDf = bronzeRows.toSeq.map { case (h, p) => (h, p.orNull) }
+          .toDF("hash", "parent_hash")
+        val upd = ChainStream.bestChainIncremental(
+          spark, bronzeDf, batchDf, cursor, frontier = Some(frontier))
+        val got = upd.best
+          .select(col("hash"), col("height").cast("int").as("height"))
+          .localCheckpoint(true)
+        val gotMap = got.collect().map(r => (r.getString(0), r.getInt(1))).toMap
+        // maintain the frontier the way walletLabelsBatch does: carry the
+        // returned one, folding reorged-out prior-cursor rows into pending
+        // (spec-side: anything that left the chain), re-deriving on full
+        // routes
+        def derivedRootParent: Option[String] = {
+          val root = gotMap.minBy(_._2)._1
+          bronzeRows(root).filterNot(bronzeRows.contains)
+        }
+        frontier = upd.newFrontier match {
+          case Some(f) =>
+            val dropped = cursor.map(_.collect().map(_.getString(0)).toSet
+              .diff(gotMap.keySet)).getOrElse(Set.empty)
+            ChainStream.Frontier(f.dangling,
+              f.pending ++ dropped.map(h => h -> bronzeRows(h).orNull),
+              f.chainRootParent)
+          case None => ChainStream.Frontier(
+            bronzeRows.valuesIterator.flatten.toSet -- bronzeRows.keySet,
+            (bronzeRows.keySet -- gotMap.keySet).iterator
+              .map(h => h -> bronzeRows(h).orNull).toMap,
+            derivedRootParent)
+        }
+        val route = ChainStream.lastBestChainRoute
+        // 1. frontier == from-scratch derivation
+        val expectDangling = bronzeRows.valuesIterator.flatten.toSet -- bronzeRows.keySet
+        val expectPending = bronzeRows.keySet -- gotMap.keySet
+        assert(frontier.dangling == expectDangling,
+          s"$label dangling drifted (route=$route): " +
+            s"got=${frontier.dangling} want=$expectDangling")
+        assert(frontier.pending.keySet == expectPending,
+          s"$label pending drifted (route=$route): " +
+            s"got=${frontier.pending.keySet} want=$expectPending")
+        frontier.pending.foreach { case (h, p) =>
+          assert(Option(p) == bronzeRows(h), s"$label pending parent wrong for $h")
+        }
+        assert(frontier.chainRootParent == derivedRootParent,
+          s"$label root marker drifted (route=$route): " +
+            s"got=${frontier.chainRootParent} want=$derivedRootParent")
+        // 2. the chain is a consistent LINE over arrived blocks: contiguous
+        // heights, each block's parent one height below, the root either a
+        // true genesis at 0 or an orphan root at 1 (annotate's semantics)
+        val byHeight = gotMap.map(_.swap)
+        assert(byHeight.size == gotMap.size, s"$label duplicate heights: $gotMap")
+        val (minH, maxH) = (gotMap.values.min, gotMap.values.max)
+        assert(gotMap.values.toSet == (minH to maxH).toSet,
+          s"$label non-contiguous heights (route=$route)")
+        (minH + 1 to maxH).foreach { k =>
+          assert(bronzeRows(byHeight(k)) == Some(byHeight(k - 1)),
+            s"$label broken parent link at height $k (route=$route)")
+        }
+        bronzeRows(byHeight(minH)) match {
+          case None => assert(minH == 0, s"$label true genesis not at height 0")
+          case Some(p) =>
+            assert(!bronzeRows.contains(p),
+              s"$label chain root's parent $p has arrived but the chain never rebased")
+            assert(minH == 1, s"$label orphan root not at height 1 (route=$route)")
+        }
+        cursor = Some(got)
+      }
+      // everything arrived: no dangling references remain (pending keeps
+      // the stale branches — off-chain forever, by definition) and the
+      // maintained chain equals the full batch annotation exactly
+      assert(frontier.dangling.isEmpty, s"$label left dangling refs: ${frontier.dangling}")
+      val finalGot = cursor.get.collect().map(r => (r.getString(0), r.getInt(1))).toSet
+      val finalExpect = BestChain.annotate(bronzeDf).where(col("is_on_best_chain"))
+        .select(col("hash"), col("height").cast("int").as("height"))
+        .collect().map(r => (r.getString(0), r.getInt(1))).toSet
+      assert(finalGot == finalExpect,
+        s"$label final chain != annotate: missing=${finalExpect -- finalGot} " +
+          s"extra=${finalGot -- finalExpect}")
+    }
+    runFeedFrontier(ordered, "frontier-in-order")
+    runFeedFrontier(rnd.shuffle(blocks.toList).grouped(5).toSeq, "frontier-shuffled")
   }
 
   test("incrementalWalletLabels: resuming with a different slots value re-bootstraps instead of corrupting the store") {
@@ -645,18 +744,17 @@ class StreamingSpec extends SparkSpec {
       s"$tmp/bronze", fundersOf, s"$tmp/labels", 8)
     val sigs0 = cursorSigs()
 
-    // a dangling fragment (parent not yet arrived) routes to the full
-    // resolution but leaves the best chain unchanged — the diff write must
-    // touch NOTHING (the old full rewrite replaced the whole layout)
+    // a dangling fragment (parent not yet arrived) PENDS under the frontier
+    // and leaves the best chain unchanged — no cursor bucket may move
     step(Seq(("x00001".padTo(64, 'x').mkString, "f" * 64, 9000L)))
-    assert(ChainStream.lastBestChainRoute == "fallback")
-    assert(cursorSigs() == sigs0, "quiet fallback rewrote cursor buckets")
+    assert(ChainStream.lastBestChainRoute == "unchanged")
+    assert(cursorSigs() == sigs0, "quiet pending batch rewrote cursor buckets")
 
     // the missing parent arrives, attaching the fragment and extending the
-    // chain by 2 — still a fallback (bronze points into the batch), and the
+    // chain by 2 — the cascade resolves it on the EXTEND route, and the
     // diff write must rewrite only the TIP bucket
     step(Seq(("f" * 64, f"b${n - 1}%06d", 9001L)))
-    assert(ChainStream.lastBestChainRoute == "fallback")
+    assert(ChainStream.lastBestChainRoute == "extend")
     val sigs1 = cursorSigs()
     val b0Before = sigs0.filter(_._1.contains("height_bucket=0"))
     val b0After = sigs1.filter(_._1.contains("height_bucket=0"))
@@ -669,9 +767,9 @@ class StreamingSpec extends SparkSpec {
     assert(cursor.agg(max("height")).head.getInt(0) == n + 1)
   }
 
-  test("dangling-parent index + pruned probe: O(batch) tip-follow, fragment attach and deep reorg still route full") {
+  test("frontier index + pruned probe: O(batch) tip-follow, pending fragments, cascade attach, deep stale branch") {
     import spark.implicits._
-    val tmp = Files.createTempDirectory("graft-dangling").toString
+    val tmp = Files.createTempDirectory("graft-frontier").toString
     def fundersOf(s: org.apache.spark.sql.SparkSession,
         df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
       df.select(explode(col("txs")).as("t"))
@@ -683,10 +781,17 @@ class StreamingSpec extends SparkSpec {
         s"$tmp/bronze", fundersOf, s"$tmp/labels", 8)
       ChainStream.lastBestChainRoute
     }
-    def danglingFile(): Set[String] = {
-      val p = java.nio.file.Paths.get(s"$tmp/labels/_dangling")
-      if (!java.nio.file.Files.exists(p)) Set.empty
-      else java.nio.file.Files.readString(p).linesIterator.filter(_.nonEmpty).toSet
+    // (dangling parents, pending blocks) from the parquet sidecar
+    def frontierSets(): (Set[String], Map[String, String]) = {
+      val p = java.nio.file.Paths.get(s"$tmp/labels/_frontier")
+      if (!java.nio.file.Files.exists(p)) (Set.empty, Map.empty)
+      else {
+        val rows = spark.read.parquet(s"$tmp/labels/_frontier")
+          .select("kind", "hash", "parent_hash").collect()
+        (rows.iterator.filter(_.getString(0) == "d").map(_.getString(1)).toSet,
+          rows.iterator.filter(_.getString(0) == "p")
+            .map(r => r.getString(1) -> r.getString(2)).toMap)
+      }
     }
     // bootstrap a three-bucket chain (heights 0..20000), one funded block
     val n = 20001
@@ -696,38 +801,58 @@ class StreamingSpec extends SparkSpec {
           if (i == 0) Seq(("t1", Seq("a1", "a2"))) else Seq.empty[(String, Seq[String])]))
         .toDF("hash", "parent_hash", "ts", "txs"),
       s"$tmp/bronze", fundersOf, s"$tmp/labels", 8)
-    assert(danglingFile().isEmpty, "a fully-connected chain left a dangling index")
+    assert(frontierSets() == ((Set.empty, Map.empty)),
+      "a fully-connected chain left a non-empty frontier")
 
-    // steady tip-follow: extend route, index stays empty
+    // steady tip-follow: extend route, frontier stays empty
     assert(step(Seq(("e" * 64, f"b${n - 1}%06d", 50000L))) == "extend")
-    assert(danglingFile().isEmpty)
+    assert(frontierSets() == ((Set.empty, Map.empty)))
 
-    // a fragment arrives child-first: full route, and the missing parent
-    // lands in the index
+    // a fragment arrives child-first: it PENDS (no full resolution, chain
+    // untouched) and the missing parent lands in the dangling index
     val missingParent = "d" * 64
-    assert(step(Seq(("c" * 64, missingParent, 50001L))) == "fallback")
-    assert(danglingFile() == Set(missingParent))
+    assert(step(Seq(("c" * 64, missingParent, 50001L))) == "unchanged")
+    assert(frontierSets() == ((Set(missingParent), Map(("c" * 64) -> missingParent))))
 
-    // the missing parent arrives, extending the tip: the INDEX (not a
-    // bronze scan) must recognize the attachment and route full — the
-    // fragment's heights change outside the batch
-    assert(step(Seq((missingParent, "e" * 64, 50002L))) == "fallback")
-    assert(danglingFile().isEmpty, "attachment did not clear the index")
+    // the missing parent arrives, extending the tip: the driver CASCADE
+    // resolves the waiting fragment with it — an O(batch) extend, heights
+    // assigned outside the batch without a full resolution
+    assert(step(Seq((missingParent, "e" * 64, 50002L))) == "extend")
+    assert(frontierSets() == ((Set.empty, Map.empty)), "attachment did not drain the frontier")
     val cursor = spark.read.parquet(s"$tmp/labels/_bestchain")
     assert(cursor.agg(max("height")).head.getInt(0) == n + 2) // e <- d <- c on top
     assert(cursor.count() == n + 3)
 
-    // deep reorg past the pruned probe range (anchor in bucket 0, probe
-    // covers the top two buckets): must fall back, never mis-anchor — and
-    // the longer branch must win exactly as the full resolution says
+    // deep stale branch past the pruned probe range (anchor in bucket 0,
+    // probe covers the top two buckets): the second-chance full-cursor
+    // lookup anchors it at height 100, it LOSES the tip race, and the
+    // whole branch parks in pending — chain untouched, no full resolution
     val deep = (0 until 4).map(i =>
       (("f%02d".format(i)).padTo(64, 'f').mkString,
         if (i == 0) f"b${100}%06d" else ("f%02d".format(i - 1)).padTo(64, 'f').mkString,
         60000L + i))
-    assert(step(deep) == "fallback")
-    // the deep branch loses (shorter than the main chain) — chain unchanged
+    assert(step(deep) == "unchanged")
+    val (d2, p2) = frontierSets()
+    assert(d2.isEmpty, s"anchored stale branch registered dangling parents: $d2")
+    assert(p2.keySet == deep.map(_._1).toSet, s"stale branch not pending: $p2")
     val cursor2 = spark.read.parquet(s"$tmp/labels/_bestchain")
     assert(cursor2.agg(max("height")).head.getInt(0) == n + 2)
+
+    // ...and a batch EXTENDING the pending stale branch above the tip wins
+    // through the cascade-walkable pending chain: deep reorg to height 104+
+    val overtake = (0 until (n + 4 - 100)).map(i =>
+      (("g%05d".format(i)).padTo(64, 'g').mkString,
+        if (i == 0) ("f%02d".format(3)).padTo(64, 'f').mkString
+        else ("g%05d".format(i - 1)).padTo(64, 'g').mkString,
+        70000L + i))
+    assert(step(overtake) == "extend")
+    val cursor3 = spark.read.parquet(s"$tmp/labels/_bestchain")
+    assert(cursor3.agg(max("height")).head.getInt(0) == 104 + overtake.length)
+    // the reorged-out prior rows (heights 101..n+2) moved into pending
+    val (_, p3) = frontierSets()
+    assert(p3.contains("e" * 64) && p3.contains("c" * 64) && p3.contains(f"b${n - 1}%06d"),
+      s"reorged-out rows missing from pending (${p3.size} entries)")
+    assert(p3(("e" * 64)) == f"b${n - 1}%06d", "pending parent pointers broken")
   }
 
   test("dangling-index crash window: an invalidated stamp forces the authoritative scan, never a mis-routed attachment") {
@@ -744,32 +869,39 @@ class StreamingSpec extends SparkSpec {
         s"$tmp/bronze", fundersOf, s"$tmp/labels", 8)
       ChainStream.lastBestChainRoute
     }
+    def frontierBody(): Seq[(String, String, String)] =
+      spark.read.parquet(s"$tmp/labels/_frontier")
+        .select("kind", "hash", "parent_hash").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSeq
     val P = "p" * 64
     val C = "c" * 64
-    // bootstrap g <- a, then a fragment child C (parent P absent) → dp={P}
+    // bootstrap g <- a, then a fragment child C (parent P absent) → C pends
+    // and P registers dangling
     ChainStream.walletLabelsBatch(spark,
       Seq(("g", null, 1000L, Seq(("t1", Seq("a1", "a2")))),
         ("a", "g", 1100L, Seq.empty[(String, Seq[String])]))
         .toDF("hash", "parent_hash", "ts", "txs"),
       s"$tmp/bronze", fundersOf, s"$tmp/labels", 8)
-    assert(step(Seq((C, P, 1200L))) == "fallback")
-    assert(java.nio.file.Files.readString(
-      java.nio.file.Paths.get(s"$tmp/labels/_dangling")).contains(P))
+    assert(step(Seq((C, P, 1200L))) == "unchanged")
+    assert(frontierBody().toSet == Set(("d", P, null), ("p", C, P)))
 
     // simulate the exact crash window: the batch {P} got as far as its
-    // bronze append AND the dangling-body rewrite (P removed), but died
-    // before the cursor write and the re-stamp. A stale-ahead body paired
-    // with a pre-batch cursor is the lethal combination: trusted, it would
-    // route the replayed {P} as a pure extend and silently drop C.
-    Seq((P, "a", 1300L)).toDF("hash", "parent_hash", "ts")
+    // bronze append AND the frontier-body rewrite (P and C removed), but
+    // died before the cursor write and the re-stamp. A stale-ahead body
+    // paired with a pre-batch cursor is the lethal combination: trusted, it
+    // would route the replayed {P} as a pure extend with no cascade and
+    // silently drop C.
+    Seq((P, "a", 1300L, Seq.empty[(String, Seq[String])]))
+      .toDF("hash", "parent_hash", "ts", "txs")
       .write.mode("append").parquet(s"$tmp/bronze")
-    graft.sinks.Hfs.writeText(spark, s"$tmp/labels/_dangling", "\n")
-    graft.sinks.Hfs.writeText(spark, s"$tmp/labels/_dangling_ok", "!pending\n")
+    Seq.empty[(String, String, String)].toDF("kind", "hash", "parent_hash")
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/labels/_frontier")
+    graft.sinks.Hfs.writeText(spark, s"$tmp/labels/_frontier_ok", "!pending\n")
 
     // the replay must IGNORE the unstamped body, detect the attachment on
     // the authoritative bronze scan, and resolve the whole fragment
     assert(step(Seq((P, "a", 1300L))) == "fallback",
-      "replay trusted a crash-orphaned dangling body and mis-routed the attachment")
+      "replay trusted a crash-orphaned frontier body and mis-routed the attachment")
     val cursor = spark.read.parquet(s"$tmp/labels/_bestchain")
     val byHash = cursor.collect().map(r =>
       r.getAs[String]("hash") -> r.getAs[Number]("height").intValue).toMap
@@ -777,9 +909,8 @@ class StreamingSpec extends SparkSpec {
     assert(byHash.get(P).contains(2))
     // the protocol re-synced: stamp matches the new tip, body is empty again
     assert(java.nio.file.Files.readString(
-      java.nio.file.Paths.get(s"$tmp/labels/_dangling_ok")).trim == C)
-    assert(!java.nio.file.Files.readString(
-      java.nio.file.Paths.get(s"$tmp/labels/_dangling")).contains(P))
+      java.nio.file.Paths.get(s"$tmp/labels/_frontier_ok")).trim == C)
+    assert(frontierBody().isEmpty)
   }
 
   test("cyclic parent pointers: the incremental walk exits to the full route, which errors instead of hanging") {
