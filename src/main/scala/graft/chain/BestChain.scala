@@ -41,7 +41,8 @@ object BestChain {
     * never seen as blocks) are INCLUDED in the memo at their saturate-at-
     * root positions and must be filtered by the caller against its id set.
     */
-  private def resolveInMemory(pairs: Array[org.apache.spark.sql.Row])
+  private def resolveInMemory(pairs: Array[org.apache.spark.sql.Row],
+      connectedOnly: Boolean = false)
       : (scala.collection.mutable.HashMap[String, Int],
          scala.collection.mutable.HashSet[String]) = {
     // node → parent for every non-null pointer, INCLUDING dangling ones
@@ -49,9 +50,15 @@ object BestChain {
     // parent, so a dangling pointer counts its one unresolvable hop —
     // exactly ChainOps' saturate-at-root semantics (a null-parent root sits
     // at height 0, a dangling-parent block at 1), which the bk6 oracle pins.
+    // connectedOnly restricts the TIP COMPETITION to genesis-rooted blocks
+    // (walks ending at a null-parent block, not a phantom) — heights keep
+    // the total semantics, the chain just never seats an orphan fragment.
     val parentOf: Map[String, String] = pairs.flatMap(r =>
       Option(r.getString(1)).map(r.getString(0) -> _)).toMap
+    val ids: Set[String] =
+      if (connectedOnly) pairs.iterator.map(_.getString(0)).toSet else Set.empty
     val memo = scala.collection.mutable.HashMap.empty[String, Int]
+    val grounded = scala.collection.mutable.HashSet.empty[String]
     pairs.foreach { r =>
       // walk up to the first memoized ancestor or a root (stack-safe),
       // then assign heights back down the walked path. Step cap = cycle
@@ -68,10 +75,16 @@ object BestChain {
         stack ::= cur
         cur = parentOf(cur)
       }
+      val curGrounded = connectedOnly &&
+        (grounded.contains(cur) || (!memo.contains(cur) && ids.contains(cur)))
       var hh = memo.getOrElseUpdate(cur, 0)
+      if (curGrounded) { grounded += cur; grounded ++= stack }
       stack.foreach { n => hh += 1; memo(n) = hh }
     }
-    val (tip, tipH) = memo.minBy { case (k, v) => (-v, k) }
+    val candidates = if (connectedOnly) memo.view.filterKeys(grounded) else memo.view
+    if (candidates.isEmpty)
+      return (memo, scala.collection.mutable.HashSet.empty[String])
+    val (tip, tipH) = candidates.minBy { case (k, v) => (-v, k) }
     val onChain = scala.collection.mutable.HashSet(tip)
     var cur = tip
     var steps = tipH
@@ -133,6 +146,49 @@ object BestChain {
       annotateDistributed(blocks)
         .where(col("is_on_best_chain"))
         .select(col("hash"), col("height").cast("int").as("height"))
+  }
+
+  /** [[bestChain]] restricted to GENESIS-ROOTED blocks — the incremental
+    * maintainer's semantics (the reference's reorder buffer,
+    * BlockchainToGraph.java:34–35): an orphan-rooted fragment, however
+    * long, is not a tip candidate until it connects, so a catch-up drain's
+    * shuffled arrivals never seat a fragment as the chain only to rebase it
+    * away next batch. EMPTY when no null-parent root has arrived yet. The
+    * batch annotator's total orphan semantics (the bk1/bk6 oracles) are
+    * untouched — this variant exists for the maintainer's full routes only.
+    * Above the envelope: one rootsAndDepths pass classifies components,
+    * then the standard annotator runs on the genesis-rooted subset.
+    */
+  def bestChainConnected(blocks: DataFrame): DataFrame = {
+    import ChainOps.traced
+    val spark = blocks.sparkSession
+    import spark.implicits._
+    val envelope = math.min(ChainOps.BroadcastMaxRows, (Int.MaxValue - 1).toLong).toInt
+    val probe = traced("bestChainConnected: envelope probe")(blocks
+      .select("hash", "parent_hash")
+      .limit(envelope + 1).collect())
+    if (probe.length <= envelope) {
+      if (probe.isEmpty)
+        return Seq.empty[(String, Int)].toDF("hash", "height")
+      val (memo, onChain) = traced("bestChainConnected: in-memory walk")(
+        resolveInMemory(probe, connectedOnly = true))
+      val ids = probe.iterator.map(_.getString(0)).toSet
+      val rows = memo.iterator.collect {
+        case (k, v) if onChain.contains(k) && ids.contains(k) => (k, v)
+      }.toSeq
+      rows.toDF("hash", "height")
+    } else {
+      val rd = ChainOps.rootsAndDepths(
+        blocks.select("hash", "parent_hash"), "hash", "parent_hash")
+      val groundedBlocks = blocks.join(
+        rd.join(blocks.where(col("parent_hash").isNull)
+            .select(col("hash").as("root")), Seq("root"), "left_semi")
+          .select("hash"),
+        Seq("hash"), "left_semi")
+      annotateDistributed(groundedBlocks)
+        .where(col("is_on_best_chain"))
+        .select(col("hash"), col("height").cast("int").as("height"))
+    }
   }
 
   /** The previous invocation's materialized annotation: each call swaps its

@@ -126,6 +126,14 @@ object ChainStream {
     */
   @volatile private[graft] var lastBestChainRoute: String = ""
 
+  /** WHY the last full resolution fired — the diagnostic that tells a
+    * "fallback" that is doing its designed job (root-rebase, overflow)
+    * apart from one that signals the O(batch) machinery disengaged
+    * (no-frontier, walk-miss on a supposedly complete index). Empty when
+    * the last call took an incremental route.
+    */
+  @volatile private[graft] var lastFullReason: String = ""
+
   /** Per-batch work-size log of [[walletLabelsBatch]] (route, blocks newly
     * on-chain, blocks reorged out, repair route) — the evidence that a
     * batch's cost tracks ITS delta, not the accumulated corpus. Appended
@@ -165,17 +173,8 @@ object ChainStream {
     * (spec-gated per batch against the annotator over the connected
     * subgraph, and at convergence against the full annotation).
     */
-  /** `chainRootParent`: when the chain's own root is orphan-rooted (a
-    * bootstrap over a bronze whose true genesis has not arrived — annotate's
-    * orphan semantics seat the deepest fragment as the chain), this is the
-    * root's missing parent. Its ARRIVAL must rebase the whole chain (every
-    * cursor height shifts), which only the full resolution can do — the one
-    * arrival the cascade must not absorb. None once the chain roots at a
-    * true (null-parent) genesis.
-    */
   private[graft] final case class Frontier(
-      dangling: Set[String], pending: Map[String, String],
-      chainRootParent: Option[String] = None)
+      dangling: Set[String], pending: Map[String, String])
 
   /** (hash, height) of the current best chain, computed O(batch) from the
     * prior cursor whenever the batch EXTENDS or shallowly REORGS the known
@@ -231,9 +230,11 @@ object ChainStream {
       prevCursor: Option[DataFrame],
       prevTipHint: Option[(String, Int)] = None,
       probeCursor: Option[DataFrame] = None,
-      frontier: Option[Frontier] = None): BestChainUpdate = {
-    def full(route: String): BestChainUpdate = {
+      frontier: Option[Frontier] = None,
+      connectedOnly: Boolean = false): BestChainUpdate = {
+    def full(route: String, reason: String = ""): BestChainUpdate = {
       lastBestChainRoute = route
+      lastFullReason = if (reason.nonEmpty) reason else route
       // bestChain skips the full annotation's join back against bronze: on
       // the envelope route the chain arrives as a driver-local relation.
       // Checkpointed ONCE either way: the maintainer's ~10 downstream
@@ -241,11 +242,15 @@ object ChainStream {
       // corpus drain — and above the envelope, re-run the doubling rounds).
       // The extend/unchanged routes never pay this — their plans are a
       // cursor scan + a local path.
-      BestChainUpdate(graft.chain.BestChain.bestChain(bronze)
+      val resolved =
+        if (connectedOnly) graft.chain.BestChain.bestChainConnected(bronze)
+        else graft.chain.BestChain.bestChain(bronze)
+      BestChainUpdate(resolved
         .select(col("hash"), col("height").cast("int").as("height"))
         .localCheckpoint(true),
         route, None)
     }
+    lastFullReason = ""
     if (prevCursor.isEmpty) return full("bootstrap")
     val cursor = prevCursor.get.select(col("hash"), col("height").cast("int").as("height"))
     // the batch must be driver-sized for the in-memory walk; micro-batches
@@ -257,7 +262,7 @@ object ChainStream {
     // silently routed every one of them to the full resolution).
     val batchRows = batch.select("hash", "parent_hash")
       .dropDuplicates("hash").limit(BatchWalkCap + 1).collect()
-    if (batchRows.length > BatchWalkCap) return full("fallback")
+    if (batchRows.length > BatchWalkCap) return full("fallback", "batch-cap")
     val batchHashes = batchRows.map(_.getString(0)).toSet
     val parentOf: Map[String, Option[String]] =
       batchRows.map(r => r.getString(0) -> Option(r.getString(1))).toMap
@@ -309,11 +314,6 @@ object ChainStream {
       lastBestChainRoute = "unchanged"
       return BestChainUpdate(cursor, "unchanged", None, frontier)
     }
-    // the one arrival the cascade must NOT absorb: the parent of an
-    // orphan-rooted chain's own root — every cursor height shifts, so only
-    // the full resolution can rebase
-    if (frontier.exists(_.chainRootParent.exists(batchHashes.contains)))
-      return full("fallback")
     val newHashes = batchNew.map(_.getString(0)).toSeq
     // Frontier-free path (no stamped index): a pre-existing bronze block
     // pointing INTO the new batch = a dangling fragment being attached; its
@@ -325,7 +325,7 @@ object ChainStream {
         .join(broadcast(newHashes.toDF("parent_hash")), Seq("parent_hash"), "left_semi")
         .join(broadcast(batchHashes.toSeq.toDF("hash")), Seq("hash"), "left_anti")
         .isEmpty
-      if (attaches) return full("fallback")
+      if (attaches) return full("fallback", "attach-scan")
     }
     // anchored height walk over the new blocks (memoized, stack-safe):
     // height = anchor height + path length. An unresolvable parent (neither
@@ -360,7 +360,7 @@ object ChainStream {
         val stepCap = batchRows.length + pendParent.size + 1
         while (anchorH.isEmpty && !pend && !heights.contains(cur)) {
           steps += 1
-          if (steps > stepCap) return full("fallback")
+          if (steps > stepCap) return full("fallback", "cycle")
           if (unres.contains(cur)) pend = true
           else allParent.get(cur) match {
             case Some(None) => // genesis root inside the walkable set: height 0
@@ -376,7 +376,7 @@ object ChainStream {
               // stack waits this pass
               if (!danglingSet.contains(p) && pendParent.contains(cur)) needLookup += p
               stack ::= cur; pend = true
-            case _ => return full("fallback") // unresolvable parent, no index
+            case _ => return full("fallback", "no-index-walk-miss") // unresolvable parent, no index
           }
         }
         if (pend) { unres ++= stack; unres += cur }
@@ -416,8 +416,7 @@ object ChainStream {
     // is now IN bronze (drop arrived hashes from dangling; unresolved ones
     // join pending), plus the genuinely-new dangling parents the
     // second-chance lookup could not place
-    def frontierAfter(onChain: Set[String],
-        rootParent: Option[String] => Option[String] = identity): Option[Frontier] =
+    def frontierAfter(onChain: Set[String]): Option[Frontier] =
       frontier.map { f =>
         val newDangling = batchRows.flatMap(r => Option(r.getString(1)))
           .filterNot(p => allParent.contains(p) || anchors.contains(p) ||
@@ -425,8 +424,7 @@ object ChainStream {
         Frontier(
           (f.dangling -- batchHashes) ++ newDangling,
           (f.pending ++ batchNew.map(r => r.getString(0) -> r.getString(1)))
-            .removedAll(onChain),
-          rootParent(f.chainRootParent))
+            .removedAll(onChain))
       }
     if (heights.isEmpty) {
       // nothing resolved: the whole batch waits (frontier) — impossible
@@ -465,7 +463,7 @@ object ChainStream {
       allParent(cur) match {
         case Some(p) if heights.contains(p) => cur = p
         case Some(p) if anchors.contains(p) => anchorHeight = anchors(p); done = true
-        case Some(_) => return full("fallback") // broken invariant: stay correct
+        case Some(_) => return full("fallback", "invariant") // broken invariant: stay correct
         case None => done = true // genesis root: no known-chain prefix
       }
     }
@@ -475,12 +473,9 @@ object ChainStream {
       else cursor.where(col("height") <= anchorHeight).unionByName(pathDf)
     // path blocks are ON the chain now — everything else that arrived or
     // resolved stays/lands in pending (stale); the caller folds reorged-out
-    // cursor rows (above the anchor) into pending too, cursor-side. A path
-    // that walked down to a genesis root (anchor < 0) REPLACED the whole
-    // chain with a true-rooted one — the orphan root marker clears.
+    // cursor rows (above the anchor) into pending too, cursor-side
     BestChainUpdate(best, "extend", Some((path.toSeq, anchorHeight)),
-      frontierAfter(path.iterator.map(_._1).toSet,
-        rp => if (anchorHeight < 0) None else rp))
+      frontierAfter(path.iterator.map(_._1).toSet))
   }
 
   /** Result of [[bestChainIncremental]]: the full best chain, the route
@@ -585,9 +580,29 @@ object ChainStream {
     val slotsPath = s"$labelsDir/_slots"
     // prior cursor, if present and height-carrying (a pre-r14 hash-only
     // cursor still serves the reorg diff below, but not incremental heights)
+    // Try-guarded: a cursor dir written from an EMPTY chain (connected-only
+    // bootstrap before any genesis arrived) has no parquet files and cannot
+    // be read — treated as no cursor, so the maintainer keeps bootstrapping
+    // until a genesis-rooted chain exists (conservative, documented).
     val prevCursorAny: Option[DataFrame] =
       if (!fsExists(spark, cursorPath)) None
-      else Some(spark.read.parquet(cursorPath))
+      else scala.util.Try {
+        val df = spark.read.parquet(cursorPath); df.schema; df
+      }.toOption
+    // Pre-genesis drain: no cursor and no null-parent block in bronze means
+    // the connected chain is EMPTY — there is nothing to cluster, store, or
+    // index yet, and a bootstrap attempt would still collect+walk the whole
+    // bronze per batch only to produce that empty chain. One pushed-down
+    // probe, then wait for the genesis to arrive (the reorder-buffer
+    // discipline applied to the chain's own root).
+    if (prevCursorAny.isEmpty &&
+        traced("wallet: genesis probe")(
+          bronze.where(col("parent_hash").isNull).isEmpty)) {
+      logWalletBatch(
+        """{"route":"pre-genesis","arrived":0,"invalidated":0,"repair":"skipped"}""")
+      lastBestChainRoute = "pre-genesis"
+      return
+    }
     val prevCursorH = prevCursorAny.filter(_.columns.contains("height"))
       .map(_.select(col("hash"), col("height")))
     // prior tip + membership probe from the TOP height buckets only: the
@@ -651,13 +666,16 @@ object ChainStream {
         Frontier(
           rows.iterator.filter(_.getString(0) == "d").map(_.getString(1)).toSet,
           rows.iterator.filter(_.getString(0) == "p")
-            .map(r => r.getString(1) -> r.getString(2)).toMap,
-          rows.iterator.filter(_.getString(0) == "r").map(_.getString(1))
-            .nextOption())
+            .map(r => r.getString(1) -> r.getString(2)).toMap)
       }
+    // connectedOnly: the maintainer's chain is the reference's reorder-
+    // buffer semantics end to end — the full routes never seat an orphan
+    // fragment as the chain (which the next batch's arrival of its missing
+    // root parent would only rebase away again: the measured perpetual-
+    // fallback failure mode of the shuffled catch-up drain).
     val upd = traced("wallet: best chain")(
       bestChainIncremental(spark, bronze, batch, prevCursorH, prevTipHint,
-        probeCursor, frontier))
+        probeCursor, frontier, connectedOnly = true))
     val route = upd.route
     // Slot assignment is a pure function of (address, slots), so the store
     // is only readable-for-overwrite under the SAME slots value it was
@@ -802,7 +820,8 @@ object ChainStream {
       val slotted = changes.withColumn(bucket, slotOf(col("address")))
       val changedSlots = slotted.select(bucket).distinct()
         .collect().map(_.getInt(0))
-      logWalletBatch(s"""{"route":"$route","arrived":$nArrived,"invalidated":$nInvalidated,"repair":"${WalletCluster.lastRepairRoute}"}""")
+      val why = if (route == "fallback") s""","why":"$lastFullReason"""" else ""
+      logWalletBatch(s"""{"route":"$route","arrived":$nArrived,"invalidated":$nInvalidated,"repair":"${WalletCluster.lastRepairRoute}"$why}""")
       if (changedSlots.nonEmpty) traced("wallet: slot write") {
         // full content of ONLY the changed slots; localCheckpoint is
         // slot-sized, not store-sized, and breaks the cycle of reading
@@ -912,18 +931,8 @@ object ChainStream {
       .join(best, Seq("hash"), "left_anti")
       .limit(PendingCap + 1).collect()
     if (pRows.length > PendingCap) return None
-    // orphan-root marker: the chain's own root still references an absent
-    // parent only when the true genesis has not arrived — at most one row
-    // (the chain is a line), and its arrival must rebase (full route)
-    val rootParent = bronze.select("hash", "parent_hash")
-      .join(best, Seq("hash"), "left_semi")
-      .where(col("parent_hash").isNotNull)
-      .select(col("parent_hash").as("h"))
-      .join(bronze.select(col("hash").as("h")), Seq("h"), "left_anti")
-      .limit(2).collect().map(_.getString(0))
     Some(Frontier(dRows.toSet,
-      pRows.iterator.map(r => r.getString(0) -> r.getString(1)).toMap,
-      rootParent.headOption))
+      pRows.iterator.map(r => r.getString(0) -> r.getString(1)).toMap))
   }
 
   /** Overwrite the frontier sidecar body (stamp protocol is the caller's).
@@ -935,8 +944,7 @@ object ChainStream {
     val rows: Seq[(String, String, String)] = frontier match {
       case Some(f) =>
         f.dangling.toSeq.map(h => ("d", h, null: String)) ++
-          f.pending.toSeq.map { case (h, p) => ("p", h, p) } ++
-          f.chainRootParent.toSeq.map(h => ("r", h, null: String))
+          f.pending.toSeq.map { case (h, p) => ("p", h, p) }
       case None => Seq(("overflow", null: String, null: String))
     }
     rows.toDF("kind", "hash", "parent_hash")

@@ -320,16 +320,15 @@ class StreamingSpec extends SparkSpec {
     val shuffled = rnd.shuffle(blocks.toList).grouped(7).toSeq
     runFeed(shuffled, "shuffled")
 
-    // FRONTIER-threaded feeds: same batches, but unanchored blocks PEND
-    // instead of forcing a full resolution, and attachments resolve by the
-    // driver cascade. Mid-stream the contract is the reorder-buffer one:
-    // the maintained chain is a consistent line over arrived blocks
-    // (fragments are not tip candidates until they attach; an orphan-rooted
-    // bootstrap chain rebases via the full route the moment its root's
-    // parent arrives), and the frontier equals its from-scratch derivation
-    // (pending = bronze − chain, dangling = referenced − present) after
-    // every batch. Once everything has arrived, the chain must equal the
-    // full annotation exactly.
+    // FRONTIER-threaded feeds (connectedOnly — the maintainer's mode):
+    // same batches, but unanchored blocks PEND instead of forcing a full
+    // resolution, attachments resolve by the driver cascade, and the chain
+    // is the reorder-buffer one: the best chain of the CONNECTED subgraph
+    // (blocks whose ancestry reaches a null-parent genesis) — fragments
+    // are never tip candidates, empty until a genesis arrives. The
+    // frontier must equal its from-scratch derivation (pending = bronze −
+    // chain, dangling = referenced − present) after every batch; once
+    // everything has arrived, the chain equals the full annotation.
     def runFeedFrontier(feed: Seq[Seq[(String, String, Long)]], label: String): Unit = {
       var bronzeRows = Map.empty[String, Option[String]] // hash -> parent
       var cursor: Option[org.apache.spark.sql.DataFrame] = None
@@ -341,7 +340,8 @@ class StreamingSpec extends SparkSpec {
         bronzeDf = bronzeRows.toSeq.map { case (h, p) => (h, p.orNull) }
           .toDF("hash", "parent_hash")
         val upd = ChainStream.bestChainIncremental(
-          spark, bronzeDf, batchDf, cursor, frontier = Some(frontier))
+          spark, bronzeDf, batchDf, cursor, frontier = Some(frontier),
+          connectedOnly = true)
         val got = upd.best
           .select(col("hash"), col("height").cast("int").as("height"))
           .localCheckpoint(true)
@@ -350,22 +350,16 @@ class StreamingSpec extends SparkSpec {
         // returned one, folding reorged-out prior-cursor rows into pending
         // (spec-side: anything that left the chain), re-deriving on full
         // routes
-        def derivedRootParent: Option[String] = {
-          val root = gotMap.minBy(_._2)._1
-          bronzeRows(root).filterNot(bronzeRows.contains)
-        }
         frontier = upd.newFrontier match {
           case Some(f) =>
             val dropped = cursor.map(_.collect().map(_.getString(0)).toSet
               .diff(gotMap.keySet)).getOrElse(Set.empty)
             ChainStream.Frontier(f.dangling,
-              f.pending ++ dropped.map(h => h -> bronzeRows(h).orNull),
-              f.chainRootParent)
+              f.pending ++ dropped.map(h => h -> bronzeRows(h).orNull))
           case None => ChainStream.Frontier(
             bronzeRows.valuesIterator.flatten.toSet -- bronzeRows.keySet,
             (bronzeRows.keySet -- gotMap.keySet).iterator
-              .map(h => h -> bronzeRows(h).orNull).toMap,
-            derivedRootParent)
+              .map(h => h -> bronzeRows(h).orNull).toMap)
         }
         val route = ChainStream.lastBestChainRoute
         // 1. frontier == from-scratch derivation
@@ -380,28 +374,33 @@ class StreamingSpec extends SparkSpec {
         frontier.pending.foreach { case (h, p) =>
           assert(Option(p) == bronzeRows(h), s"$label pending parent wrong for $h")
         }
-        assert(frontier.chainRootParent == derivedRootParent,
-          s"$label root marker drifted (route=$route): " +
-            s"got=${frontier.chainRootParent} want=$derivedRootParent")
-        // 2. the chain is a consistent LINE over arrived blocks: contiguous
-        // heights, each block's parent one height below, the root either a
-        // true genesis at 0 or an orphan root at 1 (annotate's semantics)
-        val byHeight = gotMap.map(_.swap)
-        assert(byHeight.size == gotMap.size, s"$label duplicate heights: $gotMap")
-        val (minH, maxH) = (gotMap.values.min, gotMap.values.max)
-        assert(gotMap.values.toSet == (minH to maxH).toSet,
-          s"$label non-contiguous heights (route=$route)")
-        (minH + 1 to maxH).foreach { k =>
-          assert(bronzeRows(byHeight(k)) == Some(byHeight(k - 1)),
-            s"$label broken parent link at height $k (route=$route)")
+        // 2. the chain == the best chain of the CONNECTED subgraph (blocks
+        // whose ancestry reaches a null-parent root) — recomputed from
+        // scratch by the batch annotator over exactly that subgraph
+        val reachable = {
+          val children = bronzeRows.toSeq.collect {
+            case (h, Some(p)) => p -> h
+          }.groupMap(_._1)(_._2)
+          val seen = scala.collection.mutable.HashSet.empty[String]
+          val queue = scala.collection.mutable.Queue(
+            bronzeRows.collect { case (h, None) => h }.toSeq: _*)
+          while (queue.nonEmpty) {
+            val h = queue.dequeue()
+            if (seen.add(h)) children.getOrElse(h, Nil).foreach(queue.enqueue)
+          }
+          seen.toSet
         }
-        bronzeRows(byHeight(minH)) match {
-          case None => assert(minH == 0, s"$label true genesis not at height 0")
-          case Some(p) =>
-            assert(!bronzeRows.contains(p),
-              s"$label chain root's parent $p has arrived but the chain never rebased")
-            assert(minH == 1, s"$label orphan root not at height 1 (route=$route)")
-        }
+        val expect =
+          if (reachable.isEmpty) Map.empty[String, Int]
+          else BestChain.annotate(
+              bronzeRows.filter(kv => reachable(kv._1)).toSeq
+                .map { case (h, p) => (h, p.orNull) }.toDF("hash", "parent_hash"))
+            .where(col("is_on_best_chain"))
+            .select(col("hash"), col("height").cast("int").as("height"))
+            .collect().map(r => (r.getString(0), r.getInt(1))).toMap
+        assert(gotMap == expect,
+          s"$label frontier-chain diverged (route=$route): " +
+            s"missing=${expect.toSet -- gotMap.toSet} extra=${gotMap.toSet -- expect.toSet}")
         cursor = Some(got)
       }
       // everything arrived: no dangling references remain (pending keeps
