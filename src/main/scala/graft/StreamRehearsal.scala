@@ -448,9 +448,17 @@ object StreamRehearsal {
     val maxH = ann.agg(max("height")).head.get(0).asInstanceOf[Number].intValue
     val nBatches = math.max(10, maxH / 80000 + 1)
     val step = maxH / nBatches + 1
-    // slice 0 first (bootstraps the genesis-rooted prefix), then top-down:
-    // slice i's parents live in slice i−1, so nothing anchors until the end
-    val order = 0 +: (1 until nBatches).reverse
+    // slice 0 first (bootstraps the genesis-rooted prefix), then an ordered
+    // prefix, then the REST top-down: slice i's parents live in slice i−1,
+    // so nothing in the reversed suffix anchors until its last slice. The
+    // reversed suffix is sized to the maintainer's PendingCap — buffering
+    // MORE than the cap is designed overflow (honest full resolutions), not
+    // what this leg measures; at 1×/10× the whole corpus fits and the
+    // suffix is everything
+    val maxRev = math.max(2,
+      (graft.streaming.ChainStream.PendingCap / step - 1).toInt)
+    val splitAt = math.max(1, nBatches - maxRev)
+    val order = (0 until splitAt) ++ (splitAt until nBatches).reverse
     graft.streaming.ChainStream.walletBatchLog.clear()
     val runs = order.map { i =>
       val lo = i * step
@@ -490,8 +498,10 @@ object StreamRehearsal {
     // O(batch) "unchanged" and the single attach batch cascades on "extend"
     // — a regression to per-batch full resolutions would still converge
     val routes = runs.map(_._2)
-    if (routes.head != "bootstrap" || routes.last != "extend" ||
-        routes.tail.init.exists(_ != "unchanged"))
+    val okShape = routes.head == "bootstrap" && routes.last == "extend" &&
+      routes.slice(1, splitAt).forall(_ == "extend") &&
+      routes.slice(splitAt, routes.length - 1).forall(_ == "unchanged")
+    if (!okShape)
       throw new IllegalStateException(
         "fragment drain left the pending path: route histogram = " +
           routes.groupBy(identity).view.mapValues(_.size).toMap.toString)

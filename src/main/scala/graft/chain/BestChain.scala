@@ -178,13 +178,26 @@ object BestChain {
       }.toSeq
       rows.toDF("hash", "height")
     } else {
-      val rd = ChainOps.rootsAndDepths(
-        blocks.select("hash", "parent_hash"), "hash", "parent_hash")
-      val groundedBlocks = blocks.join(
-        rd.join(blocks.where(col("parent_hash").isNull)
-            .select(col("hash").as("root")), Seq("root"), "left_semi")
-          .select("hash"),
-        Seq("hash"), "left_semi")
+      // No dangling reference in bronze ⇒ every root is a null-parent block
+      // ⇒ connected == total, and the classification pass (a SECOND
+      // doubling resolution) is pure waste — this is exactly the state a
+      // drain converges to, where the one honest full batch runs. One
+      // anti-join probe decides.
+      val anyDangling = !blocks
+        .select(col("parent_hash").as("h")).where(col("h").isNotNull)
+        .join(blocks.select(col("hash").as("h")), Seq("h"), "left_anti")
+        .isEmpty
+      val groundedBlocks =
+        if (!anyDangling) blocks
+        else {
+          val rd = ChainOps.rootsAndDepths(
+            blocks.select("hash", "parent_hash"), "hash", "parent_hash")
+          blocks.join(
+            rd.join(blocks.where(col("parent_hash").isNull)
+                .select(col("hash").as("root")), Seq("root"), "left_semi")
+              .select("hash"),
+            Seq("hash"), "left_semi")
+        }
       annotateDistributed(groundedBlocks)
         .where(col("is_on_best_chain"))
         .select(col("hash"), col("height").cast("int").as("height"))

@@ -700,8 +700,10 @@ object ChainStream {
       val grewOrShrank = upd.newFrontier.isDefined && upd.newFrontier != frontier
       if (tip.isDefined && (grewOrShrank || !stampOk)) {
         val nf: Option[Frontier] =
-          if (grewOrShrank) upd.newFrontier
-          else deriveFrontier(spark, bronze, prevCursorAny.get.select("hash"))
+          (if (grewOrShrank) upd.newFrontier
+           else deriveFrontier(spark, bronze, prevCursorAny.get.select("hash")))
+            .filter(f => // cap enforcement — same rule as the main tail
+              f.pending.size <= PendingCap && f.dangling.size <= DanglingCap)
         fsWriteText(spark, frontierStampPath, "!pending\n")
         writeFrontierBody(spark, frontierPath, nf)
         fsWriteText(spark, frontierStampPath, tip.get + "\n")
@@ -877,13 +879,18 @@ object ChainStream {
         }
       case _ => refreshedFrontier
     }
+    // cap enforcement on the INCREMENTAL growth path too (deriveFrontier
+    // caps its own collects): a drain whose backlog outgrows the driver
+    // budget records overflow rather than accumulating an unbounded map
+    val frontierCapped = frontierFinal.filter(f =>
+      f.pending.size <= PendingCap && f.dangling.size <= DanglingCap)
     // known on-disk body state (None = unknown/untrusted → always rewrite);
     // inside, None = the overflow marker, Some = a trusted Frontier — which
     // is exactly what `frontier` already encodes when the rows were read
     val prevBody: Option[Option[Frontier]] = frontierRows.map(_ => frontier)
     fsWriteText(spark, frontierStampPath, "!pending\n")
-    if (!prevBody.contains(frontierFinal))
-      writeFrontierBody(spark, frontierPath, frontierFinal)
+    if (!prevBody.contains(frontierCapped))
+      writeFrontierBody(spark, frontierPath, frontierCapped)
     // Write ordering is store-then-cursor: a crash between them leaves a
     // stale cursor, so the next batch re-derives a change set that includes
     // already-applied blocks — both update paths then produce empty deltas
@@ -960,16 +967,20 @@ object ChainStream {
     * past this size the sidecar records overflow and the maintainer uses
     * the distributed bronze-scan attachment check instead.
     */
-  private[graft] val DanglingCap = 1000000
+  private[graft] def DanglingCap: Int =
+    sys.props.get("graft.danglingCap").map(_.toInt).getOrElse(1000000)
 
   /** Driver-side cap on the pending (off-chain) block index — the reorder
     * buffer half of the [[Frontier]]. 1M (hash, parent) pairs ≈ 300 MB of
     * driver heap at the cap, the same order as the broadcast envelope; a
     * drain whose unattached backlog exceeds it records overflow and pays
     * the full resolution per batch until the backlog attaches (the honest
-    * pre-r16 behavior).
+    * pre-r16 behavior). Both caps are sys-prop-overridable so specs can
+    * drive the overflow lifecycle on small fixtures (the
+    * `graft.broadcastMaxRows` pattern).
     */
-  private[graft] val PendingCap = 1000000
+  private[graft] def PendingCap: Int =
+    sys.props.get("graft.pendingCap").map(_.toInt).getOrElse(1000000)
 
   /** Driver-side cap on the per-batch (hash, parent) collect that feeds the
     * incremental walk — batches above it take the always-correct full

@@ -912,6 +912,62 @@ class StreamingSpec extends SparkSpec {
     assert(frontierBody().isEmpty)
   }
 
+  test("frontier overflow at the pending cap: sidecar records overflow, batches fall back, a full route restores the index") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-frontier-ovf").toString
+    def fundersOf(s: org.apache.spark.sql.SparkSession,
+        df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+      df.select(explode(col("txs")).as("t"))
+        .select(col("t._1").as("tx_hash"), explode(col("t._2")).as("src_address"))
+    def step(rows: Seq[(String, String, Long)]): String = {
+      ChainStream.walletLabelsBatch(spark,
+        rows.map { case (h, p, ts) => (h, p, ts, Seq.empty[(String, Seq[String])]) }
+          .toDF("hash", "parent_hash", "ts", "txs"),
+        s"$tmp/bronze", fundersOf, s"$tmp/labels", 8)
+      ChainStream.lastBestChainRoute
+    }
+    def body(): Seq[(String, String)] =
+      spark.read.parquet(s"$tmp/labels/_frontier")
+        .select("kind", "hash").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSeq
+    val X = "x" * 64
+    sys.props("graft.pendingCap") = "2"
+    try {
+      // bootstrap g <- a
+      ChainStream.walletLabelsBatch(spark,
+        Seq(("g", null, 1000L, Seq(("t1", Seq("a1", "a2")))),
+          ("a", "g", 1100L, Seq.empty[(String, Seq[String])]))
+          .toDF("hash", "parent_hash", "ts", "txs"),
+        s"$tmp/bronze", fundersOf, s"$tmp/labels", 8)
+      // a 3-block fragment exceeds the cap: the batch still pends O(batch)
+      // (route "unchanged") but the SIDECAR records overflow instead of an
+      // unbounded body
+      val frag = (1 to 3).map(i =>
+        (s"c$i" * 16, if (i == 1) X else s"c${i - 1}" * 16, 2000L + i))
+      assert(step(frag) == "unchanged")
+      assert(body().map(_._1) == Seq("overflow"),
+        s"expected the overflow marker, got ${body()}")
+      // with the index overflowed, the next unresolvable batch has no
+      // frontier to pend into — the authoritative full path runs
+      assert(step(Seq(("d" * 64, "e" * 64, 3000L))) == "fallback")
+      assert(ChainStream.lastFullReason == "no-index-walk-miss")
+      // the arrival that connects the big fragment takes the full route and
+      // RESTORES the index: post-attach the off-chain backlog fits the cap
+      assert(step(Seq((X, "a", 4000L))) == "fallback")
+      val restored = body()
+      assert(restored.nonEmpty && !restored.exists(_._1 == "overflow"),
+        s"index not restored after the full route: $restored")
+      // the lone d-fragment is still off-chain: pending d + dangling e
+      assert(restored.toSet == Set(("p", "d" * 64), ("d", "e" * 64)),
+        s"unexpected restored frontier: $restored")
+      val cursor = spark.read.parquet(s"$tmp/labels/_bestchain")
+      assert(cursor.count() == 6) // g a x c1 c2 c3
+    } finally {
+      sys.props.remove("graft.pendingCap")
+      ()
+    }
+  }
+
   test("cyclic parent pointers: the incremental walk exits to the full route, which errors instead of hanging") {
     import spark.implicits._
     // a healthy stored chain, then a corrupt batch whose parents form a loop
