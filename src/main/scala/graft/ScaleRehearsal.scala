@@ -40,6 +40,13 @@ object ScaleRehearsal {
     val names = if (!legOn("queries")) Seq.empty[String]
       else Seq("bk0_e2e_pipeline", "bk1_best_chain",
         "bk4_address_stats", "bk7_utxo_set")
+        .filter(n => sys.env.get("SPARK_GRAFT_SCALE_QUERIES")
+          .forall(_.split(",").contains(n)))
+    // profiling knobs: SPARK_GRAFT_SCALE_SAMPLES=1 + SPARK_GRAFT_SCALE_WARM=0
+    // give one cold traced run (pair with SPARK_GRAFT_TRACE=1) instead of
+    // the 4-run measurement protocol
+    val nSamples = sys.env.getOrElse("SPARK_GRAFT_SCALE_SAMPLES", "3").toInt
+    val doWarm = sys.env.get("SPARK_GRAFT_SCALE_WARM").forall(_ != "0")
     names.foreach { name =>
       Graft.releaseCaches()
       def once(): Double = timed(
@@ -48,9 +55,9 @@ object ScaleRehearsal {
       // one warm + 3 samples, reported as median + spread: a single sample
       // cannot distinguish a regression from single-JVM heap-pressure
       // variance (r13's bk4 at 30x swung 9.9 -> 55.8 s on one sample)
-      val warm = once()
-      val samples = Seq(once(), once(), once())
-      val med = samples.sorted.apply(1)
+      val warm = if (doWarm) once() else -1.0
+      val samples = Seq.fill(nSamples)(once())
+      val med = samples.sorted.apply(samples.length / 2)
       val spread = samples.max - samples.min
       Rehearsal.emit(f"""{"rehearsal":"$name","scale":$scale,"warm":$warm%.2f,"median":$med%.2f,"spread":$spread%.2f,"samples":[${samples.map(s => f"$s%.2f").mkString(",")}]}""")
     }

@@ -227,13 +227,19 @@ object ChainOps {
     val bcast = n <= BroadcastMaxRows
     // The Arity=16 trade assumes hops are FREE (map-side broadcast joins
     // inside one narrow stage): chain 15 of them, materialize once. Above
-    // the broadcast envelope every hop is a full shuffle of the table, so
-    // the trade inverts and total shuffles are what matters: covering depth
-    // d takes ~log2(d) hops regardless of grouping — arity 16 spends
-    // 15·log16(d) ≈ 3.75·log2(d) table shuffles to save materializations,
-    // classic arity-2 doubling spends log2(d) (observed at a 1.5M-block
-    // chain: 90 vs 21 shuffles, and the rebase passes are the cheap part).
-    val arity = if (bcast) Arity else 2
+    // the broadcast envelope every hop is a full shuffle, so the trade
+    // shifts — but not all the way to classic arity-2: the r16 head-to-head
+    // at a 1.5M-block chain measured the per-ROUND fixed cost (the rebase
+    // materialization + its count pass over ~n rows) dominating the extra
+    // in-round hop shuffles, so HALVING the round count wins even at 3
+    // shuffle hops per round — resolve 116 s (22 rounds, arity 2) → 62 s
+    // (12 rounds, arity 4), and the membership pass (one round per retained
+    // table) halves its rounds with it, 40 s → 33 s. Arity 8 would spend
+    // 7·log8(d) ≈ 2.3·log2(d) hop shuffles to shave only 4 more rounds —
+    // past the knee. SPARK_GRAFT_SHUFFLE_ARITY overrides for measurement.
+    val arity =
+      if (bcast) Arity
+      else sys.env.get("SPARK_GRAFT_SHUFFLE_ARITY").map(_.toInt).getOrElse(4)
     var r = 0
     // A well-formed forest of n nodes resolves in ceil(log_arity n) rounds
     // (depth ≤ n); needing more proves the parent pointers never saturate —

@@ -41,13 +41,19 @@ object BlkScale {
   private val scratch =
     new java.util.concurrent.atomic.AtomicReference[Seq[org.apache.spark.sql.DataFrame]](Nil)
   private def stageForRun(dfs: org.apache.spark.sql.DataFrame*): Unit = {
-    scratch.getAndSet(dfs.toSeq).foreach(_.unpersist(blocking = false))
+    // identity-aware swap: a frame staged EARLY in the run (headers must be
+    // cached before the annotator's eager envelope probe fires) survives a
+    // later restage that adds the rest — only frames leaving the set drop
+    scratch.getAndSet(dfs.toSeq)
+      .filterNot(old => dfs.exists(_ eq old))
+      .foreach(_.unpersist(blocking = false))
     // SER, not deserialized rows: bk0 is the bench's heaviest query and the
     // one whose peak footprint decides whether a contended host window can
     // triple its samples (r15's official bench was invalidated on exactly
     // that) — the serialized form is ~4× smaller for these string-keyed
     // frames, trading a little per-read CPU for page-cache headroom.
-    dfs.foreach(_.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER))
+    dfs.filterNot(_.storageLevel.useMemory)
+      .foreach(_.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER))
   }
 
   /** Drop the retained pipeline scratch ([[graft.Graft.releaseCaches]]). */
@@ -107,13 +113,20 @@ object BlkScale {
       (s, _) => {
         BlkCorpus.ensureMaterialized(s)
         val bronze = BlockFileSource.toBronze(BlockFileSource.read(s, BlkCorpus.rawDir))
-        val ann = BestChain.annotateDistributed(bronze("blocks"))
+        // headers staged FIRST (before the annotator's eager envelope probe
+        // fires): the annotator consumes the block frame ≥2× (probe, then
+        // the dictionary encode) and each pass would otherwise re-run the
+        // raw wire-format parse — measured 32 s of a 218 s run at the
+        // 1.5M-block scale, all but one parse redundant
+        val headers = bronze("blocks")
+        stageForRun(headers)
+        val ann = BestChain.annotateDistributed(headers)
         val cTxs = GoldStats.chainTxs(bronze("transactions"), ann)
         val rin = Enrich.resolvedInputs(bronze("tx_inputs"), bronze("tx_outputs"))
           .join(cTxs.select("tx_hash"), Seq("tx_hash"), "left_semi")
         val outs = bronze("tx_outputs")
           .join(cTxs.select("tx_hash"), Seq("tx_hash"), "left_semi")
-        stageForRun(cTxs)
+        stageForRun(cTxs, headers)
         val ts = GoldStats.txStats(cTxs, rin, outs)
         ann.agg(
             count(lit(1)).as("n_blocks"),
