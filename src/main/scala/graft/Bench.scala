@@ -209,8 +209,13 @@ object Bench {
         val fresh = Seq.fill(runs)(once())
         diag += f"[bench]   $name recovery samples (after $rWarms warms): " +
           fresh.map { case (s, g) => f"$s%.2f(gc ${g}ms)" }.mkString(", ")
+        // A fresh set that is ALSO unstable keeps the flag on the ORIGINAL
+        // set: the two sets come from differently-warmed protocol states
+        // (post-GC re-warm vs the settled session), so a concatenated
+        // median/spread would be computed over a heterogeneous mix that is
+        // neither protocol — the fresh samples stay evidence-only, in the
+        // diag line above.
         if (!unstable(fresh.map(_._1))) ordered = fresh
-        else ordered = ordered ++ fresh // keep flagging, with all the evidence
       }
       // Execution-order samples are the drift diagnostic: monotone growth
       // means within-session accumulation (heap aging, lineage, shuffle

@@ -300,35 +300,54 @@ object WalletCluster {
     if (belowFloor && nStored <= ChainOps.BroadcastMaxRows) {
       val spark = oldLabels.sparkSession
       import spark.implicits._
-      // no-op pre-route, driver-side, cheapest check first: a reorg with no
-      // funders at all needs no store read; one whose funders never reached
-      // the store cannot split or merge anything
-      val invRows = invAddrs.collect().map(_.getString(0))
-      if (invRows.isEmpty)
+      // No-op pre-route as a LIMIT-1 probe, not a full derivation: this is
+      // the only place the route touches `invalidated` at all. The r16 leg
+      // decomposition put the small-store premium (repair 1.6–1.9× over the
+      // bare recompute) in exactly the invalidated-side work only the repair
+      // path paid — the full distinct+collect of invalidated funder
+      // addresses and the affected-component gate over them — so the route
+      // now skips both: a nonempty probe costs one pushed-down row, and the
+      // diff below is correct with or without the gate (a gate-worthy no-op
+      // just produces an empty diff the long way — rare, and bounded by the
+      // small-store recompute this route already costs).
+      if (invalidated.isEmpty)
         return old.select(col("address"), col("wallet_id")).where(lit(false))
       val storedRows = old.collect().map(r => (r.getString(0), r.getString(1)))
-      val storedMap = storedRows.toMap
-      val affectedSet = invRows.iterator.flatMap(storedMap.get).toSet
-      if (affectedSet.isEmpty)
-        return old.select(col("address"), col("wallet_id")).where(lit(false))
-      lastRepairRoute = "replace"
       val bf = bestFunders
         .select(col("tx_hash"), col("src_address").as("address"))
-      val freshMap = clusters( // clusters distincts both inputs itself
+      // Bounded by the DRIVER CAP, not by nStored: the post-reorg funder
+      // universe is what this collect actually ships (a large replacement
+      // branch, or a caller handing a stale store against corpus-scale
+      // bestFunders, can exceed the store arbitrarily), so the collect
+      // itself carries the limit and an overflow falls through to the
+      // distributed routes below — belowFloor lands those on the mass
+      // recompute-diff, which handles any universe.
+      val cap = math.min(ChainOps.BroadcastMaxRows, (Int.MaxValue - 1).toLong).toInt
+      val freshRows = clusters( // clusters distincts both inputs itself
           bf.select("address"),
           bf.select(col("tx_hash"), col("address").as("src_address")))
-        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
-      // same emission rule as the mass route's diff join, as a map pass:
-      // changed labels (including unaffected components merged by
-      // replacement-branch edges), and vanished affected members singleton
-      val out = storedRows.iterator.flatMap { case (a, w) =>
-        freshMap.get(a) match {
-          case Some(nw) if nw != w => Some((a, nw))
-          case None if affectedSet(w) && w != a => Some((a, a))
-          case _ => None
-        }
-      }.toSeq
-      return out.toDF("address", "wallet_id")
+        .limit(cap + 1).collect()
+      if (freshRows.length <= cap) {
+        lastRepairRoute = "replace"
+        val freshMap = freshRows.iterator
+          .map(r => r.getString(0) -> r.getString(1)).toMap
+        // same emission rule as the mass route's diff join, as a map pass:
+        // changed labels (including unaffected components merged by
+        // replacement-branch edges), and vanished members singleton. A
+        // vanished stored member is PROVABLY affected — its every pre-reorg
+        // funding pair must have been in the retracted blocks, or it would
+        // still appear post-reorg — so the old affected-set test it used to
+        // ride on was redundant (and already-singleton rows skip on w == a).
+        val out = storedRows.iterator.flatMap { case (a, w) =>
+          freshMap.get(a) match {
+            case Some(nw) if nw != w => Some((a, nw))
+            case None if w != a => Some((a, a))
+            case _ => None
+          }
+        }.toSeq
+        return out.toDF("address", "wallet_id")
+      }
+      // post-reorg universe outgrew the driver bound — distributed routes
     }
     // 1. components with >=1 retracted edge — materialized ONCE: the set is
     // LABEL-grain (small on every route — a handful of labels on the

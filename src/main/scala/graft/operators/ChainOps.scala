@@ -237,9 +237,22 @@ object ChainOps {
     // table) halves its rounds with it, 40 s → 33 s. Arity 8 would spend
     // 7·log8(d) ≈ 2.3·log2(d) hop shuffles to shave only 4 more rounds —
     // past the knee. SPARK_GRAFT_SHUFFLE_ARITY overrides for measurement.
+    // The override is validated, not trusted: a malformed value would throw
+    // NumberFormatException deep inside resolve, and arity < 2 produces ZERO
+    // hop passes per round (pending never shrinks) until the maxRounds cycle
+    // guard throws a misleading "cyclic parent pointers" error — fall back
+    // to the measured default with a diagnostic instead.
     val arity =
       if (bcast) Arity
-      else sys.env.get("SPARK_GRAFT_SHUFFLE_ARITY").map(_.toInt).getOrElse(4)
+      else sys.env.get("SPARK_GRAFT_SHUFFLE_ARITY") match {
+        case None => 4
+        case Some(v) =>
+          scala.util.Try(v.trim.toInt).toOption.filter(_ >= 2).getOrElse {
+            System.err.println(
+              s"[graft] ignoring invalid SPARK_GRAFT_SHUFFLE_ARITY='$v' (need an int >= 2); using 4")
+            4
+          }
+      }
     var r = 0
     // A well-formed forest of n nodes resolves in ceil(log_arity n) rounds
     // (depth ≤ n); needing more proves the parent pointers never saturate —

@@ -297,13 +297,22 @@ object ChainStream {
     val deepHits: Map[String, Int] = frontier match {
       case None => Map.empty
       case Some(_) =>
-        val unknownParents = batchRows.flatMap(r => Option(r.getString(1)))
+        // PARENTS only. Batch hashes used to ride this lookup too, so a
+        // replayed block deep on the chain would read as "already known" —
+        // but every genuinely-new hash on every steady-state extend batch is
+        // also absent from the pruned probe, so that half made the
+        // full-cursor semi-join run on EVERY micro-batch: the O(chain)
+        // cursor read per batch that probeCursor exists to avoid, paid for a
+        // deep-replay case the bronze dedupe makes rare. The trade accepted
+        // instead: a deep replay now resolves through its (eagerly-anchored)
+        // parent as if new, loses the tip race, and transiently joins
+        // `pending` — benign, because the absence proof needs pending
+        // COMPLETENESS (bronze ⊆ chain ∪ pending), never minimality, and
+        // the entry clears on the next full-route frontier refresh. On a
+        // steady extend batch this set is empty and no cursor scan runs.
+        val unknown = batchRows.flatMap(r => Option(r.getString(1)))
           .filterNot(p => allParent.contains(p) || danglingSet.contains(p) ||
-            cursorHits.contains(p))
-        // batch hashes too: a replayed block deep on the chain must read as
-        // "already known", not as a new off-chain arrival
-        val unknown = (unknownParents ++
-          batchHashes.filterNot(cursorHits.contains)).distinct
+            cursorHits.contains(p)).distinct
         if (unknown.isEmpty) Map.empty
         else cursor.join(broadcast(unknown.toSeq.toDF("hash")), Seq("hash"), "left_semi")
           .collect().map(r => r.getString(0) -> r.getInt(1)).toMap

@@ -222,22 +222,29 @@ class ChainSpec extends SparkSpec {
     }
     spark.sparkContext.addSparkListener(listener)
     try {
-      // empty blocks reorged out: invalidated carries no funders at all
+      // empty blocks reorged out: invalidated carries no funders at all —
+      // the replace route's LIMIT-1 probe concludes this without any
+      // derivation pass
       val emptyInv = all.where(lit(false))
       val r1 = WalletCluster.repairAfterReorg(stored, emptyInv, all).collect()
       assert(r1.isEmpty)
-      // invalidated funders that never reached the store (replacement-branch
-      // addresses the store has no row for): nothing can split or merge
-      val unknownInv = Seq(("tz", "zz99")).toDF("tx_hash", "src_address")
-      val r2 = WalletCluster.repairAfterReorg(stored, unknownInv, all).collect()
-      assert(r2.isEmpty)
       // listener events are posted asynchronously; a short settle beats
       // reaching into the private listener bus
       Thread.sleep(500)
-      // the pre-route is the point: both calls together stay within a few
+      // the pre-route is the point: the funder-less call stays within a few
       // probe jobs (isEmpty + the empty collect), nowhere near the member
       // materialization + count + clustering the full path runs
       assert(jobs.get() <= 8, s"no-op repair ran ${jobs.get()} jobs — discovery not skipped")
+      // invalidated funders that never reached the store (replacement-branch
+      // addresses the store has no row for): still an EMPTY diff — but on
+      // the small-store replace route this is now proven by the
+      // recompute-diff itself, not an eager affected-set gate (that gate's
+      // full invalidated-funder derivation WAS the measured small-store
+      // repair premium, r16 rehearsal), so the call costs the bounded
+      // small-store recompute rather than a discovery ladder
+      val unknownInv = Seq(("tz", "zz99")).toDF("tx_hash", "src_address")
+      val r2 = WalletCluster.repairAfterReorg(stored, unknownInv, all).collect()
+      assert(r2.isEmpty)
     } finally {
       spark.sparkContext.removeSparkListener(listener)
       stored.unpersist()
