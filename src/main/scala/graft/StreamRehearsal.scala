@@ -584,6 +584,17 @@ object StreamRehearsal {
       throw new IllegalStateException(
         s"streamed wallet labels diverged: missing=$missing stale=$staleExtras")
     }
+    // vacuousness guard (r17): the one full resolution in this leg — the
+    // bootstrap when genesis finally arrives — must have taken the
+    // driver-walk cascade at every corpus scale that fits the walk cap. A
+    // silent regression to the distributed doubling would still converge,
+    // just ~100 s slower at 30×, which per-batch times alone can't gate.
+    val nBlocks = ann.count()
+    if (nBlocks <= graft.streaming.ChainStream.BootstrapWalkCap &&
+        graft.streaming.ChainStream.lastFullKind != "walk")
+      throw new IllegalStateException(
+        "catch-up bootstrap left the driver-walk path: kind=" +
+          s"${graft.streaming.ChainStream.lastFullKind} at $nBlocks blocks")
 
     // Tip-follow: the caught-up steady state — five single-block extensions
     // stepped synchronously through walletLabelsBatch, timing the per-batch

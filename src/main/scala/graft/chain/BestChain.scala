@@ -159,24 +159,50 @@ object BestChain {
     * Above the envelope: one rootsAndDepths pass classifies components,
     * then the standard annotator runs on the genesis-rooted subset.
     */
-  def bestChainConnected(blocks: DataFrame): DataFrame = {
+  def bestChainConnected(blocks: DataFrame): DataFrame =
+    bestChainConnectedWithFrontier(blocks,
+      math.min(ChainOps.BroadcastMaxRows, (Int.MaxValue - 1).toLong).toInt)._1
+
+  /** [[bestChainConnected]] with a CALLER-CHOSEN driver-walk envelope, and —
+    * when the walk route ran — the off-chain index the same probe already
+    * proves: (dangling parent hashes, pending block → parent). The
+    * streaming maintainer's full routes pass a wider envelope than the
+    * broadcast cap (the probe is read once per full resolution, reduced
+    * immediately to the chain plus a capped frontier, and never broadcast),
+    * which turns the once-per-deployment catch-up bootstrap from a
+    * distributed doubling resolution into the same driver cascade the
+    * fragment-drain attach path uses — and hands the maintainer its
+    * post-batch [[graft.streaming.ChainStream.Frontier]] for free, where
+    * the distributed route's callers must re-derive it with two bronze
+    * anti-joins. `None` in the second slot = the distributed route ran
+    * (chain above the envelope).
+    */
+  private[graft] def bestChainConnectedWithFrontier(
+      blocks: DataFrame, envelope: Int)
+      : (DataFrame, Option[(Set[String], Map[String, String])]) = {
     import ChainOps.traced
     val spark = blocks.sparkSession
     import spark.implicits._
-    val envelope = math.min(ChainOps.BroadcastMaxRows, (Int.MaxValue - 1).toLong).toInt
     val probe = traced("bestChainConnected: envelope probe")(blocks
       .select("hash", "parent_hash")
       .limit(envelope + 1).collect())
     if (probe.length <= envelope) {
       if (probe.isEmpty)
-        return Seq.empty[(String, Int)].toDF("hash", "height")
+        return (Seq.empty[(String, Int)].toDF("hash", "height"),
+          Some((Set.empty, Map.empty)))
       val (memo, onChain) = traced("bestChainConnected: in-memory walk")(
         resolveInMemory(probe, connectedOnly = true))
       val ids = probe.iterator.map(_.getString(0)).toSet
       val rows = memo.iterator.collect {
         case (k, v) if onChain.contains(k) && ids.contains(k) => (k, v)
       }.toSeq
-      rows.toDF("hash", "height")
+      val dangling = probe.iterator
+        .flatMap(r => Option(r.getString(1))).filterNot(ids).toSet
+      val pending = probe.iterator.collect {
+        case r if !onChain.contains(r.getString(0)) =>
+          r.getString(0) -> r.getString(1)
+      }.toMap
+      (rows.toDF("hash", "height"), Some((dangling, pending)))
     } else {
       // No dangling reference in bronze ⇒ every root is a null-parent block
       // ⇒ connected == total, and the classification pass (a SECOND
@@ -198,9 +224,9 @@ object BestChain {
               .select("hash"),
             Seq("hash"), "left_semi")
         }
-      annotateDistributed(groundedBlocks)
+      (annotateDistributed(groundedBlocks)
         .where(col("is_on_best_chain"))
-        .select(col("hash"), col("height").cast("int").as("height"))
+        .select(col("hash"), col("height").cast("int").as("height")), None)
     }
   }
 

@@ -134,6 +134,14 @@ object ChainStream {
     */
   @volatile private[graft] var lastFullReason: String = ""
 
+  /** HOW the last full resolution resolved (maintainer routes only):
+    * "walk" = the driver-envelope cascade ([[BootstrapWalkCap]]),
+    * "distributed" = the doubling resolution (chain above the cap). The
+    * catch-up rehearsal's vacuousness guard pins "walk" at every corpus
+    * scale that fits the cap. Empty when no maintainer full route ran yet.
+    */
+  @volatile private[graft] var lastFullKind: String = ""
+
   /** Per-batch work-size log of [[walletLabelsBatch]] (route, blocks newly
     * on-chain, blocks reorged out, repair route) — the evidence that a
     * batch's cost tracks ITS delta, not the accumulated corpus. Appended
@@ -242,13 +250,38 @@ object ChainStream {
       // corpus drain — and above the envelope, re-run the doubling rounds).
       // The extend/unchanged routes never pay this — their plans are a
       // cursor scan + a local path.
-      val resolved =
-        if (connectedOnly) graft.chain.BestChain.bestChainConnected(bronze)
-        else graft.chain.BestChain.bestChain(bronze)
-      BestChainUpdate(resolved
-        .select(col("hash"), col("height").cast("int").as("height"))
-        .localCheckpoint(true),
-        route, None)
+      if (connectedOnly) {
+        // The maintainer's full routes walk a WIDER driver envelope than
+        // the broadcast cap ([[BootstrapWalkCap]] vs BroadcastMaxRows): the
+        // header probe is read once per full resolution (bootstrap /
+        // designed fallback, not per steady-state batch), reduced on the
+        // spot to the chain + a capped frontier, and never broadcast — so
+        // the driver budget is a transient read buffer, not a retained
+        // relation. This is what turns the once-per-deployment catch-up
+        // bootstrap (r16: 155.5 s of distributed doubling at a 1.5M-block
+        // corpus) into the same driver cascade the fragment-drain attach
+        // path runs in seconds — and the walk's probe already proves the
+        // post-batch off-chain index, so the full route hands the Frontier
+        // back instead of making the caller re-derive it with two bronze
+        // anti-joins. Chains above the cap take the distributed resolution
+        // and return no frontier (the caller re-derives, cap-guarded) —
+        // the always-correct from-scratch path stays reachable.
+        val (resolved, walked) = graft.chain.BestChain
+          .bestChainConnectedWithFrontier(bronze, BootstrapWalkCap)
+        lastFullKind = if (walked.isDefined) "walk" else "distributed"
+        BestChainUpdate(resolved
+          .select(col("hash"), col("height").cast("int").as("height"))
+          .localCheckpoint(true),
+          route, None,
+          walked.map { case (d, p) => Frontier(d, p) })
+      } else {
+        lastFullKind = ""
+        val resolved = graft.chain.BestChain.bestChain(bronze)
+        BestChainUpdate(resolved
+          .select(col("hash"), col("height").cast("int").as("height"))
+          .localCheckpoint(true),
+          route, None)
+      }
     }
     lastFullReason = ""
     if (prevCursor.isEmpty) return full("bootstrap")
@@ -751,7 +784,7 @@ object ChainStream {
         .write.mode("overwrite").partitionBy(bucket).parquet(storePath)
       fsWriteText(spark, slotsPath, slots.toString + "\n")
       logWalletBatch(
-        s"""{"route":"$route","arrived":-1,"invalidated":-1,"repair":"bootstrap"}""")
+        s"""{"route":"$route","arrived":-1,"invalidated":-1,"repair":"bootstrap","kind":"$lastFullKind"}""")
       ()
     } else {
       val stored = spark.read.parquet(storePath).select("address", "wallet_id")
@@ -831,7 +864,9 @@ object ChainStream {
       val slotted = changes.withColumn(bucket, slotOf(col("address")))
       val changedSlots = slotted.select(bucket).distinct()
         .collect().map(_.getInt(0))
-      val why = if (route == "fallback") s""","why":"$lastFullReason"""" else ""
+      val why =
+        if (route == "fallback") s""","why":"$lastFullReason","kind":"$lastFullKind""""
+        else ""
       logWalletBatch(s"""{"route":"$route","arrived":$nArrived,"invalidated":$nInvalidated,"repair":"${WalletCluster.lastRepairRoute}"$why}""")
       if (changedSlots.nonEmpty) traced("wallet: slot write") {
         // full content of ONLY the changed slots; localCheckpoint is
@@ -990,6 +1025,20 @@ object ChainStream {
     */
   private[graft] def PendingCap: Int =
     sys.props.get("graft.pendingCap").map(_.toInt).getOrElse(1000000)
+
+  /** Driver-side envelope for the maintainer's FULL-route header walk —
+    * wider than [[graft.operators.ChainOps.BroadcastMaxRows]] because the
+    * probe is a once-per-full-resolution transient read (bootstrap and the
+    * designed fallbacks, never the steady-state per-batch path), reduced
+    * immediately to the chain + the capped frontier, and never broadcast:
+    * 2M (hash, parent) rows ≈ 600 MB–1 GB of transient driver heap, which
+    * the corpus-scale rehearsal driver (16 GiB at 30×) absorbs. Chains
+    * above the cap take the distributed doubling resolution — the honest
+    * from-scratch path. Sys-prop-overridable so specs can force the
+    * distributed route on small fixtures.
+    */
+  private[graft] def BootstrapWalkCap: Int =
+    sys.props.get("graft.bootstrapWalkCap").map(_.toInt).getOrElse(2000000)
 
   /** Driver-side cap on the per-batch (hash, parent) collect that feeds the
     * incremental walk — batches above it take the always-correct full

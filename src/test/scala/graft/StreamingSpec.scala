@@ -968,6 +968,64 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("bootstrap resolution: driver walk vs distributed doubling produce identical chains and frontiers") {
+    import spark.implicits._
+    def fundersOf(s: org.apache.spark.sql.SparkSession,
+        df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+      df.select(explode(col("txs")).as("t"))
+        .select(col("t._1").as("tx_hash"), explode(col("t._2")).as("src_address"))
+    // main chain g..b39, a 3-block stale fork off b10, and an orphan
+    // fragment whose parent never arrives — the connected-only bootstrap
+    // must seat the main chain, pend the fork AND the fragment, and record
+    // the missing parent dangling, identically on both resolution kinds
+    val main = (0 until 40).map(i =>
+      (f"b$i%02db" * 16, if (i == 0) null else f"b${i - 1}%02db" * 16, 1000L + i,
+        if (i == 3) Seq(("t1", Seq("a1", "a2")), ("t2", Seq("a2", "a3")))
+        else Seq.empty[(String, Seq[String])]))
+    val fork = (0 until 3).map(i =>
+      (s"f$i" * 21 + "f", if (i == 0) f"b10b" * 16 else s"f${i - 1}" * 21 + "f",
+        2000L + i, Seq.empty[(String, Seq[String])]))
+    val orphan = Seq(
+      ("o1" * 32, "oX" * 32, 3000L, Seq.empty[(String, Seq[String])]),
+      ("o2" * 32, "o1" * 32, 3001L, Seq.empty[(String, Seq[String])]))
+    val batch = scala.util.Random.shuffle(main ++ fork ++ orphan)
+      .toDF("hash", "parent_hash", "ts", "txs")
+    def bootstrapInto(tmp: String): (Map[String, Int], Set[(String, String, String)]) = {
+      ChainStream.walletLabelsBatch(spark, batch,
+        s"$tmp/bronze", fundersOf, s"$tmp/labels", 8)
+      val chain = spark.read.parquet(s"$tmp/labels/_bestchain").collect()
+        .map(r => r.getAs[String]("hash") -> r.getAs[Number]("height").intValue).toMap
+      val frontier = spark.read.parquet(s"$tmp/labels/_frontier")
+        .select("kind", "hash", "parent_hash").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+      (chain, frontier)
+    }
+    val tmpW = Files.createTempDirectory("graft-boot-walk").toString
+    val (chainW, frontW) = bootstrapInto(tmpW)
+    assert(ChainStream.lastBestChainRoute == "bootstrap")
+    assert(ChainStream.lastFullKind == "walk",
+      s"in-cap bootstrap took kind=${ChainStream.lastFullKind}")
+    // the walk seats only the genesis-rooted chain, pends everything else
+    assert(chainW.size == 40 && chainW(f"b39b" * 16) == 39)
+    assert(frontW.count(_._1 == "p") == 5, s"fork+fragment not pending: $frontW")
+    assert(frontW.collect { case ("d", h, _) => h } == Set("oX" * 32))
+    // a tiny walk cap forces the distributed resolution — the always-
+    // correct from-scratch path — and it must produce the SAME chain and
+    // (re-derived) frontier
+    val tmpD = Files.createTempDirectory("graft-boot-dist").toString
+    sys.props("graft.bootstrapWalkCap") = "4"
+    try {
+      val (chainD, frontD) = bootstrapInto(tmpD)
+      assert(ChainStream.lastFullKind == "distributed",
+        s"over-cap bootstrap took kind=${ChainStream.lastFullKind}")
+      assert(chainD == chainW, "distributed bootstrap chain differs from walk")
+      assert(frontD == frontW, "distributed bootstrap frontier differs from walk")
+    } finally {
+      sys.props.remove("graft.bootstrapWalkCap")
+      ()
+    }
+  }
+
   test("cyclic parent pointers: the incremental walk exits to the full route, which errors instead of hanging") {
     import spark.implicits._
     // a healthy stored chain, then a corrupt batch whose parents form a loop
