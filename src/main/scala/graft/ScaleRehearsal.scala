@@ -128,11 +128,19 @@ object ScaleRehearsal {
       val allAddrs = allFunders.select(col("src_address").as("address")).distinct()
       val stored = graft.chain.WalletCluster.clusters(allAddrs, allFunders).persist()
       val nStored = stored.count()
+      val keptAddrs = keptFunders.select(col("src_address").as("address")).distinct()
+      // Warm once, measure once — the same protocol the bench applies to
+      // every query. The one-shot r16 leg measured repair COLD (first touch
+      // of the kept/invalidated frames) against a full recompute that ran
+      // SECOND over just-warmed inputs, so the ratio carried the cold-start
+      // asymmetry, not the routes' real costs.
+      graft.chain.WalletCluster.repairAfterReorg(stored, invFunders, keptFunders)
+        .collect()
+      graft.chain.WalletCluster.clusters(keptAddrs, keptFunders).collect()
       val (rep, tRepair) = timed {
         graft.chain.WalletCluster.repairAfterReorg(stored, invFunders, keptFunders)
           .collect()
       }
-      val keptAddrs = keptFunders.select(col("src_address").as("address")).distinct()
       val (full, tFull) = timed {
         graft.chain.WalletCluster.clusters(keptAddrs, keptFunders).collect()
       }
@@ -183,12 +191,16 @@ object ScaleRehearsal {
         .select("tx_hash")
       val invFunders = funders.join(bridgeTxs, Seq("tx_hash"), "left_semi")
       val keptFunders = funders.join(bridgeTxs, Seq("tx_hash"), "left_anti")
+      val keptAddrs = keptFunders.select(col("src_address").as("address")).distinct()
+      // warm once, measure once (see the deep leg above for why)
+      graft.chain.WalletCluster.repairAfterReorg(stored, invFunders, keptFunders)
+        .collect()
+      graft.chain.WalletCluster.clusters(keptAddrs, keptFunders).collect()
       val (rep, tRepair) = timed {
         graft.chain.WalletCluster.repairAfterReorg(stored, invFunders, keptFunders)
           .collect()
       }
       val route = graft.chain.WalletCluster.lastRepairRoute
-      val keptAddrs = keptFunders.select(col("src_address").as("address")).distinct()
       val (full, tFull) = timed {
         graft.chain.WalletCluster.clusters(keptAddrs, keptFunders).collect()
       }

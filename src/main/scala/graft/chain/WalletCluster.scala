@@ -289,15 +289,28 @@ object WalletCluster {
     // corpus-grain bestFunders materialization plus the 3-way diff join of
     // the mass route below — is gone. Output contract unchanged: only
     // genuinely changed rows, vanished affected members self-labeled.
-    // the store count is parquet-metadata-cheap for a parquet-backed labeling
-    val nStored = old.count()
-    val belowFloor = nStored < contractionMinStore
-    // The hard driver bound is separate from the economics floor: callers
-    // force routes by moving the floor (0 = contraction, MaxValue = mass),
-    // and a forced-mass call on a multi-million-row store must stay
-    // distributed — the replace route only ever collects what a broadcast
-    // would ship.
-    if (belowFloor && nStored <= ChainOps.BroadcastMaxRows) {
+    //
+    // ONE bounded probe answers the routing question AND (on the replace
+    // path) IS the store snapshot the diff needs: collecting up to
+    // min(floor, driver-cap + 1) rows tells us whether the store fits under
+    // BOTH bounds, and when it does the probe already holds every row — the
+    // separate count + collect of r16 (two scheduled jobs, each ~a tenth of
+    // the whole small-store repair) collapse into one. A store at or above
+    // the probe cap routes distributed and pays its exact count there (the
+    // mass/contraction decision needs it; at that scale a parquet-backed
+    // count is metadata-cheap).
+    val driverCap = math.min(ChainOps.BroadcastMaxRows, (Int.MaxValue - 2).toLong)
+    val probeCap = math.min(contractionMinStore, driverCap + 1).toInt
+    val storedProbe =
+      if (probeCap > 0) old.limit(probeCap).collect() else Array.empty[org.apache.spark.sql.Row]
+    // Replace route iff the probe returned the WHOLE store strictly under
+    // its cap: nStored = probe length < min(floor, cap+1) implies both
+    // belowFloor and the driver bound. The hard driver bound stays separate
+    // from the economics floor: callers force routes by moving the floor
+    // (0 = contraction, MaxValue = mass), and a forced-mass call on a
+    // multi-million-row store must stay distributed — this route only ever
+    // collects what a broadcast would ship.
+    if (probeCap > 0 && storedProbe.length < probeCap) {
       val spark = oldLabels.sparkSession
       import spark.implicits._
       // No-op pre-route as a LIMIT-1 probe, not a full derivation: this is
@@ -312,43 +325,73 @@ object WalletCluster {
       // small-store recompute this route already costs).
       if (invalidated.isEmpty)
         return old.select(col("address"), col("wallet_id")).where(lit(false))
-      val storedRows = old.collect().map(r => (r.getString(0), r.getString(1)))
+      val storedRows = storedProbe.map(r => (r.getString(0), r.getString(1)))
       val bf = bestFunders
         .select(col("tx_hash"), col("src_address").as("address"))
-      // Bounded by the DRIVER CAP, not by nStored: the post-reorg funder
-      // universe is what this collect actually ships (a large replacement
-      // branch, or a caller handing a stale store against corpus-scale
-      // bestFunders, can exceed the store arbitrarily), so the collect
-      // itself carries the limit and an overflow falls through to the
-      // distributed routes below — belowFloor lands those on the mass
-      // recompute-diff, which handles any universe.
-      val cap = math.min(ChainOps.BroadcastMaxRows, (Int.MaxValue - 1).toLong).toInt
-      val freshRows = clusters( // clusters distincts both inputs itself
-          bf.select("address"),
-          bf.select(col("tx_hash"), col("address").as("src_address")))
-        .limit(cap + 1).collect()
-      if (freshRows.length <= cap) {
-        lastRepairRoute = "replace"
-        val freshMap = freshRows.iterator
-          .map(r => r.getString(0) -> r.getString(1)).toMap
-        // same emission rule as the mass route's diff join, as a map pass:
-        // changed labels (including unaffected components merged by
-        // replacement-branch edges), and vanished members singleton. A
-        // vanished stored member is PROVABLY affected — its every pre-reorg
-        // funding pair must have been in the retracted blocks, or it would
-        // still appear post-reorg — so the old affected-set test it used to
-        // ride on was redundant (and already-singleton rows skip on w == a).
-        val out = storedRows.iterator.flatMap { case (a, w) =>
-          freshMap.get(a) match {
-            case Some(nw) if nw != w => Some((a, nw))
-            case None if w != a => Some((a, a))
-            case _ => None
-          }
-        }.toSeq
-        return out.toDF("address", "wallet_id")
-      }
-      // post-reorg universe outgrew the driver bound — distributed routes
+      lastRepairRoute = "replace"
+      val storedAddrs = storedRows.toSeq.map(_._1).toDF("address")
+      // The diff below reads fresh labels at STORED addresses only (changed
+      // members re-label, vanished members self-label; new addresses are
+      // never emitted), so the whole-universe labeling clusters() builds is
+      // overkill here: its final pass distincts the corpus-grain universe
+      // and left-joins the labels — a shuffle and a job whose only consumer
+      // would be a ≤nStored-row lookup. Inline the clustering instead: the
+      // SAME min-address-hub edge derivation, and UnionFind labels by
+      // component minimum — canonical across every route. No presence pass
+      // either: a stored address with NO kept co-spend edge emits (a, a)
+      // when its label moved whether it is a kept SINGLETON (fresh label =
+      // itself) or VANISHED from the post-reorg chain (self-labeled by the
+      // output contract) — the two cases produce the same row, so the
+      // post-reorg universe is never consulted. Everything collected is
+      // structurally bounded: edges by the broadcast envelope (beyond it,
+      // the distributed clustering restricted to the broadcast stored set —
+      // a post-reorg funder universe that dwarfs the store, the
+      // ADVICE-flagged hazard, semi-joins down to ≤ nStored rows).
+      val fu = bf.distinct()
+      val hubs = fu.groupBy("tx_hash").agg(min("address").as("hub"))
+      val edgeRows = fu.join(hubs, "tx_hash")
+        .where(col("address") =!= col("hub"))
+        .select(col("address").as("src"), col("hub").as("dst"))
+        .distinct()
+      val (edgeDf, edgeRdd, nEdges) = ChainOps.rebaseCounted(edgeRows)
+      val freshAt: String => String =
+        if (nEdges <= driverCap) {
+          val labels = graft.operators.UnionFind.components(
+            edgeDf.collect().iterator.map(r => (r.getString(0), r.getString(1))))
+          edgeRdd.unpersist(blocking = false)
+          a => labels.getOrElse(a, a)
+        } else {
+          // co-spend edges outgrew the driver envelope under a tiny store
+          // (pathologically dense corpus): distributed clustering, restricted
+          // to the stored universe before it leaves the cluster. An address
+          // absent from the restricted result (vanished) self-labels — same
+          // rule as the in-memory arm.
+          edgeRdd.unpersist(blocking = false)
+          val freshRows = clusters( // clusters distincts both inputs itself
+              bf.select("address"),
+              bf.select(col("tx_hash"), col("address").as("src_address")))
+            .join(broadcast(storedAddrs), Seq("address"), "left_semi")
+            .collect()
+          val m = freshRows.iterator.map(r => r.getString(0) -> r.getString(1)).toMap
+          a => m.getOrElse(a, a)
+        }
+      // same emission rule as the mass route's diff join, as a map pass:
+      // changed labels (including unaffected components merged by
+      // replacement-branch edges), and vanished members singleton. A
+      // vanished stored member is PROVABLY affected — its every pre-reorg
+      // funding pair must have been in the retracted blocks, or it would
+      // still appear post-reorg — so the old affected-set test it used to
+      // ride on was redundant (and already-singleton rows skip on nw == w).
+      val out = storedRows.iterator.flatMap { case (a, w) =>
+        val nw = freshAt(a)
+        if (nw != w) Some((a, nw)) else None
+      }.toSeq
+      return out.toDF("address", "wallet_id")
     }
+    // the probe said "not driver-sized": the distributed routes need the
+    // exact count (mass-vs-contraction compares member fraction to it)
+    val nStored = old.count()
+    val belowFloor = nStored < contractionMinStore
     // 1. components with >=1 retracted edge — materialized ONCE: the set is
     // LABEL-grain (small on every route — a handful of labels on the
     // giant-component mass case, one per touched wallet on the shallow
