@@ -33,6 +33,101 @@ object Bench {
     "bk0_e2e_pipeline", "bk2_tx_stats", "bk4_address_stats", "bk5_wallet_clusters",
     "bk7_utxo_set")
 
+  private[graft] def median(ss: Seq[Double]): Double = {
+    val s = ss.sorted; s(s.length / 2)
+  }
+
+  /** Symmetrically trimmed range, ⌊n/6⌋ dropped from each side. max−min is
+    * monotone in sample count, so under adaptive resampling one transient
+    * host hiccup flagged a query permanently no matter how many clean
+    * samples followed — the flag could trip and never untrip. At the default
+    * 3 runs nothing is trimmed (spread IS max−min); each adaptive batch of
+    * extras earns one trimmed outlier per side, so a single hiccup is
+    * outvoted by clean resamples while sustained drift (half the samples
+    * slow) survives trimming and still flags.
+    */
+  private[graft] def trimmedSpread(ss: Seq[Double]): Double = {
+    val s = ss.sorted
+    val k = s.length / 6
+    s(s.length - 1 - k) - s(k)
+  }
+
+  /** Instability criterion shared by the per-query protocol and the run-level
+    * validity flag: a (trimmed) spread comparable to the median means the
+    * samples measure session state, not the query.
+    */
+  private[graft] def unstable(ss: Seq[Double]): Boolean =
+    trimmedSpread(ss) > math.max(median(ss) * 0.5, 0.5)
+
+  /** Outcome of [[measure]]: the sample set the medians are computed over
+    * (the fresh post-recovery set when recovery succeeded, the ORIGINAL set
+    * otherwise — never a mix), plus enough protocol state for diagnostics.
+    */
+  private[graft] final case class Measurement[S](
+      samples: Seq[S], warms: Int, recovered: Boolean,
+      recoveryRejected: Boolean, recoverySamples: Seq[S])
+
+  /** The per-query measurement protocol, parameterized on the sampler so the
+    * specs can drive it with synthetic sample streams (BenchProtocolSpec):
+    *
+    *  1. WARM to steady state: sample until two consecutive warm runs agree
+    *     within 12%+50ms, cap-bounded (8 for heavy queries, else 5) — the
+    *     JIT/codegen transition must not bleed into the timed set.
+    *  2. TIME `runs` samples.
+    *  3. ADAPTIVE RESAMPLE: while the set is [[unstable]], up to `runs`
+    *     extra samples — a transient hiccup is outvoted, real drift keeps
+    *     flagging.
+    *  4. CONTAMINATION RECOVERY (once): if still unstable, call
+    *     `recoveryPrep` (release caches + GC in production), re-warm to the
+    *     settle criterion, and take ONE fresh sample set. A fresh set that is
+    *     STABLE replaces the poisoned one; a fresh set that is ALSO unstable
+    *     is rejected — flagging stays on the ORIGINAL set (the two sets come
+    *     from differently-warmed protocol states, so a concatenated median
+    *     would be computed over a heterogeneous mix that is neither
+    *     protocol), and the fresh samples ship as diag-only evidence.
+    *     The recovery cannot mask a regression, only a contaminated session:
+    *     real drift re-flags on the fresh set.
+    */
+  private[graft] def measure[S](
+      once: () => S, secOf: S => Double, runs: Int,
+      recoveryPrep: () => Unit = () => (),
+      diag: String => Unit = _ => ()): Measurement[S] = {
+    def warmToSettle(): (Int, Int) = { // (warms taken, cap used)
+      var wPrev = secOf(once())
+      val warmCap = if (wPrev > 5.0) 8 else 5
+      var warms = 1
+      var settled = false
+      while (warms < warmCap && !settled) {
+        val w = secOf(once())
+        settled = math.abs(w - wPrev) <= 0.12 * math.min(w, wPrev) + 0.05
+        wPrev = w
+        warms += 1
+      }
+      (warms, warmCap)
+    }
+    val (warms, _) = warmToSettle()
+    var ordered = Seq.fill(runs)(once())
+    var extra = 0
+    while (unstable(ordered.map(secOf)) && extra < runs) {
+      ordered :+= once(); extra += 1
+    }
+    if (!unstable(ordered.map(secOf)))
+      return Measurement(ordered, warms, recovered = false,
+        recoveryRejected = false, Seq.empty)
+    diag("unstable after resample — recovery: release caches, GC, re-warm")
+    recoveryPrep()
+    val (rWarms, _) = warmToSettle()
+    val fresh = Seq.fill(runs)(once())
+    diag(s"recovery samples (after $rWarms warms): " +
+      fresh.map(s => f"${secOf(s)}%.2f").mkString(", "))
+    if (!unstable(fresh.map(secOf)))
+      Measurement(fresh, warms, recovered = true,
+        recoveryRejected = false, Seq.empty)
+    else
+      Measurement(ordered, warms, recovered = false,
+        recoveryRejected = true, fresh)
+  }
+
   /** Total JVM GC time across all collectors, ms. Per-sample deltas separate
     * "the query got slower" from "the session was collecting garbage" — the
     * r10/r11 bk4 instability diagnostic.
@@ -135,95 +230,35 @@ object Bench {
       // let that transition bleed into the timed samples, which was the
       // whole of r10/r11's reproducible "bk4 instability" (per-job
       // breakdown + flat GC deltas exonerated the query's own DAG).
-      // Warm until two consecutive warm runs agree, cap-bounded. The
-      // agreement tolerance is the band-width knob: at 25% a cold session's
-      // bk0 could "settle" mid-decline (11→9.5s is within 25%) and park the
-      // whole run's median anywhere on the JIT curve — the measured 5.8–11.3s
-      // cross-run band of r12. 12% forces the plateau; heavy queries (first
-      // warm > 5s, where one warm is expensive but the absolute band is
-      // widest) get a deeper cap so the tighter criterion can actually be
-      // met. Sustained slowness (host contention) burns the cap and moves
-      // on — the validity flag owns that case.
-      var wPrev = once()._1
-      val warmCap = if (wPrev > 5.0) 8 else 5
-      var warms = 1
-      var settled = false
-      while (warms < warmCap && !settled) {
-        val w = once()._1
-        settled = math.abs(w - wPrev) <= 0.12 * math.min(w, wPrev) + 0.05
-        wPrev = w
-        warms += 1
-      }
-      // Spread = symmetrically trimmed range, ⌊n/6⌋ dropped from each side.
-      // max−min is monotone in sample count, so under adaptive resampling
-      // one transient host hiccup flagged a query permanently no matter how
-      // many clean samples followed — the flag could trip and never untrip.
-      // At the default 3 runs nothing is trimmed (spread IS max−min); each
-      // adaptive batch of extras earns one trimmed outlier per side, so a
-      // single hiccup is outvoted by clean resamples while sustained drift
-      // (half the samples slow) survives trimming and still flags. The raw
-      // range ships as spread_raw.
-      def median(ss: Seq[Double]): Double = { val s = ss.sorted; s(s.length / 2) }
-      def trimmed(ss: Seq[Double]): Double = {
-        val s = ss.sorted
-        val k = s.length / 6
-        s(s.length - 1 - k) - s(k)
-      }
-      def unstable(ss: Seq[Double]): Boolean =
-        trimmed(ss) > math.max(median(ss) * 0.5, 0.5)
-      var ordered = Seq.fill(runs)(once())
-      // Adaptive resampling: transient host contention (another tenant, a
-      // page-cache cold start) can poison a 3-sample median by 10–20x. When
-      // the spread flags instability, take up to `runs` extra samples — the
-      // median over more samples sheds the outliers if the cause was
-      // transient, and keeps flagging if it is real drift.
-      var extra = 0
-      while (unstable(ordered.map(_._1)) && extra < runs) { ordered :+= once(); extra += 1 }
-      // Recovery protocol (r15: the round's official bench was invalidated
-      // by ONE query — bk0, the heaviest — measured through one sustained
-      // contended window that adaptive resampling could not outvote). When a
-      // query is still unstable after resampling, discard its samples
-      // outright: drop every retained cache, ask the JVM to collect, re-warm
-      // to the settle criterion, and take ONE fresh sample set. A transient
-      // window (host contention, page-cache pressure from the previous
-      // query's footprint) yields a clean fresh set that replaces the
-      // poisoned one; real drift re-flags on the fresh set — the recovery
-      // cannot mask a regression, only a contaminated session. Once per
-      // query, heavy or not: the wasted minute only occurs when the round
-      // artifact is already at stake.
-      if (unstable(ordered.map(_._1))) {
-        diag += f"[bench]   $name unstable after resample — recovery: release caches, GC, re-warm"
-        Graft.releaseCaches()
-        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
-        System.gc()
-        Thread.sleep(2000)
-        var rPrev = once()._1
-        var rWarms = 1
-        var rSettled = false
-        while (rWarms < warmCap && !rSettled) {
-          val w = once()._1
-          rSettled = math.abs(w - rPrev) <= 0.12 * math.min(w, rPrev) + 0.05
-          rPrev = w
-          rWarms += 1
-        }
-        val fresh = Seq.fill(runs)(once())
-        diag += f"[bench]   $name recovery samples (after $rWarms warms): " +
-          fresh.map { case (s, g) => f"$s%.2f(gc ${g}ms)" }.mkString(", ")
-        // A fresh set that is ALSO unstable keeps the flag on the ORIGINAL
-        // set: the two sets come from differently-warmed protocol states
-        // (post-GC re-warm vs the settled session), so a concatenated
-        // median/spread would be computed over a heterogeneous mix that is
-        // neither protocol — the fresh samples stay evidence-only, in the
-        // diag line above.
-        if (!unstable(fresh.map(_._1))) ordered = fresh
-      }
+      // The 12%-agreement tolerance is the band-width knob: at 25% a cold
+      // session's bk0 could "settle" mid-decline (11→9.5s is within 25%)
+      // and park the whole run's median anywhere on the JIT curve — the
+      // measured 5.8–11.3s cross-run band of r12. Sustained slowness (host
+      // contention) burns the warm cap and moves on — the recovery protocol
+      // and the validity flag own that case. The full protocol (warm /
+      // resample / recovery) lives in [[measure]], spec-pinned by
+      // BenchProtocolSpec; production recovery = drop every retained cache,
+      // ask the JVM to collect, settle, one fresh sample set (r15: the
+      // round's official bench was invalidated by ONE query measured
+      // through a sustained contended window resampling could not outvote).
+      val m = measure[(Double, Long)](
+        once _, _._1, runs,
+        recoveryPrep = () => {
+          Graft.releaseCaches()
+          spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+          System.gc()
+          Thread.sleep(2000)
+        },
+        diag = line => diag += f"[bench]   $name $line")
+      if (m.recoveryRejected)
+        diag += f"[bench]   $name recovery set ALSO unstable — flag stays on the original samples"
       // Execution-order samples are the drift diagnostic: monotone growth
       // means within-session accumulation (heap aging, lineage, shuffle
       // files), not noise — the sorted median alone cannot distinguish them.
-      diag += f"[bench] $name samples (after $warms warms): " +
-        ordered.map { case (s, g) => f"$s%.2f(gc ${g}ms)" }.mkString(", ")
-      val times = ordered.map(_._1)
-      name -> (median(times), trimmed(times), times.max - times.min)
+      diag += f"[bench] $name samples (after ${m.warms} warms): " +
+        m.samples.map { case (s, g) => f"$s%.2f(gc ${g}ms)" }.mkString(", ")
+      val times = m.samples.map(_._1)
+      name -> (median(times), trimmedSpread(times), times.max - times.min)
     }
     failures.foreach(n => diag += s"[bench] WARNING: $n time is a failure, not a run")
     // Recall audit folded into the round's bench run: the ANN queries are

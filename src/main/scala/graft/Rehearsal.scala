@@ -36,6 +36,48 @@ object Rehearsal {
     ()
   }
 
+  /** One session-health line: what GROWS inside a long single-JVM campaign.
+    * Heap + GC totals, persistent-RDD count and cached bytes, and the
+    * on-disk block-manager footprint (shuffle files + local checkpoint
+    * blocks under blockmgr-*) — the accumulation suspects behind the r16
+    * 30× campaign's tail-leg aging (batches 20–70 s on constant batch work
+    * vs a flat fresh JVM). Emitted at leg boundaries so the aged artifact,
+    * if it ever reappears, carries its own diagnosis.
+    */
+  def health(spark: org.apache.spark.sql.SparkSession, tag: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    val rt = Runtime.getRuntime
+    val heapMb = (rt.totalMemory() - rt.freeMemory()) / 1e6
+    val gcS = java.lang.management.ManagementFactory
+      .getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime).sum / 1e3
+    val rdds = spark.sparkContext.getPersistentRDDs
+    val cachedMb = spark.sparkContext.getRDDStorageInfo
+      .map(i => i.memSize + i.diskSize).sum / 1e6
+    // block-manager local dirs: blockmgr-* under spark.local.dir (default
+    // java.io.tmpdir) hold shuffle files + local-checkpoint blocks
+    val localRoot = spark.sparkContext.getConf
+      .get("spark.local.dir", sys.props.getOrElse("java.io.tmpdir", "/tmp"))
+    val blockMgrMb = (try {
+      val root = java.nio.file.Paths.get(localRoot)
+      if (!java.nio.file.Files.isDirectory(root)) 0L
+      else {
+        val dirs = java.nio.file.Files.list(root)
+        try dirs.iterator().asScala
+          .filter(_.getFileName.toString.startsWith("blockmgr-"))
+          .map { d =>
+            val w = java.nio.file.Files.walk(d)
+            try w.iterator().asScala
+              .filter(java.nio.file.Files.isRegularFile(_))
+              .map(p => try java.nio.file.Files.size(p) catch { case _: Exception => 0L })
+              .sum
+            finally w.close()
+          }.sum
+        finally dirs.close()
+      }
+    } catch { case _: Exception => -1L }) / 1e6
+    emit(f"""{"health":"$tag","heap_mb":$heapMb%.0f,"gc_total_s":$gcS%.1f,"persistent_rdds":${rdds.size},"cached_mb":$cachedMb%.0f,"blockmgr_mb":$blockMgrMb%.0f}""")
+  }
+
   def emit(line: String): Unit = {
     println(line)
     out.foreach { p =>

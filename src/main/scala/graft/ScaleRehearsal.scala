@@ -20,6 +20,10 @@ object ScaleRehearsal {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.unionOutputPartitioning", "false")
       .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
+      // GC-driven ContextCleaner + a big quiet driver heap = shuffle files
+      // accumulating for the default 30-min periodic-GC interval (the r16
+      // single-JVM aging window) — keep the reclaim continuous
+      .config("spark.cleaner.periodicGC.interval", "2min")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val scale = graft.chain.BlkCorpus.Scale
@@ -60,6 +64,44 @@ object ScaleRehearsal {
       val med = samples.sorted.apply(samples.length / 2)
       val spread = samples.max - samples.min
       Rehearsal.emit(f"""{"rehearsal":"$name","scale":$scale,"warm":$warm%.2f,"median":$med%.2f,"spread":$spread%.2f,"samples":[${samples.map(s => f"$s%.2f").mkString(",")}]}""")
+    }
+
+    // GraphX / iterative graph analytics at corpus scale — g1–g5 are
+    // oracle-green at sf0.01 but previously had no scale leg; wallet
+    // clustering was the only graph path with 10×/30× evidence. The flow
+    // graph derives from the corpus silver tables (corpus-grain work), then
+    // the three iterative analytics run over the persisted edge set. NOTE
+    // the corpus's recurring 1,500-address pool + the undecodable-script
+    // sentinel make the DISTINCT graph small at every scale (edges saturate
+    // near pool²) — so edge DERIVATION is the part that scales with the
+    // corpus and is timed separately; the analytics legs measure iteration
+    // cost over a skewed (sentinel in-degree ≈ 15% of outputs) but
+    // driver-independent dataflow. Vertex/edge counts ship on every line so
+    // cross-scale readers can normalize.
+    if (legOn("graph")) {
+      import org.apache.spark.sql.functions._
+      Graft.releaseCaches()
+      val rin = graft.chain.BlkCorpus.silver(spark, "rin")
+      val outs = graft.chain.BlkCorpus.silver(spark, "outs")
+      def edgesDf = graft.graph.GraphAnalytics.flowEdges(rin, outs)
+      // corpus-grain derivation: warm once, measure once (bench protocol)
+      edgesDf.write.format("noop").mode("overwrite").save()
+      val (_, tDerive) = timed(edgesDf.write.format("noop").mode("overwrite").save())
+      val edges = edgesDf.persist()
+      val nEdges = edges.count()
+      val nVerts = edges.select(col("src").as("x"))
+        .union(edges.select(col("dst").as("x"))).distinct().count()
+      Rehearsal.emit(f"""{"rehearsal":"graph_edges","scale":$scale,"edges":$nEdges,"vertices":$nVerts,"derive_s":$tDerive%.2f}""")
+      def leg(name: String)(f: => Long): Unit = {
+        f // warm
+        val (rows, sec) = timed(f)
+        Rehearsal.emit(f"""{"rehearsal":"graph_$name","scale":$scale,"edges":$nEdges,"rows":$rows,"sec":$sec%.2f}""")
+      }
+      leg("pagerank")(graft.graph.GraphAnalytics.pageRank(edges).count())
+      leg("kcore")(graft.graph.GraphAnalytics.kCore(edges, k = 2).count())
+      leg("lpa")(graft.graph.GraphAnalytics.labelPropagation(edges).count())
+      edges.unpersist()
+      Graft.releaseCaches()
     }
 
     // Incremental wallet clustering vs full re-cluster: stored labeling

@@ -51,6 +51,14 @@ object StreamRehearsal {
       // corpus-scale drains report batch counts from it, and a long drain
       // would silently undercount the emitted `batches` metric.
       .config("spark.sql.streaming.numRecentProgressUpdates", "10000")
+      // Single-JVM campaign aging (r16): ContextCleaner is GC-driven, and a
+      // 16 GiB driver doing mostly small allocations can go the cleaner's
+      // default 30-min periodic-GC interval without a full collection —
+      // shuffle files and checkpoint blocks from dead frames pile up on disk
+      // for exactly the ~40-min window where the archived aged campaign's
+      // tail legs hit 20–70 s/batch. A 2-min interval keeps the reclaim
+      // continuous; the inter-leg vacuum below is the explicit boundary.
+      .config("spark.cleaner.periodicGC.interval", "2min")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -118,14 +126,26 @@ object StreamRehearsal {
           s"streamed gold diverged from batch annotation: missing=$missing extra=$extra")
     }
 
-    if (legOn("sink")) partitionedSinkLeg(spark)
-    if (legOn("node")) nodeFollowLeg(spark)
-    if (legOn("resume")) killResumeLeg(spark)
-    if (legOn("wallet")) walletLabelsLeg(spark)
-    if (legOn("backfill")) walletOrderedBackfillLeg(spark)
-    if (legOn("fragments")) walletFragmentDrainLeg(spark)
-    if (legOn("contraction")) maintainerContractionLeg(spark)
-    if (legOn("walletresume")) walletKillResumeLeg(spark)
+    // Inter-leg vacuum: each leg's working set (persisted funder frames,
+    // checkpoint blocks, shuffle files) is dead at its boundary — release
+    // the engine's swap registers and force one GC so the ContextCleaner
+    // reaps the disk footprint NOW instead of whenever the heap happens to
+    // fill. The health lines bracket each leg so any future aged artifact
+    // carries its own diagnosis (heap / cached blocks / blockmgr bytes).
+    def vacuumed(name: String)(leg: => Unit): Unit = {
+      leg
+      Graft.releaseCaches()
+      System.gc()
+      Rehearsal.health(spark, s"after_$name")
+    }
+    if (legOn("sink")) vacuumed("sink")(partitionedSinkLeg(spark))
+    if (legOn("node")) vacuumed("node")(nodeFollowLeg(spark))
+    if (legOn("resume")) vacuumed("resume")(killResumeLeg(spark))
+    if (legOn("wallet")) vacuumed("wallet")(walletLabelsLeg(spark))
+    if (legOn("backfill")) vacuumed("backfill")(walletOrderedBackfillLeg(spark))
+    if (legOn("fragments")) vacuumed("fragments")(walletFragmentDrainLeg(spark))
+    if (legOn("contraction")) vacuumed("contraction")(maintainerContractionLeg(spark))
+    if (legOn("walletresume")) vacuumed("walletresume")(walletKillResumeLeg(spark))
     spark.stop()
   }
 

@@ -611,6 +611,34 @@ object ChainStream {
       fundersOf: (SparkSession, DataFrame) => DataFrame,
       labelsDir: String,
       slots: Int): Unit = {
+    // Swap-register discipline applied to the batch as a whole: every frame
+    // the batch materializes (localCheckpoints of slot-, bucket- and
+    // chain-sized data; the resolvers' internal rebases) is DEAD once the
+    // on-disk store/cursor/frontier are written — nothing persisted inside
+    // one batch is read by the next, which re-opens everything from disk.
+    // Without this sweep those blocks wait for the GC-driven ContextCleaner,
+    // and a long-running maintainer on a large driver heap (where full GCs
+    // are rare) accumulates checkpoint blocks + their shuffle files for the
+    // cleaner's 30-min periodic-GC default — the measured single-JVM aging
+    // of the r16 30× campaign (tail batches 20–70 s on constant batch
+    // work). Assumes batches execute exclusively (Structured Streaming
+    // serializes foreachBatch per query) — a caller persisting frames
+    // CONCURRENTLY with a batch would see them swept; persist before the
+    // stream starts instead (the rehearsal legs' rinAll pattern).
+    val persistedBefore = spark.sparkContext.getPersistentRDDs.keySet
+    try walletLabelsBatchImpl(spark, batch, bronzeDir, fundersOf, labelsDir, slots)
+    finally spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
+      if (!persistedBefore.contains(id)) rdd.unpersist(blocking = false)
+    }
+  }
+
+  private def walletLabelsBatchImpl(
+      spark: SparkSession,
+      batch: DataFrame,
+      bronzeDir: String,
+      fundersOf: (SparkSession, DataFrame) => DataFrame,
+      labelsDir: String,
+      slots: Int): Unit = {
     import graft.chain.WalletCluster
     import graft.operators.ChainOps.traced
     traced("wallet: bronze append")(

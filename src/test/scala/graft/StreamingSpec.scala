@@ -1026,6 +1026,74 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("frontier overflow + crash between stamp writes: replay ignores the orphaned marker and converges via the authoritative scan") {
+    // The one previously-untested composition in the crash-recovery matrix:
+    // the index is in OVERFLOW (body = marker, stamped) when a batch dies
+    // mid-protocol — after the bronze append, the stamp invalidation, and a
+    // body rewrite, but before the cursor write and the re-stamp. The replay
+    // must treat the unstamped body (whatever it says) as untrusted, detect
+    // the attachment on the authoritative bronze scan, and leave body+stamp
+    // re-synced to the post-batch truth.
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-ovf-crash").toString
+    def fundersOf(s: org.apache.spark.sql.SparkSession,
+        df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+      df.select(explode(col("txs")).as("t"))
+        .select(col("t._1").as("tx_hash"), explode(col("t._2")).as("src_address"))
+    def step(rows: Seq[(String, String, Long)]): String = {
+      ChainStream.walletLabelsBatch(spark,
+        rows.map { case (h, p, ts) => (h, p, ts, Seq.empty[(String, Seq[String])]) }
+          .toDF("hash", "parent_hash", "ts", "txs"),
+        s"$tmp/bronze", fundersOf, s"$tmp/labels", 8)
+      ChainStream.lastBestChainRoute
+    }
+    def body(): Seq[String] =
+      spark.read.parquet(s"$tmp/labels/_frontier")
+        .select("kind").collect().map(_.getString(0)).toSeq
+    val X = "x" * 64
+    sys.props("graft.pendingCap") = "2"
+    try {
+      // bootstrap g <- a, then a 3-block fragment on missing parent X:
+      // pends O(batch), sidecar records overflow (cap 2 < 3)
+      ChainStream.walletLabelsBatch(spark,
+        Seq(("g", null, 1000L, Seq(("t1", Seq("a1", "a2")))),
+          ("a", "g", 1100L, Seq.empty[(String, Seq[String])]))
+          .toDF("hash", "parent_hash", "ts", "txs"),
+        s"$tmp/bronze", fundersOf, s"$tmp/labels", 8)
+      val frag = (1 to 3).map(i =>
+        (s"c$i" * 16, if (i == 1) X else s"c${i - 1}" * 16, 2000L + i))
+      assert(step(frag) == "unchanged")
+      assert(body() == Seq("overflow"))
+      // crash window: the batch {X} appended to bronze, invalidated the
+      // stamp, and rewrote the body (say, cleared it) — then died before
+      // the cursor write and the re-stamp
+      Seq((X, "a", 3000L, Seq.empty[(String, Seq[String])]))
+        .toDF("hash", "parent_hash", "ts", "txs")
+        .write.mode("append").parquet(s"$tmp/bronze")
+      Seq.empty[(String, String, String)].toDF("kind", "hash", "parent_hash")
+        .coalesce(1).write.mode("overwrite").parquet(s"$tmp/labels/_frontier")
+      graft.sinks.Hfs.writeText(spark, s"$tmp/labels/_frontier_ok", "!pending\n")
+      // replay of {X}: the unstamped (and lying: it claims no pending)
+      // body must be ignored — the authoritative bronze scan detects the
+      // waiting fragment and the full route seats the whole chain
+      assert(step(Seq((X, "a", 3000L))) == "fallback",
+        "replay trusted a crash-orphaned body in the overflow composition")
+      val cursor = spark.read.parquet(s"$tmp/labels/_bestchain").collect()
+        .map(r => r.getAs[String]("hash") -> r.getAs[Number]("height").intValue).toMap
+      assert(cursor((s"c3" * 16)) == 5 && cursor(X) == 2,
+        s"fragment not seated after crash replay: $cursor")
+      // protocol re-synced: body reflects the true (now-empty) off-chain
+      // backlog and the stamp matches the new tip — overflow did not stick
+      // past the full route that resolved it
+      assert(body().isEmpty, s"body not re-synced: ${body()}")
+      assert(java.nio.file.Files.readString(
+        java.nio.file.Paths.get(s"$tmp/labels/_frontier_ok")).trim == "c3" * 16)
+    } finally {
+      sys.props.remove("graft.pendingCap")
+      ()
+    }
+  }
+
   test("cyclic parent pointers: the incremental walk exits to the full route, which errors instead of hanging") {
     import spark.implicits._
     // a healthy stored chain, then a corrupt batch whose parents form a loop
