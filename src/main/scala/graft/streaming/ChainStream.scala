@@ -805,11 +805,16 @@ object ChainStream {
         .select("address", "wallet_id")
     if (bootstrapping) {
       // bootstrap (or cursor lost / slots disagree): one full clustering
-      // of the best chain
-      val addrs = bestFunders.select(col("src_address").as("address")).distinct()
-      WalletCluster.clusters(addrs, bestFunders)
+      // of the best chain. The clustering consumes the funder set TWICE
+      // (address universe + co-spend edge derivation), and each lazy
+      // evaluation re-runs the corpus-grain funder join — persist across
+      // the two consumers for the one batch that pays the O(chain) cost.
+      val bf = bestFunders.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val addrs = bf.select(col("src_address").as("address")).distinct()
+      traced("wallet: bootstrap cluster+write")(WalletCluster.clusters(addrs, bf)
         .withColumn(bucket, slotOf(col("address")))
-        .write.mode("overwrite").partitionBy(bucket).parquet(storePath)
+        .write.mode("overwrite").partitionBy(bucket).parquet(storePath))
+      bf.unpersist(blocking = false)
       fsWriteText(spark, slotsPath, slots.toString + "\n")
       logWalletBatch(
         s"""{"route":"$route","arrived":-1,"invalidated":-1,"repair":"bootstrap","kind":"$lastFullKind"}""")
