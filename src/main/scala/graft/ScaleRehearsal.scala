@@ -22,7 +22,11 @@ object ScaleRehearsal {
       .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
       // GC-driven ContextCleaner + a big quiet driver heap = shuffle files
       // accumulating for the default 30-min periodic-GC interval (the r16
-      // single-JVM aging window) — keep the reclaim continuous
+      // single-JVM aging window) — keep the reclaim continuous. (r17
+      // verified this override is orthogonal to bk0@30×'s heap demand: the
+      // OOM-at-8g reproduces with AND without it, and on r16's own HEAD —
+      // set SPARK_DRIVER_MEM=16g for 30× queries legs in a tight-memory
+      // environment.)
       .config("spark.cleaner.periodicGC.interval", "2min")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
