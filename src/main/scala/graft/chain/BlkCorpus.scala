@@ -116,11 +116,21 @@ object BlkCorpus {
     val md = MessageDigest.getInstance("SHA-256")
     md.digest(md.digest(b))
   }
+  private val HexChars = "0123456789abcdef".toCharArray
   private def revHex(h: Array[Byte]): String = {
-    val sb = new java.lang.StringBuilder(64)
+    // table-driven like BlockFileSource.hashHex — the f"...%02x" form
+    // allocates a Formatter + regex Matcher per byte, once per hash of
+    // every generated tx at corpus scale
+    val out = new Array[Char](h.length * 2)
     var i = h.length - 1
-    while (i >= 0) { sb.append(f"${h(i) & 0xFF}%02x"); i -= 1 }
-    sb.toString
+    var j = 0
+    while (i >= 0) {
+      val b = h(i) & 0xFF
+      out(j) = HexChars(b >>> 4)
+      out(j + 1) = HexChars(b & 0xF)
+      i -= 1; j += 2
+    }
+    new String(out)
   }
   private def hexLe(hex: String): Array[Byte] =
     hex.grouped(2).toArray.map(s => Integer.parseInt(s, 16).toByte).reverse

@@ -43,12 +43,26 @@ object BlockFileSource {
     md.digest(md.digest())
   }
 
-  /** Little-endian hash bytes → big-endian display hex (Bitcoin convention). */
+  private val HexChars = "0123456789abcdef".toCharArray
+
+  /** Little-endian hash bytes → big-endian display hex (Bitcoin convention).
+    * Table-driven, zero intermediate allocations: the format-string version
+    * built a java.util.Formatter + regex Matcher PER BYTE — 64 per hash,
+    * several hashes per tx, millions per blk file — which showed up as both
+    * GC pressure (an 8g 30× parse OOM'd with this frame on top) and parse
+    * CPU.
+    */
   private def hashHex(h: Array[Byte]): String = {
-    val sb = new StringBuilder(64)
+    val out = new Array[Char](h.length * 2)
     var i = h.length - 1
-    while (i >= 0) { sb.append(f"${h(i) & 0xFF}%02x"); i -= 1 }
-    sb.toString
+    var j = 0
+    while (i >= 0) {
+      val b = h(i) & 0xFF
+      out(j) = HexChars(b >>> 4)
+      out(j + 1) = HexChars(b & 0xF)
+      i -= 1; j += 2
+    }
+    new String(out)
   }
 
   private final class Reader(val buf: ByteBuffer) {
@@ -154,45 +168,73 @@ object BlockFileSource {
 
   private def parseCore(
       raw: Array[Byte], networkMagic: Int, lenient: Boolean): (Seq[RawBlock], Long) = {
-    val r = new Reader(ByteBuffer.wrap(raw).order(ByteOrder.LITTLE_ENDIAN))
-    val m = magicBytes(networkMagic)
-    val out = Seq.newBuilder[RawBlock]
     var skipped = 0L
-    while (r.buf.remaining() >= 8) {
-      val recordStart = r.buf.position()
-      try {
-        val magic = ((r.u8()) | (r.u8() << 8) | (r.u8() << 16) | (r.u8() << 24))
-        if (magic == 0) { /* zero padding at file tail */ }
-        else if (Integer.reverseBytes(magic) != networkMagic)
-          throw new IllegalArgumentException(f"bad magic 0x$magic%08x")
-        else {
-          val size = r.u32().toInt
-          val blockStart = r.buf.position()
-          val headerHash = hashHex(sha256d(raw, blockStart, 80))
-          r.i32() // version
-          val prev = r.bytes(32)
-          r.skip(32) // merkle root
-          val time = r.u32()
-          r.skip(8) // bits, nonce
-          val nTx = r.varInt().toInt
-          val txs = (0 until nTx).map(_ => parseTx(r, raw))
-          require(r.buf.position() == blockStart + size,
-            s"block size mismatch: read ${r.buf.position() - blockStart}, framed $size")
-          out += RawBlock(headerHash, hashHex(prev), time, txs)
-        }
-      } catch {
-        case e: Throwable if lenient =>
-          // quarantine [recordStart, next magic) and carry on
-          val next = findMagic(raw, recordStart + 1, m)
-          if (next < 0) {
-            skipped += raw.length - recordStart
-            return (out.result(), skipped)
+    val out = parseIterator(raw, networkMagic, lenient, skipped += _).toVector
+    (out, skipped)
+  }
+
+  /** Incremental record-at-a-time parse — the form the distributed scans
+    * flatMap over. A whole-file parse materializes the ENTIRE file's block
+    * graph (tens of thousands of nested RawBlock/RawTx objects per 27 MB
+    * file at corpus scale) before the first row reaches the downstream
+    * encoder; with 32 such tasks concurrent that transient graph is
+    * gigabytes of driver-JVM heap in local mode (the measured bk0@30×
+    * OOM-at-8g trigger) and the same multiplier per executor at 100 TB. The
+    * iterator yields one block per `next()`, so each block is encoded to
+    * Tungsten bytes (or consumed) and becomes garbage before the next is
+    * built — per-task transient heap drops from O(file) to O(block).
+    * `onSkip` fires once per quarantined corrupt region (lenient mode).
+    */
+  private[graft] def parseIterator(
+      raw: Array[Byte], networkMagic: Int, lenient: Boolean,
+      onSkip: Long => Unit): Iterator[RawBlock] = new Iterator[RawBlock] {
+    private val r = new Reader(ByteBuffer.wrap(raw).order(ByteOrder.LITTLE_ENDIAN))
+    private val m = magicBytes(networkMagic)
+    private var nextBlock: RawBlock = _
+    private var done = false
+    private def advance(): Unit = {
+      while (nextBlock == null && !done) {
+        if (r.buf.remaining() < 8) { done = true; return }
+        val recordStart = r.buf.position()
+        try {
+          val magic = ((r.u8()) | (r.u8() << 8) | (r.u8() << 16) | (r.u8() << 24))
+          if (magic == 0) { /* zero padding at file tail */ }
+          else if (Integer.reverseBytes(magic) != networkMagic)
+            throw new IllegalArgumentException(f"bad magic 0x$magic%08x")
+          else {
+            val size = r.u32().toInt
+            val blockStart = r.buf.position()
+            val headerHash = hashHex(sha256d(raw, blockStart, 80))
+            r.i32() // version
+            val prev = r.bytes(32)
+            r.skip(32) // merkle root
+            val time = r.u32()
+            r.skip(8) // bits, nonce
+            val nTx = r.varInt().toInt
+            val txs = (0 until nTx).map(_ => parseTx(r, raw))
+            require(r.buf.position() == blockStart + size,
+              s"block size mismatch: read ${r.buf.position() - blockStart}, framed $size")
+            nextBlock = RawBlock(headerHash, hashHex(prev), time, txs)
           }
-          skipped += next - recordStart
-          r.buf.position(next)
+        } catch {
+          case e: Throwable if lenient =>
+            // quarantine [recordStart, next magic) and carry on
+            val next = findMagic(raw, recordStart + 1, m)
+            if (next < 0) {
+              onSkip(raw.length - recordStart)
+              done = true
+            } else {
+              onSkip(next - recordStart)
+              r.buf.position(next)
+            }
+        }
       }
     }
-    (out.result(), skipped)
+    def hasNext: Boolean = { if (nextBlock == null && !done) advance(); nextBlock != null }
+    def next(): RawBlock = {
+      if (!hasNext) throw new NoSuchElementException("exhausted blk file")
+      val b = nextBlock; nextBlock = null; b
+    }
   }
 
   /** Distributed scan: every blk file → parsed blocks. */
@@ -202,7 +244,7 @@ object BlockFileSource {
       .option("pathGlobFilter", "blk*.dat")
       .load(path)
       .select("content").as[Array[Byte]]
-      .flatMap(parseFile(_, networkMagic))
+      .flatMap(parseIterator(_, networkMagic, lenient = false, _ => ()))
   }
 
   /** [[read]] with per-record corruption quarantine: damaged regions are
@@ -219,9 +261,7 @@ object BlockFileSource {
       .load(path)
       .select("content").as[Array[Byte]]
       .flatMap { bytes =>
-        val (blocks, skipped) = parseFileLenient(bytes, networkMagic)
-        if (skipped > 0) acc.add(skipped)
-        blocks
+        parseIterator(bytes, networkMagic, lenient = true, acc.add(_))
       }
     (ds, acc)
   }

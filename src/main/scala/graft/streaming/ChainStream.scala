@@ -1226,7 +1226,8 @@ object ChainStream {
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .load(dir)
       .select("content").as[Array[Byte]]
-      .flatMap(graft.sources.BlockFileSource.parseFile(_, networkMagic))
+      .flatMap(graft.sources.BlockFileSource
+        .parseIterator(_, networkMagic, lenient = false, _ => ()))
   }
 
   /** Tumbling / session event-time aggregation over a stream (T7):
