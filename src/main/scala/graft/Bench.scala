@@ -62,10 +62,105 @@ object Bench {
   /** Outcome of [[measure]]: the sample set the medians are computed over
     * (the fresh post-recovery set when recovery succeeded, the ORIGINAL set
     * otherwise — never a mix), plus enough protocol state for diagnostics.
+    * `discarded` counts timed samples (or pre-sample windows) the sentinel
+    * gate rejected as contended for THIS query.
     */
   private[graft] final case class Measurement[S](
       samples: Seq[S], warms: Int, recovered: Boolean,
-      recoveryRejected: Boolean, recoverySamples: Seq[S])
+      recoveryRejected: Boolean, recoverySamples: Seq[S],
+      discarded: Int = 0)
+
+  /** Fixed-work single-thread CPU probe, seconds. The work is constant, so
+    * probe time moves ONLY with how much CPU the scheduler grants this
+    * thread — the direct observable of host contention, the failure mode
+    * that invalidated two of the last three official benches (r15, r17:
+    * one query sampled through a sustained contended window read as a 3–6×
+    * regression while same-HEAD quiet-window bands sat normal). ~8–12 ms
+    * quiet on this host: long enough that a timeshared window inflates it
+    * proportionally, short enough to bracket every timed sample for <1 s
+    * of total overhead per query.
+    */
+  @volatile private var sentinelSink: Long = 0L
+  private[graft] def sentinelProbe(): Double = {
+    val t0 = System.nanoTime()
+    var x = 0x9E3779B97F4A7C15L ^ sentinelSink
+    var i = 0
+    while (i < 4000000) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1 }
+    sentinelSink = x // defeat dead-code elimination
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  /** Contention gate over timed samples: every sample is bracketed by two
+    * [[sentinelProbe]]-style probes, and a sample whose EITHER bracket probe
+    * exceeds `factor`× the running-min floor is discarded as "taken inside a
+    * contended host window" — the gate then sleeps (escalating, capped) and
+    * retries, i.e. it WAITS OUT the window instead of averaging it in.
+    *
+    * Why this and not round-robin interleaving of queries (the other r17
+    * proposal): one sample per query per pass would evict every operator's
+    * swap registers and the codegen cache between a query's samples —
+    * measured 70 s vs 7.5 s on bk0 when queries' caches coexisted (round 7)
+    * — so interleaving trades a contention artifact for a permanent cache
+    * -thrash artifact. The sentinel measures the host directly and leaves
+    * the per-query steady-state protocol intact.
+    *
+    * The floor is the RUNNING MIN across the whole run: calibration inside
+    * a contended window yields an inflated floor (gate too lax — behaves
+    * like the old protocol), but the first quiet probe anywhere in the run
+    * lowers it and the gate is exact from then on. Budgets bound the wait:
+    * `maxDiscardsPerQuery` per query (then that query samples ungated and
+    * the spread/validity flag owns it) and `maxDiscardsTotal` per run (then
+    * the gate disarms — a permanently-contended host must not turn a 30 s
+    * bench into a 20-minute one).
+    */
+  private[graft] final class SentinelGate(
+      probe: () => Double,
+      val factor: Double,
+      val maxDiscardsPerQuery: Int,
+      maxDiscardsTotal: Int,
+      sleepMsForDiscard: Int => Long,
+      sleeper: Long => Unit,
+      val enabled: Boolean) {
+    private var floorSec = Double.PositiveInfinity
+    private var total = 0
+    def discards: Int = total
+    def floorMs: Double = if (floorSec.isInfinity) -1 else floorSec * 1e3
+    private def observe(): Double = {
+      val p = probe(); if (p < floorSec) floorSec = p; p
+    }
+    def calibrate(n: Int): Double = {
+      var i = 0; while (i < n) { observe(); i += 1 }; floorSec
+    }
+    /** Seed the floor with an externally-measured quiet probe (tests that
+      * must calibrate BEFORE entering a synthetic contention window).
+      */
+    def floorSeed(sec: Double): Unit = if (sec < floorSec) floorSec = sec
+    def active: Boolean = enabled && total < maxDiscardsTotal
+    /** One probe; true = quiet window. +2 ms absolute slack so timer jitter
+      * on a ~10 ms probe cannot flap the gate.
+      */
+    def quiet(): Boolean = observe() <= floorSec * factor + 0.002
+    /** Record a discard and wait out the window (escalating backoff). */
+    def discardAndWait(kThisQuery: Int): Unit = {
+      total += 1
+      sleeper(sleepMsForDiscard(kThisQuery))
+    }
+  }
+
+  private[graft] object SentinelGate {
+    /** Production schedule: 250 ms · 2^k capped at 4 s — ~30 s worst-case
+      * wait per query at the 10-discard budget.
+      */
+    def production(): SentinelGate = new SentinelGate(
+      () => sentinelProbe(), factor = 1.6,
+      maxDiscardsPerQuery = 10, maxDiscardsTotal = 120,
+      sleepMsForDiscard = k => math.min(250L << math.min(k, 4), 4000L),
+      sleeper = Thread.sleep, enabled = true)
+    val off: SentinelGate = new SentinelGate(
+      () => 0.0, factor = Double.MaxValue, maxDiscardsPerQuery = 0,
+      maxDiscardsTotal = 0, sleepMsForDiscard = _ => 0L, sleeper = _ => (),
+      enabled = false)
+  }
 
   /** The per-query measurement protocol, parameterized on the sampler so the
     * specs can drive it with synthetic sample streams (BenchProtocolSpec):
@@ -87,11 +182,34 @@ object Bench {
     *     protocol), and the fresh samples ship as diag-only evidence.
     *     The recovery cannot mask a regression, only a contaminated session:
     *     real drift re-flags on the fresh set.
+    *
+    *  Every TIMED sample (steps 2–4; warms are untimed and stay ungated) is
+    *  bracketed by the sentinel `gate`: a sample whose pre- or post-probe
+    *  shows a contended host window is discarded and the gate waits the
+    *  window out, budget-bounded — the r15/r17 failure mode (one query's
+    *  whole sample set falling inside a sustained contended window) becomes
+    *  "wait, then measure" instead of "measure garbage, flag, invalidate".
     */
   private[graft] def measure[S](
       once: () => S, secOf: S => Double, runs: Int,
       recoveryPrep: () => Unit = () => (),
-      diag: String => Unit = _ => ()): Measurement[S] = {
+      diag: String => Unit = _ => (),
+      gate: SentinelGate = SentinelGate.off): Measurement[S] = {
+    var qDiscards = 0 // this query's share of the gate budget
+    def gated(): S = {
+      while (gate.active && qDiscards < gate.maxDiscardsPerQuery) {
+        if (!gate.quiet()) { // contended BEFORE the sample: wait it out
+          gate.discardAndWait(qDiscards); qDiscards += 1
+        } else {
+          val s = once()
+          if (gate.quiet()) return s // quiet on both sides: accept
+          // window OPENED mid-sample: the sample straddles it — discard
+          diag(f"sentinel: window opened mid-sample (${secOf(s)}%.2fs discarded)")
+          gate.discardAndWait(qDiscards); qDiscards += 1
+        }
+      }
+      once() // gate off / budget exhausted: the spread flag owns this case
+    }
     def warmToSettle(): (Int, Int) = { // (warms taken, cap used)
       var wPrev = secOf(once())
       val warmCap = if (wPrev > 5.0) 8 else 5
@@ -106,26 +224,26 @@ object Bench {
       (warms, warmCap)
     }
     val (warms, _) = warmToSettle()
-    var ordered = Seq.fill(runs)(once())
+    var ordered = Seq.fill(runs)(gated())
     var extra = 0
     while (unstable(ordered.map(secOf)) && extra < runs) {
-      ordered :+= once(); extra += 1
+      ordered :+= gated(); extra += 1
     }
     if (!unstable(ordered.map(secOf)))
       return Measurement(ordered, warms, recovered = false,
-        recoveryRejected = false, Seq.empty)
+        recoveryRejected = false, Seq.empty, qDiscards)
     diag("unstable after resample — recovery: release caches, GC, re-warm")
     recoveryPrep()
     val (rWarms, _) = warmToSettle()
-    val fresh = Seq.fill(runs)(once())
+    val fresh = Seq.fill(runs)(gated())
     diag(s"recovery samples (after $rWarms warms): " +
       fresh.map(s => f"${secOf(s)}%.2f").mkString(", "))
     if (!unstable(fresh.map(secOf)))
       Measurement(fresh, warms, recovered = true,
-        recoveryRejected = false, Seq.empty)
+        recoveryRejected = false, Seq.empty, qDiscards)
     else
       Measurement(ordered, warms, recovered = false,
-        recoveryRejected = true, fresh)
+        recoveryRejected = true, fresh, qDiscards)
   }
 
   /** Total JVM GC time across all collectors, ms. Per-sample deltas separate
@@ -194,6 +312,18 @@ object Bench {
     // survive is the JSON, so nothing may print between it and EOF except
     // what we choose.
     val diag = scala.collection.mutable.ListBuffer.empty[String]
+    // Sentinel gate (SPARK_GRAFT_BENCH_SENTINEL=0 disables): JIT-warm the
+    // probe loop first so calibration measures the host, not the compiler;
+    // the floor keeps improving as a running min, so calibrating inside a
+    // contended window only makes the gate lax, never wrong.
+    val gate =
+      if (sys.env.get("SPARK_GRAFT_BENCH_SENTINEL").contains("0")) SentinelGate.off
+      else SentinelGate.production()
+    if (gate.enabled) {
+      (0 until 3).foreach(_ => sentinelProbe())
+      gate.calibrate(9)
+      diag += f"[bench] sentinel floor ${gate.floorMs}%.1fms (9 probes, running min; gate at ${gate.factor}x)"
+    }
     val results = names.filter(n => only.forall(_.contains(n))).map { name =>
       // Cold-cache boundary: drain every operator's retained swap register
       // before each query. WITHIN a query the warm+timed runs share the
@@ -249,9 +379,12 @@ object Bench {
           System.gc()
           Thread.sleep(2000)
         },
-        diag = line => diag += f"[bench]   $name $line")
+        diag = line => diag += f"[bench]   $name $line",
+        gate = gate)
       if (m.recoveryRejected)
         diag += f"[bench]   $name recovery set ALSO unstable — flag stays on the original samples"
+      if (m.discarded > 0)
+        diag += f"[bench]   $name sentinel discarded ${m.discarded} contended window(s) before accepting samples"
       // Execution-order samples are the drift diagnostic: monotone growth
       // means within-session accumulation (heap aging, lineage, shuffle
       // files), not noise — the sorted median alone cannot distinguish them.
@@ -332,7 +465,9 @@ object Bench {
       val shown = if (xs.length > 8) xs.take(8) :+ s"+${xs.length - 8} more" else xs
       strArr(shown)
     }
-    val fullJson = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"spread":$spread$spreadRaw,"runs":$runs,"sf":"$sfDir","valid":$valid,"recall_ok":$recallOk,"unstable":${strArr(unstableNames)},"failures":${strArr(failures.reverse)}}"""
+    val sentinelJson =
+      f""""sentinel":{"enabled":${gate.enabled},"floor_ms":${gate.floorMs}%.2f,"discards":${gate.discards}}"""
+    val fullJson = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"spread":$spread$spreadRaw,"runs":$runs,"sf":"$sfDir","valid":$valid,"recall_ok":$recallOk,$sentinelJson,"unstable":${strArr(unstableNames)},"failures":${strArr(failures.reverse)}}"""
     // The driver's tail window is ~2,000 chars and it parses the LAST line of
     // the captured log as JSON — a 3.5 KB line survives complete at EOF but
     // arrives front-truncated in the window (the r13 failure mode: the full
@@ -349,7 +484,7 @@ object Bench {
     }.getOrElse("")
     def compactLine(withQueries: Boolean): String = {
       val q = if (withQueries) s""","queries":$qs""" else ""
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","runs":$runs,"sf":"$sfDir","valid":$valid,"recall_ok":$recallOk,"unstable":${cappedArr(unstableNames)},"failures":${cappedArr(failures.reverse)}$heavySpread$q,"detail":"bench/BENCH_FULL_latest.json"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","runs":$runs,"sf":"$sfDir","valid":$valid,"recall_ok":$recallOk,"sentinel_discards":${gate.discards},"unstable":${cappedArr(unstableNames)},"failures":${cappedArr(failures.reverse)}$heavySpread$q,"detail":"bench/BENCH_FULL_latest.json"}"""
     }
     val withQ = compactLine(withQueries = true)
     val compactJson = if (withQ.length <= 1800) withQ else compactLine(withQueries = false)
@@ -378,6 +513,18 @@ object Bench {
     val tracked = java.nio.file.Paths.get("bench/BENCH_FULL_latest.json")
     if (only.isEmpty && java.nio.file.Files.isDirectory(tracked.getParent))
       java.nio.file.Files.writeString(tracked, fullJson + "\n")
+    // Validity as an rc, without parsing any JSON: 0 = ran and valid,
+    // 3 = ran but the samples are flagged (unstable/failed). It lives in a
+    // FILE, not the process exit status, because a nonzero forked exit makes
+    // sbt append "[error] Nonzero exit code" AFTER the final println — the
+    // driver parses the LAST line of the log as the result JSON, so a
+    // nonzero exit would destroy the very artifact that records why the run
+    // was invalid (measured; contract in bench/README.md).
+    val rc = if (valid) "0" else "3"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("target/bench.rc"), rc + "\n")
+    if (only.isEmpty && java.nio.file.Files.isDirectory(tracked.getParent))
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("bench/BENCH_RC_latest"), rc + "\n")
     spark.stop()
     org.apache.logging.log4j.core.config.Configurator.setRootLevel(
       org.apache.logging.log4j.Level.OFF)
