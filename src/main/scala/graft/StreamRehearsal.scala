@@ -818,10 +818,10 @@ object StreamRehearsal {
     }
 
     def headersOf(files: Seq[String]) =
-      spark.read.format("binaryFile").load(files: _*)
-        .select("content").as[Array[Byte]]
-        .flatMap(graft.sources.BlockFileSource.parseFile(_,
-          graft.sources.BlockFileSource.Magic))
+      // the PRODUCTION scan (path-based streaming parse, O(block) task heap)
+      // — the rehearsal must measure the shipped parse path, not a private
+      // eager variant (r17 ADVICE)
+      graft.sources.BlockFileSource.readFiles(spark, files)
         .select(
           col("hash"),
           when(col("parent_hash") === "0" * 64, lit(null))

@@ -57,8 +57,16 @@ object BlkCorpus {
   /** Address pool is partitioned into wallets of 10; spend txs draw all
     * inputs from ONE wallet (the reason the co-spend heuristic works), pay
     * arbitrary addresses, so wallet clustering has real structure to find.
+    *
+    * The pool scales WITH the chain (∝ Scale): at a fixed 1,500 the distinct
+    * co-spend/flow graphs saturate near pool² by 10× and the graph legs stop
+    * measuring growth (the r17 judge finding). Proportional scaling keeps
+    * the recurrence structure invariant — blocks/address, spends/wallet and
+    * per-address reuse are the same at every scale, so the 1× corpus (and
+    * every sf oracle) is bit-identical to before while the 30× graph key
+    * space is 30× wider, the shape a real chain's address universe has.
     */
-  val NumAddresses = 1500
+  val NumAddresses: Int = 1500 * Scale
   val WalletSize = 10
   val NumWallets: Int = NumAddresses / WalletSize
 

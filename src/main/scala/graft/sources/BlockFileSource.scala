@@ -156,9 +156,9 @@ object BlockFileSource {
     (networkMagic >>> 24).toByte, (networkMagic >>> 16).toByte,
     (networkMagic >>> 8).toByte, networkMagic.toByte)
 
-  private def findMagic(raw: Array[Byte], from: Int, m: Array[Byte]): Int = {
+  private def findMagic(raw: Array[Byte], from: Int, m: Array[Byte], until: Int): Int = {
     var i = math.max(from, 0)
-    while (i + 4 <= raw.length) {
+    while (i + 4 <= until) {
       if (raw(i) == m(0) && raw(i + 1) == m(1) && raw(i + 2) == m(2) && raw(i + 3) == m(3))
         return i
       i += 1
@@ -219,7 +219,7 @@ object BlockFileSource {
         } catch {
           case e: Throwable if lenient =>
             // quarantine [recordStart, next magic) and carry on
-            val next = findMagic(raw, recordStart + 1, m)
+            val next = findMagic(raw, recordStart + 1, m, raw.length)
             if (next < 0) {
               onSkip(raw.length - recordStart)
               done = true
@@ -237,33 +237,177 @@ object BlockFileSource {
     }
   }
 
-  /** Distributed scan: every blk file → parsed blocks. */
-  def read(spark: SparkSession, path: String, networkMagic: Int = Magic): Dataset[RawBlock] = {
+  /** Streaming record-at-a-time parse over an InputStream: the O(block)
+    * end-to-end form of [[parseIterator]]. `binaryFile`'s `content` column
+    * materializes each file's WHOLE byte array per task — at real 128 MiB
+    * blk files × 32 concurrent tasks that is ~4 GiB of raw input arrays
+    * pinned before parsing starts, the remaining amplifier of the 30×-corpus
+    * OOM at the 8 g default heap and a true per-executor multiplier at
+    * 100 TB. This form keeps a single reused buffer holding only the record
+    * being parsed (grown on demand, hard-capped at `maxRecordBytes`), so
+    * peak task input heap is O(largest block), not O(file).
+    *
+    * Semantics are byte-identical to [[parseIterator]] (spec-gated in
+    * BlockFileSpec): same framing walk, same zero-padding tolerance, same
+    * strict-mode errors, and the same lenient magic-resync with the same
+    * skipped-byte accounting — the resync scans forward through the stream
+    * keeping only a 3-byte seam, so a corrupt region longer than the buffer
+    * still quarantines in O(chunk) memory.
+    */
+  private[graft] def parseStream(
+      in: java.io.InputStream, networkMagic: Int, lenient: Boolean,
+      onSkip: Long => Unit,
+      maxRecordBytes: Int = 1 << 25): Iterator[RawBlock] = new Iterator[RawBlock] {
+    private val m = magicBytes(networkMagic)
+    private var buf = new Array[Byte](1 << 16)
+    private var len = 0 // valid bytes; buf(0) is always the current record start
+    private var eof = false
+    private var nextBlock: RawBlock = _
+    private var done = false
+
+    /** Ensure ≥n buffered bytes (grow + read); false = EOF before n. */
+    private def ensure(n: Int): Boolean = {
+      if (n > buf.length) {
+        var cap = buf.length.toLong
+        while (cap < n) cap <<= 1
+        buf = java.util.Arrays.copyOf(buf, math.min(cap, Int.MaxValue - 8).toInt)
+      }
+      while (len < n && !eof) {
+        val r = in.read(buf, len, buf.length - len)
+        if (r < 0) eof = true else len += r
+      }
+      len >= n
+    }
+    /** Drop n consumed bytes; the (small) unread tail slides to the front. */
+    private def consume(n: Int): Unit = {
+      System.arraycopy(buf, n, buf, 0, len - n)
+      len -= n
+    }
+    private def leU32(off: Int): Long =
+      ((buf(off) & 0xFFL)) | ((buf(off + 1) & 0xFFL) << 8) |
+        ((buf(off + 2) & 0xFFL) << 16) | ((buf(off + 3) & 0xFFL) << 24)
+
+    /** Lenient resync: skip ≥1 byte, then scan the stream for the next magic
+      * keeping only a 3-byte seam between chunks. Accounting matches the
+      * whole-array form exactly: onSkip(total bytes from record start to the
+      * magic, or to EOF when none is found).
+      */
+    private def resync(): Unit = {
+      consume(1)
+      var skipped = 1L
+      while (true) {
+        val k = findMagic(buf, 0, m, len)
+        if (k >= 0) { onSkip(skipped + k); consume(k); return }
+        if (eof) { onSkip(skipped + len); consume(len); done = true; return }
+        val keep = math.min(3, len)
+        skipped += len - keep
+        consume(len - keep)
+        ensure(keep + 1) // read at least one more chunk
+      }
+    }
+
+    private def advance(): Unit = {
+      while (nextBlock == null && !done) {
+        if (!ensure(8)) { done = true; return }
+        try {
+          val magic = leU32(0).toInt
+          if (magic == 0) { consume(4) } // zero padding at file tail
+          else if (Integer.reverseBytes(magic) != networkMagic)
+            throw new IllegalArgumentException(f"bad magic 0x$magic%08x")
+          else {
+            val size = leU32(4).toInt
+            if (size < 0 || size.toLong + 8 > maxRecordBytes)
+              throw new IllegalArgumentException(
+                s"framed block size $size exceeds record cap $maxRecordBytes")
+            if (!ensure(8 + size))
+              throw new java.io.EOFException(
+                s"framed block size $size but only ${len - 8} bytes remain")
+            val r = new Reader(
+              ByteBuffer.wrap(buf, 0, 8 + size).order(ByteOrder.LITTLE_ENDIAN))
+            r.skip(8)
+            val headerHash = hashHex(sha256d(buf, 8, 80))
+            r.i32() // version
+            val prev = r.bytes(32)
+            r.skip(32) // merkle root
+            val time = r.u32()
+            r.skip(8) // bits, nonce
+            val nTx = r.varInt().toInt
+            val txs = (0 until nTx).map(_ => parseTx(r, buf))
+            require(r.buf.position() == 8 + size,
+              s"block size mismatch: read ${r.buf.position() - 8}, framed $size")
+            nextBlock = RawBlock(headerHash, hashHex(prev), time, txs)
+            consume(8 + size)
+          }
+        } catch {
+          case _: Throwable if lenient => resync()
+        }
+      }
+    }
+    def hasNext: Boolean = { if (nextBlock == null && !done) advance(); nextBlock != null }
+    def next(): RawBlock = {
+      if (!hasNext) throw new NoSuchElementException("exhausted blk file")
+      val b = nextBlock; nextBlock = null; b
+    }
+  }
+
+  /** Core of the distributed scans: a flatMap over file PATHS (the
+    * binaryFile source with only `path` in the required schema reads no file
+    * bytes), each task opening a buffered Hadoop stream and running
+    * [[parseStream]] — task input heap is O(block). Partitioning and
+    * locality come from the binaryFile relation's size-aware file packing,
+    * exactly as before; only the `content` materialization is gone. Streams
+    * close on task completion (covers downstream limits and task failure,
+    * not just exhaustion).
+    */
+  private def pathScan(
+      files: DataFrame, networkMagic: Int, lenient: Boolean,
+      acc: Option[org.apache.spark.util.LongAccumulator]): Dataset[RawBlock] = {
+    val spark = files.sparkSession
     import spark.implicits._
+    val hconf = new org.apache.spark.util.GraftSerializableHadoopConf(
+      spark.sparkContext.hadoopConfiguration)
+    files.select("path").as[String].flatMap { p =>
+      val path = new org.apache.hadoop.fs.Path(new java.net.URI(p))
+      val in = path.getFileSystem(hconf.value).open(path)
+      Option(org.apache.spark.TaskContext.get())
+        .foreach(_.addTaskCompletionListener[Unit](_ => in.close()))
+      parseStream(new java.io.BufferedInputStream(in, 1 << 16),
+        networkMagic, lenient, b => acc.foreach(_.add(b)))
+    }
+  }
+
+  private def blkFiles(spark: SparkSession, path: String): DataFrame =
     spark.read.format("binaryFile")
       .option("pathGlobFilter", "blk*.dat")
       .load(path)
-      .select("content").as[Array[Byte]]
-      .flatMap(parseIterator(_, networkMagic, lenient = false, _ => ()))
-  }
+
+  /** Distributed scan: every blk file → parsed blocks. */
+  def read(spark: SparkSession, path: String, networkMagic: Int = Magic): Dataset[RawBlock] =
+    pathScan(blkFiles(spark, path), networkMagic, lenient = false, None)
+
+  /** [[read]] over an explicit file list (no glob) — the incremental/catchup
+    * callers that already know exactly which files arrived.
+    */
+  def readFiles(spark: SparkSession, files: Seq[String], networkMagic: Int = Magic): Dataset[RawBlock] =
+    pathScan(spark.read.format("binaryFile").load(files: _*),
+      networkMagic, lenient = false, None)
 
   /** [[read]] with per-record corruption quarantine: damaged regions are
     * skipped via magic-resync instead of killing the task, and the total
     * skipped byte count surfaces in the returned accumulator (valid after an
     * action) — monitor it, alert on nonzero, but finish the 100 TB scan.
+    *
+    * Accounting caveat: the parse is lazy, so the accumulator is exact only
+    * under FULL-SCAN consumption (count/write/collect of everything). An
+    * action that stops consuming a file's iterator early — e.g. a pushed
+    * `limit` — leaves corrupt regions past the consumed prefix uncounted,
+    * because bytes that were never scanned cannot be quarantined. Monitor
+    * the accumulator on complete scans (the ingest path), not on peeks.
     */
   def readLenient(spark: SparkSession, path: String, networkMagic: Int = Magic)
       : (Dataset[RawBlock], org.apache.spark.util.LongAccumulator) = {
-    import spark.implicits._
     val acc = spark.sparkContext.longAccumulator("graft.corruptBytesSkipped")
-    val ds = spark.read.format("binaryFile")
-      .option("pathGlobFilter", "blk*.dat")
-      .load(path)
-      .select("content").as[Array[Byte]]
-      .flatMap { bytes =>
-        parseIterator(bytes, networkMagic, lenient = true, acc.add(_))
-      }
-    (ds, acc)
+    (pathScan(blkFiles(spark, path), networkMagic, lenient = true, Some(acc)), acc)
   }
 
   /** The previous [[toBronze]] call's cached parse: each call swaps its

@@ -1219,15 +1219,27 @@ object ChainStream {
       StructField("modificationTime", TimestampType),
       StructField("length", LongType),
       StructField("content", BinaryType)))
+    // path-only projection + per-task Hadoop stream, same as the batch scan
+    // (BlockFileSource.pathScan): the source never materializes whole-file
+    // content arrays, so a 128 MiB blk file costs O(block) task heap here too
+    val hconf = new org.apache.spark.util.GraftSerializableHadoopConf(
+      spark.sparkContext.hadoopConfiguration)
     spark.readStream
       .format("binaryFile")
       .schema(binaryFileSchema)
       .option("pathGlobFilter", "blk*.dat")
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .load(dir)
-      .select("content").as[Array[Byte]]
-      .flatMap(graft.sources.BlockFileSource
-        .parseIterator(_, networkMagic, lenient = false, _ => ()))
+      .select("path").as[String]
+      .flatMap { p =>
+        val path = new org.apache.hadoop.fs.Path(new java.net.URI(p))
+        val in = path.getFileSystem(hconf.value).open(path)
+        Option(org.apache.spark.TaskContext.get())
+          .foreach(_.addTaskCompletionListener[Unit](_ => in.close()))
+        graft.sources.BlockFileSource.parseStream(
+          new java.io.BufferedInputStream(in, 1 << 16),
+          networkMagic, lenient = false, _ => ())
+      }
   }
 
   /** Tumbling / session event-time aggregation over a stream (T7):

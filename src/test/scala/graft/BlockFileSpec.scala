@@ -143,6 +143,102 @@ class BlockFileSpec extends SparkSpec {
     assert(acc.value == corruptB.length)
   }
 
+  /** A stream that yields at most `chunk` bytes per read — stresses
+    * parseStream's refill/seam logic the way a real buffered FS stream
+    * never would.
+    */
+  private def drip(raw: Array[Byte], chunk: Int): java.io.InputStream =
+    new java.io.InputStream {
+      private var i = 0
+      override def read(): Int =
+        if (i >= raw.length) -1 else { val b = raw(i) & 0xFF; i += 1; b }
+      override def read(b: Array[Byte], off: Int, n: Int): Int = {
+        if (i >= raw.length) return -1
+        val k = math.min(math.min(n, chunk), raw.length - i)
+        System.arraycopy(raw, i, b, off, k); i += k; k
+      }
+    }
+
+  /** Structural equality projection: RawOutput.script is Array[Byte], whose
+    * case-class equality is reference equality — normalize to Seq.
+    */
+  private def norm(bs: Seq[BlockFileSource.RawBlock]) =
+    bs.map(b => (b.hash, b.parent_hash, b.ts,
+      b.txs.map(t => (t.tx_hash, t.is_coinbase, t.inputs,
+        t.outputs.map(o => (o.idx, o.value, o.script.toSeq))))))
+
+  private def streamLenient(raw: Array[Byte], chunk: Int): (Seq[BlockFileSource.RawBlock], Long) = {
+    var skipped = 0L
+    val blocks = BlockFileSource.parseStream(
+      drip(raw, chunk), BlockFileSource.Magic, lenient = true, skipped += _).toVector
+    (blocks, skipped)
+  }
+
+  test("parseStream ≡ whole-array parse: blocks, skip accounting, seam-crossing resync") {
+    val (cbA, cbAid) = tx(Seq((coinbasePrev, -1)), Seq((5000000000L, p2pkh(1))))
+    val (bA, hA) = block("0" * 64, 1000, Seq(cbA))
+    val (cbB, _) = tx(Seq((cbAid, 0)), Seq((4000000000L, p2pkh(2))), witness = true)
+    val (bB, hB) = block(hA, 1600, Seq(cbB))
+
+    // 1. clean file + zero padding: identical blocks, zero skips
+    val clean = bA ++ bB ++ new Array[Byte](16)
+    for (chunk <- Seq(1, 7, 64 * 1024)) {
+      val (blocks, skipped) = streamLenient(clean, chunk)
+      assert(norm(blocks) == norm(BlockFileSource.parseFile(clean)))
+      assert(skipped == 0L)
+      // strict streaming form parses the same set
+      val strict = BlockFileSource.parseStream(
+        drip(clean, chunk), BlockFileSource.Magic, lenient = false, _ => ()).toVector
+      assert(strict.map(_.hash) == Seq(hA, hB))
+    }
+
+    // 2. a LONG corrupt region (wider than the parser's initial 64 KiB
+    //    buffer, no magic inside) between two valid blocks: the resync must
+    //    scan across many refills keeping only the 3-byte seam, and the
+    //    skip count must equal the whole-array form's exactly
+    val junk = Array.fill[Byte](200 * 1024)(0x55)
+    val longCorrupt = bA ++ junk ++ bB
+    val (arrBlocks, arrSkip) = BlockFileSource.parseFileLenient(longCorrupt)
+    assert(arrBlocks.map(_.hash) == Seq(hA, hB) && arrSkip == junk.length)
+    for (chunk <- Seq(9, 4096)) {
+      val (stBlocks, stSkip) = streamLenient(longCorrupt, chunk)
+      assert(norm(stBlocks) == norm(arrBlocks))
+      assert(stSkip == arrSkip)
+    }
+
+    // 3. corruption with NO later magic (EOF during resync): both forms
+    //    quarantine to end-of-file
+    val tailCorrupt = bA ++ junk
+    val (aB2, aS2) = BlockFileSource.parseFileLenient(tailCorrupt)
+    val (sB2, sS2) = streamLenient(tailCorrupt, 4096)
+    assert(norm(sB2) == norm(aB2) && sS2 == aS2 && sS2 == junk.length)
+
+    // 4. truncated final record (frame promises more bytes than the file
+    //    has): lenient quarantines the stub identically; strict throws
+    val truncated = bA ++ bB.dropRight(5)
+    val (aB3, aS3) = BlockFileSource.parseFileLenient(truncated)
+    val (sB3, sS3) = streamLenient(truncated, 4096)
+    assert(norm(sB3) == norm(aB3) && sB3.map(_.hash) == Seq(hA))
+    assert(sS3 == aS3 && sS3 == bB.length - 5)
+    intercept[Exception] {
+      BlockFileSource.parseStream(
+        drip(truncated, 4096), BlockFileSource.Magic, lenient = false, _ => ()).toVector
+    }
+
+    // 5. hostile frame size (2 GiB claim): the record cap quarantines it
+    //    WITHOUT attempting the allocation (the array form only survives
+    //    because the file is already in memory), same blocks and accounting
+    val withHostile = {
+      val h = bA.clone()
+      h(4) = 0xFF.toByte; h(5) = 0xFF.toByte; h(6) = 0xFF.toByte; h(7) = 0x7F.toByte
+      h ++ bB
+    }
+    val (aB4, aS4) = BlockFileSource.parseFileLenient(withHostile)
+    val (sB4, sS4) = streamLenient(withHostile, 4096)
+    assert(norm(sB4) == norm(aB4) && sB4.map(_.hash) == Seq(hB))
+    assert(sS4 == aS4 && sS4 == bA.length) // poisoned frame region, resync'd at bB
+  }
+
   test("blk files -> bronze -> gold pipeline end-to-end") {
     val (cb0bytes, cb0id) = tx(Seq((coinbasePrev, -1)), Seq((5000000000L, p2pkh(1))))
     val (b0bytes, b0hash) = block("0" * 64, 1000, Seq(cb0bytes))
