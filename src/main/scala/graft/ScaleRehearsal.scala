@@ -197,7 +197,14 @@ object ScaleRehearsal {
       // repaired matches full on the post-reorg universe; orphans singleton
       val exact = fullMap.forall { case (a, w) => repaired.get(a).contains(w) } &&
         (repaired.keySet -- fullMap.keySet).forall(a => repaired(a) == a)
-      Rehearsal.emit(f"""{"rehearsal":"wallet_reorg_repair","scale":$scale,"depth":100,"repair_s":$tRepair%.2f,"full_s":$tFull%.2f,"repair_rows":${rep.length},"stored_rows":$nStored,"exact":$exact}""")
+      // Comparator: on this giant-component corpus the affected fraction
+      // makes mass the ONLY reachable distributed route (members·2 ≥ stored
+      // routes mass at any floor), so the rejected alternative is the bare
+      // recompute itself — full_s, measured above on identical warmed
+      // inputs. In-leg economics assertion, 1.3× + 0.5 s slack.
+      Rehearsal.emit(f"""{"rehearsal":"wallet_reorg_repair","scale":$scale,"depth":100,"repair_s":$tRepair%.2f,"comparator":"bare_recompute","full_s":$tFull%.2f,"repair_rows":${rep.length},"stored_rows":$nStored,"exact":$exact}""")
+      if (tRepair > 1.3 * tFull + 0.5) throw new IllegalStateException(
+        f"deep-reorg repair economics inverted: repair $tRepair%.2fs vs bare recompute $tFull%.2fs")
     }
 
     // SHALLOW reorg repair on a many-small-components co-spend graph — the
@@ -254,13 +261,31 @@ object ScaleRehearsal {
         graft.chain.WalletCluster.repairAfterReorg(
           stored, funders.where(lit(false)), keptFunders).collect()
       }
+      // Comparator: the route the router REJECTED, forced by moving the
+      // economics floor and timed on identical inputs. chosen=replace/mass
+      // → floor 0 forces the distributed contraction; chosen=contraction →
+      // floor MaxValue forces the other side (genuinely "mass" once the
+      // store exceeds the driver envelope — 30×; the driver-side "replace"
+      // under it, in which case the bare recompute full_s is the honest
+      // mass proxy — the label says which was asserted).
+      val altFloor = if (route == "contraction") Long.MaxValue else 0L
+      val (_, tAlt) = timed {
+        graft.chain.WalletCluster.repairAfterReorg(
+          stored, invFunders, keptFunders, contractionMinStore = altFloor).collect()
+      }
+      val altRoute = graft.chain.WalletCluster.lastRepairRoute
+      val (compName, compS) =
+        if (route == "contraction" && altRoute == "replace") ("bare_recompute", tFull)
+        else (altRoute, tAlt)
       val storedMap = stored.collect().map(r => r.getString(0) -> r.getString(1)).toMap
       stored.unpersist()
       val repaired = storedMap ++ rep.map(r => r.getString(0) -> r.getString(1))
       val fullMap = full.map(r => r.getString(0) -> r.getString(1)).toMap
       val exact = fullMap.forall { case (a, w) => repaired.get(a).contains(w) } &&
         (repaired.keySet -- fullMap.keySet).forall(a => repaired(a) == a)
-      Rehearsal.emit(f"""{"rehearsal":"wallet_reorg_repair_shallow","scale":$scale,"wallets":$nWallets,"affected_wallets":${nWallets / 200},"route":"$route","repair_s":$tRepair%.2f,"full_s":$tFull%.2f,"noop_s":$tNoop%.2f,"noop_rows":${noop.length},"repair_rows":${rep.length},"stored_rows":$nStored,"exact":$exact}""")
+      Rehearsal.emit(f"""{"rehearsal":"wallet_reorg_repair_shallow","scale":$scale,"wallets":$nWallets,"affected_wallets":${nWallets / 200},"route":"$route","repair_s":$tRepair%.2f,"alt_route":"$altRoute","alt_s":$tAlt%.2f,"comparator":"$compName","comparator_s":$compS%.2f,"full_s":$tFull%.2f,"noop_s":$tNoop%.2f,"noop_rows":${noop.length},"repair_rows":${rep.length},"stored_rows":$nStored,"exact":$exact}""")
+      if (tRepair > 1.3 * compS + 0.5) throw new IllegalStateException(
+        f"shallow-reorg router economics inverted: chose $route at $tRepair%.2fs vs rejected $compName at $compS%.2fs")
     }
     spark.stop()
   }

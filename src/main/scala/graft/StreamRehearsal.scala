@@ -317,6 +317,10 @@ object StreamRehearsal {
         preStored, invFunders, bestFunders,
         contractionMinStore = Long.MaxValue)
       .count())
+    // what the forced-alternative call actually routed: genuinely "mass"
+    // once the store exceeds the driver envelope (30×), the driver-side
+    // "replace" under it — the label keeps the comparator honest
+    val altRoute = graft.chain.WalletCluster.lastRepairRoute
     // converged? the post-reorg store must equal a from-scratch clustering
     // of the surviving funders
     val expect = graft.chain.WalletCluster.clusters(
@@ -329,9 +333,16 @@ object StreamRehearsal {
     val converged = missing == 0 && staleExtras == 0
     funders.unpersist(blocking = false)
     Rehearsal.emit(
-      f"""{"rehearsal":"maintainer_contraction","scale":$scale,"wallets":$nWallets,"stored_rows":$nStored,"bootstrap_s":$tBoot%.2f,"reorg_batch_s":$tBatch%.2f,"chain_route":"$chainRoute","repair_route":"$repairRoute","chosen_route_s":$tChosen%.2f,"mass_alternative_s":$tMass%.2f,"mass_rows":$massRows,"missing":$missing,"stale_extras":$staleExtras,"converged":$converged}""")
+      f"""{"rehearsal":"maintainer_contraction","scale":$scale,"wallets":$nWallets,"stored_rows":$nStored,"bootstrap_s":$tBoot%.2f,"reorg_batch_s":$tBatch%.2f,"chain_route":"$chainRoute","repair_route":"$repairRoute","chosen_route_s":$tChosen%.2f,"alternative_route":"$altRoute","mass_alternative_s":$tMass%.2f,"mass_rows":$massRows,"missing":$missing,"stale_extras":$staleExtras,"converged":$converged}""")
     if (!converged) throw new IllegalStateException(
       s"maintainer contraction leg diverged: missing=$missing stale=$staleExtras")
+    // Router-economics guard (in-leg, every run — not just a JSON field):
+    // the chosen route must be within 1.3× of the alternative it rejected,
+    // plus 0.5 s absolute slack so sub-second fixtures don't flap on
+    // scheduler noise. Ratios are contention-robust (both routes run in the
+    // same window back-to-back).
+    if (tChosen > 1.3 * tMass + 0.5) throw new IllegalStateException(
+      f"router economics inverted: chose $repairRoute at $tChosen%.2fs vs rejected $altRoute at $tMass%.2fs")
     // vacuousness guards (same discipline as the kill-resume legs): the
     // leg's POINT is the routing — a regression that silently falls back to
     // full resolution or always takes the mass route must fail the leg, not

@@ -219,9 +219,37 @@ object ProductQuantizer {
   private val PqCacheSize = 16
   private val pqCache = new ModelCache[PqModel](_.unpersist())
 
+  /** Flat-PQ corpus ceiling, rows (`graft.pqFlatScanMaxRows` overrides):
+    * flat ADC is a whole-corpus scan PER QUERY BATCH — the right default at
+    * fixture/feature-store scale (no cell-assignment recall loss, one fewer
+    * index), the wrong one at 100 TB where an IVF-PQ composition prunes
+    * ~nprobe/nlist of the scan statically. Above the ceiling [[pqTopKFor]]
+    * auto-routes to [[ivfPqTopKFor]].
+    */
+  def PqFlatScanMaxRows: Long =
+    sys.props.get("graft.pqFlatScanMaxRows").map(_.toLong).getOrElse(10000000L)
+
+  /** Last route [[pqTopKFor]] took ("flat" / "ivfpq-delegated") — test
+    * observability, same pattern as WalletCluster.lastRepairRoute.
+    */
+  @volatile var lastPqRoute: String = ""
+
+  /** Corpus row count per memo key, so the routing probe costs one count
+    * per (plan, params) — not one per query batch. Drained with the caches.
+    */
+  private val pqRouteCounts =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
   /** Memoizing front (the [[Similarity.ivfTopK]] shape): one encoded corpus
     * per (plan, params), swap-evicted LRU, drained by
     * [[graft.Graft.releaseCaches]].
+    *
+    * ROUTING: flat ADC up to [[PqFlatScanMaxRows]] corpus rows; above it the
+    * call delegates to the IVF-PQ composition (same k / m / ksub / rerank,
+    * default cell geometry) with a logged diagnostic — a 100 TB corpus must
+    * never take a whole-corpus scan per query batch just because the caller
+    * reached for the simpler operator. Callers that genuinely want the flat
+    * scan at scale call [[pqTopK]] with an explicit model.
     */
   def pqTopKFor(
       corpus: DataFrame, queries: DataFrame,
@@ -229,8 +257,19 @@ object ProductQuantizer {
       m: Int = 8, ksub: Int = 16, maxIter: Int = 5, rerank: Int = 0): DataFrame = {
     val key = corpus.queryExecution.analyzed.canonicalized.semanticHash().toString +
       s":$idCol:$vecCol:$m:$ksub:$maxIter"
-    pqTopK(pqCache.getOrBuild(key)(
-      pqIndex(corpus, idCol, vecCol, m, ksub, maxIter)), queries, k, rerank)
+    val nCorpus: Long = pqRouteCounts.computeIfAbsent(key, _ => corpus.count())
+    if (nCorpus > PqFlatScanMaxRows) {
+      lastPqRoute = "ivfpq-delegated"
+      org.slf4j.LoggerFactory.getLogger("graft.pq").warn(
+        s"pqTopK: corpus has $nCorpus rows > flat-scan ceiling $PqFlatScanMaxRows — " +
+          "delegating to the IVF-PQ pruned composition (ivfPqTopKFor)")
+      ivfPqTopKFor(corpus, queries, idCol, vecCol, k,
+        m = m, ksub = ksub, maxIter = maxIter, rerank = rerank)
+    } else {
+      lastPqRoute = "flat"
+      pqTopK(pqCache.getOrBuild(key)(
+        pqIndex(corpus, idCol, vecCol, m, ksub, maxIter)), queries, k, rerank)
+    }
   }
 
   /** Observable memo bound for tests. */
@@ -350,5 +389,6 @@ object ProductQuantizer {
   private[graft] def release(): Unit = {
     pqCache.drain()
     ivfPqCache.drain()
+    pqRouteCounts.clear()
   }
 }

@@ -1233,7 +1233,7 @@ object ChainStream {
       .select("path").as[String]
       .flatMap { p =>
         val path = new org.apache.hadoop.fs.Path(new java.net.URI(p))
-        val in = path.getFileSystem(hconf.value).open(path)
+        val in = graft.sources.BlockFileSource.openRaw(path, hconf.value)
         Option(org.apache.spark.TaskContext.get())
           .foreach(_.addTaskCompletionListener[Unit](_ => in.close()))
         graft.sources.BlockFileSource.parseStream(

@@ -18,6 +18,38 @@ class SimilaritySpec extends SparkSpec {
     df.select(col("query_id").cast("long"), col(idCol).cast("long"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
 
+  test("registered ANN queries hold their recall floors (the bench audit, spec-side)") {
+    // The operator-parameter tests below pin the machinery; THIS pins the
+    // four REGISTERED queries (sim5/sim6/sim7/p1) — the exact code path the
+    // correctness gate dumps rows-only — against brute force via the same
+    // RecallAudit the bench emits. Until r18 that audit ran only inside the
+    // bench, so a contention-invalidated bench (r15, r17) left the round's
+    // recall evidence stale; now `sbt test` asserts the floors regardless.
+    RecallAudit.checks.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val r = fn(spark, sf)
+      assert(r >= RecallAudit.floors(name),
+        f"$name registered-query recall $r%.4f below floor ${RecallAudit.floors(name)}%.2f")
+    }
+  }
+
+  test("pqTopKFor auto-routes to the IVF-PQ composition above the flat-scan ceiling") {
+    import graft.operators.ProductQuantizer
+    val emb = Tables.embeddings(spark, sf)
+    val queries = emb.filter(col("vec_id") < 3)
+    Graft.releaseCaches() // reset memoized indexes + routing counts
+    ProductQuantizer.pqTopKFor(emb, queries, "vec_id", "embedding", k = 5).collect()
+    assert(ProductQuantizer.lastPqRoute == "flat")
+    sys.props("graft.pqFlatScanMaxRows") = "10"
+    try {
+      Graft.releaseCaches()
+      val rows = ProductQuantizer
+        .pqTopKFor(emb, queries, "vec_id", "embedding", k = 5).collect()
+      assert(ProductQuantizer.lastPqRoute == "ivfpq-delegated")
+      val perQuery = rows.groupBy(_.getLong(0)).view.mapValues(_.length).toMap
+      assert(perQuery.keySet.size == 3 && perQuery.values.forall(_ == 5))
+    } finally sys.props.remove("graft.pqFlatScanMaxRows")
+  }
+
   test("IVF top-k recall >= 0.89 of brute force on sf0.1 embeddings") {
     val emb = Tables.embeddings(spark, sf)
     val queries = emb.filter(col("vec_id") < 10)

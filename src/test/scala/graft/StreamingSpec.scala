@@ -854,6 +854,93 @@ class StreamingSpec extends SparkSpec {
     assert(p3(("e" * 64)) == f"b${n - 1}%06d", "pending parent pointers broken")
   }
 
+  test("deep replay below the probe window: transient pending entry, chain unchanged, cleared by the next full-route refresh") {
+    // Pins the trade accepted in the parents-only deep lookup (ChainStream
+    // ~333–351): a REPLAYED block far below the pruned probe window reads as
+    // new, resolves through its (deep-looked-up) parent anchor, loses the
+    // tip race, and transiently joins `pending` — benign because the
+    // absence proof needs pending COMPLETENESS, never minimality — and the
+    // entry clears on the next frontier re-derivation from bronze. Until
+    // r18 that convergence claim was prose.
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-deep-replay").toString
+    def fundersOf(s: org.apache.spark.sql.SparkSession,
+        df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+      df.select(explode(col("txs")).as("t"))
+        .select(col("t._1").as("tx_hash"), explode(col("t._2")).as("src_address"))
+    def step(rows: Seq[(String, String, Long)]): String = {
+      ChainStream.walletLabelsBatch(spark,
+        rows.map { case (h, p, ts) => (h, p, ts, Seq.empty[(String, Seq[String])]) }
+          .toDF("hash", "parent_hash", "ts", "txs"),
+        s"$tmp/bronze", fundersOf, s"$tmp/labels", 8)
+      ChainStream.lastBestChainRoute
+    }
+    def frontierSets(): (Set[String], Map[String, String]) = {
+      val rows = spark.read.parquet(s"$tmp/labels/_frontier")
+        .select("kind", "hash", "parent_hash").collect()
+      (rows.iterator.filter(_.getString(0) == "d").map(_.getString(1)).toSet,
+        rows.iterator.filter(_.getString(0) == "p")
+          .map(r => r.getString(1) -> r.getString(2)).toMap)
+    }
+    def cursorRows(): Set[(String, Int)] =
+      spark.read.parquet(s"$tmp/labels/_bestchain")
+        .select("hash", "height").collect()
+        .map(r => (r.getString(0), r.getInt(1))).toSet
+    // pendingCap small enough that a modest reorg forces the extend route's
+    // deriveFrontier refresh (depth > cap − pending), large enough that the
+    // re-derived pending set (the 10 reorged-out rows) fits without the
+    // overflow marker — the documented sys-prop spec pattern
+    sys.props("graft.pendingCap") = "10"
+    try {
+      // bootstrap a 3-bucket chain so height 100 sits well below the pruned
+      // probe window (top two height buckets)
+      val n = 20001
+      ChainStream.walletLabelsBatch(spark,
+        (0 until n).map(i =>
+          (f"b$i%06d", if (i == 0) null else f"b${i - 1}%06d", 1000L + i,
+            if (i == 0) Seq(("t1", Seq("a1", "a2"))) else Seq.empty[(String, Seq[String])]))
+          .toDF("hash", "parent_hash", "ts", "txs"),
+        s"$tmp/bronze", fundersOf, s"$tmp/labels", 8)
+      val before = cursorRows()
+      assert(before.size == n)
+      assert(frontierSets() == ((Set.empty, Map.empty)))
+
+      // REPLAY height 100 (deep: bucket 0, probe covers the top buckets).
+      // The parents-only deep lookup anchors b000099 at height 99; the
+      // replayed block resolves at 100, loses the tip race, and pends.
+      assert(step(Seq((f"b${100}%06d", f"b${99}%06d", 99000L))) == "unchanged")
+      val (d1, p1) = frontierSets()
+      assert(d1.isEmpty, s"deep replay registered dangling parents: $d1")
+      assert(p1 == Map(f"b${100}%06d" -> f"b${99}%06d"),
+        s"expected exactly the transient replay entry, got $p1")
+      // the CHAIN is untouched: same rows, no duplicate, no height drift
+      assert(cursorRows() == before, "deep replay changed the cursor")
+
+      // next full-route frontier refresh: a reorg whose depth exceeds the
+      // pending budget forces deriveFrontier(bronze, best) on the extend
+      // route. Fork 10 below the tip with a 12-block branch.
+      val tipH = n - 1
+      val forkParent = f"b${tipH - 10}%06d"
+      val branch = (0 until 12).map(i =>
+        (("r%03d".format(i)).padTo(64, 'r').mkString,
+          if (i == 0) forkParent else ("r%03d".format(i - 1)).padTo(64, 'r').mkString,
+          99100L + i))
+      assert(step(branch) == "extend")
+      val (_, p2) = frontierSets()
+      // the re-derivation = bronze ∖ best: the replayed hash is ON the best
+      // chain, so its transient entry is GONE; pending now holds exactly the
+      // 10 reorged-out main-chain rows
+      assert(!p2.contains(f"b${100}%06d"),
+        s"transient replay entry survived the full refresh: $p2")
+      assert(p2.keySet == (tipH - 9 to tipH).map(i => f"b$i%06d").toSet,
+        s"re-derived pending != the reorged-out rows: ${p2.keySet}")
+      // and the post-reorg chain carries the replayed block exactly once
+      val after = cursorRows()
+      assert(after.count(_._1 == f"b${100}%06d") == 1)
+      assert(after.filter(_._1 == f"b${100}%06d").head._2 == 100)
+    } finally sys.props.remove("graft.pendingCap")
+  }
+
   test("dangling-index crash window: an invalidated stamp forces the authoritative scan, never a mis-routed attachment") {
     import spark.implicits._
     val tmp = Files.createTempDirectory("graft-dangling-crash").toString
