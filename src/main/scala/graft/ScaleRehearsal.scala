@@ -70,18 +70,14 @@ object ScaleRehearsal {
       Rehearsal.emit(f"""{"rehearsal":"$name","scale":$scale,"warm":$warm%.2f,"median":$med%.2f,"spread":$spread%.2f,"samples":[${samples.map(s => f"$s%.2f").mkString(",")}]}""")
     }
 
-    // GraphX / iterative graph analytics at corpus scale — g1–g5 are
-    // oracle-green at sf0.01 but previously had no scale leg; wallet
-    // clustering was the only graph path with 10×/30× evidence. The flow
-    // graph derives from the corpus silver tables (corpus-grain work), then
-    // the three iterative analytics run over the persisted edge set. NOTE
-    // the corpus's recurring 1,500-address pool + the undecodable-script
-    // sentinel make the DISTINCT graph small at every scale (edges saturate
-    // near pool²) — so edge DERIVATION is the part that scales with the
-    // corpus and is timed separately; the analytics legs measure iteration
-    // cost over a skewed (sentinel in-degree ≈ 15% of outputs) but
-    // driver-independent dataflow. Vertex/edge counts ship on every line so
-    // cross-scale readers can normalize.
+    // GraphX / iterative graph analytics at corpus scale. Since r18 the
+    // address pool scales WITH the chain (BlkCorpus.NumAddresses ∝ Scale),
+    // so the distinct flow graph genuinely grows (1×/10×/30× = 363k/3.9M/
+    // 11.8M edges over 1.5k/15k/45k vertices) instead of saturating near a
+    // fixed pool² — the analytics legs now measure real per-iteration cost
+    // over a skewed (sentinel in-degree ≈ 15% of outputs) dataflow at every
+    // scale. Edge DERIVATION is still timed separately (the corpus-grain
+    // part); vertex/edge counts ship on every line.
     if (legOn("graph")) {
       import org.apache.spark.sql.functions._
       Graft.releaseCaches()

@@ -159,7 +159,20 @@ object StreamRehearsal {
     * best chain. Replayed bronze rows are reported as evidence the replay
     * actually engaged — and asserted nonzero, like the gold leg.
     */
+  /** Same bounded-retry protocol as [[killResumeLeg]]: a kill that lands on
+    * a batch boundary (zero replayed rows) is a lost race against the
+    * checkpoint commit, retried with a fresh workdir.
+    */
   private def walletKillResumeLeg(spark: SparkSession): Unit = {
+    var attempt = 1
+    while (!walletKillResumeOnce(spark, attempt)) {
+      if (attempt >= 3) throw new IllegalStateException(
+        "wallet kill-resume replayed nothing in 3 attempts — kill cannot land mid-batch; leg is vacuous")
+      attempt += 1
+    }
+  }
+
+  private def walletKillResumeOnce(spark: SparkSession, attempt: Int): Boolean = {
     val workDir = Paths.get("target/stream_rehearsal_wresume")
     deleteRecursively(workDir)
     val bronzeDir = s"$workDir/bronze"
@@ -193,17 +206,23 @@ object StreamRehearsal {
       }
     }
     // phase 1: let the bootstrap batch commit, then kill the moment the
-    // SECOND batch's append lands — mid-batch by construction
+    // SECOND batch's append lands — mid-batch by construction. The final
+    // retry skips the race and injects the crash window deterministically.
     val q1 = writer().start()
-    val deadline = System.nanoTime() + 180e9.toLong
-    while (q1.recentProgress.count(_.numInputRows > 0) < 1 &&
-        q1.isActive && System.nanoTime() < deadline)
-      Thread.sleep(50)
-    val filesAtKill = bronzeFiles()
-    while (bronzeFiles() <= filesAtKill && q1.isActive &&
-        System.nanoTime() < deadline)
-      Thread.sleep(20)
-    q1.stop()
+    if (attempt >= 3) {
+      q1.awaitTermination()
+      dropLastCommitMarker(s"$workDir/ckpt")
+    } else {
+      val deadline = System.nanoTime() + 180e9.toLong
+      while (q1.recentProgress.count(_.numInputRows > 0) < 1 &&
+          q1.isActive && System.nanoTime() < deadline)
+        Thread.sleep(50)
+      val filesAtKill = bronzeFiles()
+      while (bronzeFiles() <= filesAtKill && q1.isActive &&
+          System.nanoTime() < deadline)
+        Thread.sleep(20)
+      q1.stop()
+    }
 
     // phase 2: resume and finish from the same checkpoint
     val t0 = System.nanoTime()
@@ -226,11 +245,11 @@ object StreamRehearsal {
     val converged = missing == 0 && staleExtras == 0
     rinAll.unpersist(blocking = false)
     Rehearsal.emit(
-      f"""{"rehearsal":"wallet_kill_resume","scale":${graft.chain.BlkCorpus.Scale},"resume_s":$resumeSec%.1f,"replayed_rows":$replayedRows,"missing":$missing,"stale_extras":$staleExtras,"converged":$converged}""")
+      f"""{"rehearsal":"wallet_kill_resume","scale":${graft.chain.BlkCorpus.Scale},"attempt":$attempt,"resume_s":$resumeSec%.1f,"replayed_rows":$replayedRows,"missing":$missing,"stale_extras":$staleExtras,"converged":$converged}""")
     if (!converged) throw new IllegalStateException(
       s"wallet kill-resume diverged: missing=$missing stale=$staleExtras")
-    if (replayedRows == 0) throw new IllegalStateException(
-      "wallet kill-resume replayed nothing — kill landed on a batch boundary; leg is vacuous")
+    // zero replay = lost race against the checkpoint commit — caller retries
+    replayedRows > 0
   }
 
   /** The STREAMING MAINTAINER routing a shallow reorg to the contraction
@@ -665,7 +684,47 @@ object StreamRehearsal {
     * and the bronze duplicate count is REPORTED as evidence the replay
     * machinery actually engaged (0 when the kill landed on a batch boundary).
     */
+  /** Deterministic crash-window injection for the kill-resume legs: run the
+    * stream to completion, then delete the checkpoint's newest commit
+    * marker. On restart Structured Streaming finds `offsets/N` without
+    * `commits/N` and re-executes batch N with the same files — byte-for-byte
+    * the state a crash between the sink's job commit and the checkpoint
+    * commit leaves behind, with no race against the stop latency.
+    */
+  private def dropLastCommitMarker(ckptDir: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    val commits = Paths.get(s"$ckptDir/commits")
+    val s = Files.list(commits)
+    val last =
+      try s.iterator().asScala
+        .filter(_.getFileName.toString.forall(_.isDigit))
+        .toSeq.sortBy(_.getFileName.toString.toLong).last
+      finally s.close()
+    Files.delete(last)
+  }
+
+  /** The kill must land INSIDE a batch (after the bronze append's job
+    * commit, before the checkpoint commit) for the replay to be exercised.
+    * The r18 parse-path speedup shrank that window enough that the stop
+    * latency can lose the race and the kill lands on a batch boundary — a
+    * lost race, not a vacuous leg: retried with a fresh workdir, and the
+    * FINAL attempt injects the crash window deterministically
+    * ([[dropLastCommitMarker]]) so the leg cannot go vacuous however fast
+    * the batches get.
+    */
   private def killResumeLeg(spark: SparkSession): Unit = {
+    var attempt = 1
+    while (!killResumeOnce(spark, attempt)) {
+      if (attempt >= 3) throw new IllegalStateException(
+        "kill-resume replayed nothing in 3 attempts — kill cannot land mid-batch; leg is vacuous")
+      attempt += 1
+    }
+  }
+
+  /** One kill/resume attempt; false = the kill landed on a batch boundary
+    * (zero replayed rows) and the caller should retry.
+    */
+  private def killResumeOnce(spark: SparkSession, attempt: Int): Boolean = {
     val workDir = Paths.get("target/stream_rehearsal_resume")
     deleteRecursively(workDir)
     val bronzeDir = s"$workDir/bronze"
@@ -708,12 +767,17 @@ object StreamRehearsal {
         finally s.close()
       }
     }
-    val filesAtKillPoint = bronzeFiles()
-    val deadline2 = System.nanoTime() + 120e9.toLong
-    while (bronzeFiles() <= filesAtKillPoint && q1.isActive &&
-        System.nanoTime() < deadline2)
-      Thread.sleep(20)
-    q1.stop()
+    if (attempt >= 3) { // final retry: deterministic crash-window injection
+      q1.awaitTermination()
+      dropLastCommitMarker(ckptDir)
+    } else {
+      val filesAtKillPoint = bronzeFiles()
+      val deadline2 = System.nanoTime() + 120e9.toLong
+      while (bronzeFiles() <= filesAtKillPoint && q1.isActive &&
+          System.nanoTime() < deadline2)
+        Thread.sleep(20)
+      q1.stop()
+    }
 
     // Phase 2: fresh writer, same checkpoint — resume and finish.
     val t0 = System.nanoTime()
@@ -731,13 +795,13 @@ object StreamRehearsal {
     val expect = canon(graft.chain.BlkCorpus.annotated(spark))
     val converged = gold.exceptAll(expect).isEmpty && expect.exceptAll(gold).isEmpty
     Rehearsal.emit(
-      f"""{"rehearsal":"kill_resume","scale":${graft.chain.BlkCorpus.Scale},"batches_before_kill":$batchesBeforeKill,"resumed_batches":$resumedBatches,"resume_s":$resumeSec%.1f,"replayed_rows":$replayedRows,"converged":$converged}""")
+      f"""{"rehearsal":"kill_resume","scale":${graft.chain.BlkCorpus.Scale},"attempt":$attempt,"batches_before_kill":$batchesBeforeKill,"resumed_batches":$resumedBatches,"resume_s":$resumeSec%.1f,"replayed_rows":$replayedRows,"converged":$converged}""")
     if (!converged) throw new IllegalStateException(
       "kill-resume diverged from batch annotation")
     // the leg's POINT is the replay: zero duplicates means the kill landed
-    // on a batch boundary and exactly-once was never actually exercised
-    if (replayedRows == 0) throw new IllegalStateException(
-      "kill-resume replayed nothing — kill landed on a batch boundary; leg is vacuous")
+    // on a batch boundary and exactly-once was never actually exercised —
+    // the caller retries with a fresh workdir (lost race), bounded
+    replayedRows > 0
   }
 
   /** Node-follow leg: the reference's OTHER ingest surface — follow a node's

@@ -155,6 +155,15 @@ object ChainStream {
   private[graft] val WalletBatchLogCap = 10000
   private[graft] val walletBatchLog =
     new java.util.concurrent.ConcurrentLinkedQueue[String]
+  /** On-disk wallet-store data schema (the slot partition column is
+    * directory-derived). Store reads specify it explicitly because an empty
+    * store — zero data files, just _SUCCESS — is valid state that schema
+    * inference cannot read.
+    */
+  private val WalletStoreSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("address", org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("wallet_id", org.apache.spark.sql.types.StringType)))
+
   private def logWalletBatch(line: String): Unit = {
     walletBatchLog.add(line)
     while (walletBatchLog.size() > WalletBatchLogCap) walletBatchLog.poll()
@@ -820,7 +829,15 @@ object ChainStream {
         s"""{"route":"$route","arrived":-1,"invalidated":-1,"repair":"bootstrap","kind":"$lastFullKind"}""")
       ()
     } else {
-      val stored = spark.read.parquet(storePath).select("address", "wallet_id")
+      // Explicit schema: a legitimately-EMPTY store is valid state — a
+      // bootstrap over a connected prefix with no funders yet (out-of-order
+      // arrival can connect only a few genesis-adjacent, coinbase-only
+      // blocks) writes a parquet dir with zero data files, and schema
+      // inference on it throws. First hit at 30× under the r18 corpus's
+      // arrival permutation; the fix is arrival-order-independence, not a
+      // corpus tweak.
+      val stored = spark.read.schema(WalletStoreSchema).parquet(storePath)
+        .select("address", "wallet_id")
       // arrived/invalidated: on the "extend" route the walk already knows
       // the EXACT delta — arrived = the path blocks (a driver-sized local
       // relation), invalidated = prior-chain rows above the anchor height
@@ -904,8 +921,9 @@ object ChainStream {
       if (changedSlots.nonEmpty) traced("wallet: slot write") {
         // full content of ONLY the changed slots; localCheckpoint is
         // slot-sized, not store-sized, and breaks the cycle of reading
-        // the path being overwritten
-        val content = spark.read.parquet(storePath)
+        // the path being overwritten. Explicit schema: the store can be
+        // legitimately empty (see the bootstrapping read above).
+        val content = spark.read.schema(WalletStoreSchema).parquet(storePath)
           .select("address", "wallet_id")
           .withColumn(bucket, slotOf(col("address")))
           .where(col(bucket).isin(changedSlots.map(Integer.valueOf): _*))

@@ -854,6 +854,43 @@ class StreamingSpec extends SparkSpec {
     assert(p3(("e" * 64)) == f"b${n - 1}%06d", "pending parent pointers broken")
   }
 
+  test("wallet maintainer survives an EMPTY bootstrap labeling (funder-less connected prefix)") {
+    // Out-of-order arrival can hand the bootstrap batch a connected prefix
+    // of coinbase-only blocks: the clustering is legitimately empty and the
+    // store is written with zero data files. The next batch must read that
+    // store (explicit schema — inference throws on empty parquet) and label
+    // the first real funders incrementally. First hit live at 30× under the
+    // r18 corpus's arrival permutation.
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-empty-store").toString
+    def fundersOf(s: org.apache.spark.sql.SparkSession,
+        df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+      df.select(explode(col("txs")).as("t"))
+        .select(col("t._1").as("tx_hash"), explode(col("t._2")).as("src_address"))
+    def step(rows: Seq[(String, String, Long, Seq[(String, Seq[String])])]): String = {
+      ChainStream.walletLabelsBatch(spark,
+        rows.toDF("hash", "parent_hash", "ts", "txs"),
+        s"$tmp/bronze", fundersOf, s"$tmp/labels", 4)
+      ChainStream.lastBestChainRoute
+    }
+    // batch 1: genesis + child, no funders anywhere → bootstrap writes an
+    // empty store (only _SUCCESS)
+    step(Seq(
+      ("a" * 64, null, 1000L, Seq.empty),
+      ("b" * 64, "a" * 64, 1001L, Seq.empty)))
+    val storeDir = java.nio.file.Paths.get(s"$tmp/labels/labels")
+    assert(java.nio.file.Files.exists(storeDir))
+    // batch 2: a tip extension carrying the first co-spend — must read the
+    // empty store without throwing and label the funders
+    assert(step(Seq(
+      ("c" * 64, "b" * 64, 1002L, Seq(("t1", Seq("x1", "x2")))))) == "extend")
+    val store = spark.read.parquet(s"$tmp/labels/labels")
+      .select("address", "wallet_id").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(store.keySet == Set("x1", "x2"))
+    assert(store("x1") == store("x2"), "co-spent addresses not co-clustered")
+  }
+
   test("deep replay below the probe window: transient pending entry, chain unchanged, cleared by the next full-route refresh") {
     // Pins the trade accepted in the parents-only deep lookup (ChainStream
     // ~333–351): a REPLAYED block far below the pruned probe window reads as
