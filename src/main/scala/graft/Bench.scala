@@ -68,7 +68,8 @@ object Bench {
   private[graft] final case class Measurement[S](
       samples: Seq[S], warms: Int, recovered: Boolean,
       recoveryRejected: Boolean, recoverySamples: Seq[S],
-      discarded: Int = 0)
+      discarded: Int = 0,
+      probes: Seq[(Double, Double)] = Seq.empty)
 
   /** Fixed-work single-thread CPU probe, seconds. The work is constant, so
     * probe time moves ONLY with how much CPU the scheduler grants this
@@ -123,10 +124,16 @@ object Bench {
       val enabled: Boolean) {
     private var floorSec = Double.PositiveInfinity
     private var total = 0
+    private var lastProbe = -1.0
     def discards: Int = total
     def floorMs: Double = if (floorSec.isInfinity) -1 else floorSec * 1e3
+    /** Most recent probe value, seconds — the raw observable [[measure]]
+      * archives per accepted sample so cross-round window-matching is
+      * mechanical (r18 ask #6) instead of narrated.
+      */
+    def lastProbeSec: Double = lastProbe
     private def observe(): Double = {
-      val p = probe(); if (p < floorSec) floorSec = p; p
+      val p = probe(); lastProbe = p; if (p < floorSec) floorSec = p; p
     }
     def calibrate(n: Int): Double = {
       var i = 0; while (i < n) { observe(); i += 1 }; floorSec
@@ -196,18 +203,27 @@ object Bench {
       diag: String => Unit = _ => (),
       gate: SentinelGate = SentinelGate.off): Measurement[S] = {
     var qDiscards = 0 // this query's share of the gate budget
+    // Bracket-probe values per ACCEPTED sample (pre, post), seconds; (-1,-1)
+    // when the sample ran ungated (gate off or budget exhausted). Archived in
+    // the full bench artifact so a loaded-vs-quiet window is a recorded fact.
+    val probeLog = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
     def gated(): S = {
       while (gate.active && qDiscards < gate.maxDiscardsPerQuery) {
         if (!gate.quiet()) { // contended BEFORE the sample: wait it out
           gate.discardAndWait(qDiscards); qDiscards += 1
         } else {
+          val pre = gate.lastProbeSec
           val s = once()
-          if (gate.quiet()) return s // quiet on both sides: accept
+          if (gate.quiet()) { // quiet on both sides: accept
+            probeLog += ((pre, gate.lastProbeSec))
+            return s
+          }
           // window OPENED mid-sample: the sample straddles it — discard
           diag(f"sentinel: window opened mid-sample (${secOf(s)}%.2fs discarded)")
           gate.discardAndWait(qDiscards); qDiscards += 1
         }
       }
+      probeLog += ((-1.0, -1.0))
       once() // gate off / budget exhausted: the spread flag owns this case
     }
     def warmToSettle(): (Int, Int) = { // (warms taken, cap used)
@@ -231,19 +247,22 @@ object Bench {
     }
     if (!unstable(ordered.map(secOf)))
       return Measurement(ordered, warms, recovered = false,
-        recoveryRejected = false, Seq.empty, qDiscards)
+        recoveryRejected = false, Seq.empty, qDiscards, probeLog.toSeq)
     diag("unstable after resample — recovery: release caches, GC, re-warm")
     recoveryPrep()
     val (rWarms, _) = warmToSettle()
+    val freshFrom = probeLog.length // probes align with whichever set ships
     val fresh = Seq.fill(runs)(gated())
     diag(s"recovery samples (after $rWarms warms): " +
       fresh.map(s => f"${secOf(s)}%.2f").mkString(", "))
     if (!unstable(fresh.map(secOf)))
       Measurement(fresh, warms, recovered = true,
-        recoveryRejected = false, Seq.empty, qDiscards)
+        recoveryRejected = false, Seq.empty, qDiscards,
+        probeLog.drop(freshFrom).toSeq)
     else
       Measurement(ordered, warms, recovered = false,
-        recoveryRejected = true, fresh, qDiscards)
+        recoveryRejected = true, fresh, qDiscards,
+        probeLog.take(freshFrom).toSeq)
   }
 
   /** Total JVM GC time across all collectors, ms. Per-sample deltas separate
@@ -265,6 +284,10 @@ object Bench {
     // JVM level (log4j2.properties does the same for the logging path with
     // target=SYSTEM_OUT follow=true) so ordering with our printlns holds.
     System.setErr(System.out)
+    // Codegen tripwire (r18 judge finding): a janino compile error means a
+    // stage silently runs interpreted — correct but slow, and previously
+    // invisible to every gate. Counted into the result JSON + validity flag.
+    CodegenTripwire.install()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -390,8 +413,21 @@ object Bench {
       // files), not noise — the sorted median alone cannot distinguish them.
       diag += f"[bench] $name samples (after ${m.warms} warms): " +
         m.samples.map { case (s, g) => f"$s%.2f(gc ${g}ms)" }.mkString(", ")
+      // Window quality per query (r18 ask #6): worst accepted bracket probe
+      // relative to the run's floor. ≤ the gate factor by construction when
+      // gated; "ungated" marks samples the budget let through unprobed.
+      if (gate.enabled) {
+        val gatedProbes = m.probes.filter(_._1 >= 0)
+        val ungated = m.probes.length - gatedProbes.length
+        val worst =
+          if (gatedProbes.isEmpty || gate.floorMs <= 0) -1.0
+          else gatedProbes.iterator.flatMap(p => Iterator(p._1, p._2)).max * 1e3 / gate.floorMs
+        diag += f"[bench] $name window-quality: worst-probe/floor ${worst}%.2fx over ${gatedProbes.length} gated sample(s)" +
+          (if (ungated > 0) s", $ungated ungated" else "") +
+          (if (m.discarded > 0) s", ${m.discarded} discarded" else "")
+      }
       val times = m.samples.map(_._1)
-      name -> (median(times), trimmedSpread(times), times.max - times.min)
+      name -> ((median(times), trimmedSpread(times), times.max - times.min), m)
     }
     failures.foreach(n => diag += s"[bench] WARNING: $n time is a failure, not a run")
     // Recall audit folded into the round's bench run: the ANN queries are
@@ -435,28 +471,41 @@ object Bench {
     // read as a 6x regression until a human re-ran it — a contaminated run
     // must never be distinguishable from a regression only by re-running.
     val unstableNames = results.collect {
-      case (name, (m, s, _)) if s > math.max(m * 0.5, 0.5) => name
+      case (name, ((m, s, _), _)) if s > math.max(m * 0.5, 0.5) => name
     }
     unstableNames.foreach { n =>
-      val (m, s, _) = results.find(_._1 == n).get._2
+      val (m, s, _) = results.find(_._1 == n).get._2._1
       diag += f"[bench] WARNING: $n spread $s%.2fs vs median $m%.2fs — samples unstable"
     }
     def r3(d: Double): String = f"$d%.3f"
-    val qs = results.map { case (k, (m, _, _)) => "\"" + k + "\":" + r3(m) }
+    val qs = results.map { case (k, ((m, _, _), _)) => "\"" + k + "\":" + r3(m) }
       .mkString("{", ",", "}")
-    val spread = results.map { case (k, (_, s, _)) => "\"" + k + "\":" + r3(s) }
+    val spread = results.map { case (k, ((_, s, _), _)) => "\"" + k + "\":" + r3(s) }
       .mkString("{", ",", "}")
+    // Per-sample bracket-probe pairs, ms (−1 = ungated): the raw host-window
+    // evidence per accepted sample — full artifact only.
+    val probesJson = results.map { case (k, (_, m)) =>
+      "\"" + k + "\":" + m.probes.map { case (a, b) =>
+        f"[${a * 1e3}%.1f,${b * 1e3}%.1f]"
+      }.mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
     // spread_raw has never differed from spread on a valid run (trimming only
     // kicks in past 6 samples); it nearly doubles the artifact, so it ships
     // only under the debug flag.
     val spreadRaw =
       if (sys.env.get("SPARK_GRAFT_BENCH_DEBUG").exists(_ != "0"))
         ",\"spread_raw\":" + results
-          .map { case (k, (_, _, r)) => "\"" + k + "\":" + r3(r) }
+          .map { case (k, ((_, _, r), _)) => "\"" + k + "\":" + r3(r) }
           .mkString("{", ",", "}")
       else ""
-    val total = results.map(_._2._1).sum
-    val valid = failures.isEmpty && unstableNames.isEmpty
+    val total = results.map(_._2._1._1).sum
+    // A codegen compile error anywhere in the run means some stage's timing
+    // is interpreted-eval, not the engine — the run cannot stand as official.
+    val codegenErrors = CodegenTripwire.hits
+    if (codegenErrors > 0)
+      diag += s"[bench] WARNING: $codegenErrors codegen compile error(s) — " +
+        s"stage(s) ran interpreted. First: ${CodegenTripwire.firstHit.getOrElse("?")}"
+    val valid = failures.isEmpty && unstableNames.isEmpty && codegenErrors == 0
     // Name lists on the COMPACT line are capped: the line must stay under the
     // driver's ~2,000-char tail window even in the pathological all-unstable
     // case. The full artifact carries the uncapped lists.
@@ -466,8 +515,8 @@ object Bench {
       strArr(shown)
     }
     val sentinelJson =
-      f""""sentinel":{"enabled":${gate.enabled},"floor_ms":${gate.floorMs}%.2f,"discards":${gate.discards}}"""
-    val fullJson = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"spread":$spread$spreadRaw,"runs":$runs,"sf":"$sfDir","valid":$valid,"recall_ok":$recallOk,$sentinelJson,"unstable":${strArr(unstableNames)},"failures":${strArr(failures.reverse)}}"""
+      f""""sentinel":{"enabled":${gate.enabled},"floor_ms":${gate.floorMs}%.2f,"discards":${gate.discards},"probes_ms":$probesJson}"""
+    val fullJson = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"spread":$spread$spreadRaw,"runs":$runs,"sf":"$sfDir","valid":$valid,"recall_ok":$recallOk,"codegen_compile_errors":$codegenErrors,$sentinelJson,"unstable":${strArr(unstableNames)},"failures":${strArr(failures.reverse)}}"""
     // The driver's tail window is ~2,000 chars and it parses the LAST line of
     // the captured log as JSON — a 3.5 KB line survives complete at EOF but
     // arrives front-truncated in the window (the r13 failure mode: the full
@@ -479,12 +528,12 @@ object Bench {
     // The heaviest query's spread decides validity in practice (r15: bk0 was
     // the sole unstable entry and its spread lived only in the full
     // artifact) — ship it on the compact line too, one entry, ~40 chars.
-    val heavySpread = results.sortBy(-_._2._1).headOption.map {
-      case (k, (_, s, _)) => s""","heavy_spread":{"$k":${r3(s)}}"""
+    val heavySpread = results.sortBy(-_._2._1._1).headOption.map {
+      case (k, ((_, s, _), _)) => s""","heavy_spread":{"$k":${r3(s)}}"""
     }.getOrElse("")
     def compactLine(withQueries: Boolean): String = {
       val q = if (withQueries) s""","queries":$qs""" else ""
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","runs":$runs,"sf":"$sfDir","valid":$valid,"recall_ok":$recallOk,"sentinel_discards":${gate.discards},"unstable":${cappedArr(unstableNames)},"failures":${cappedArr(failures.reverse)}$heavySpread$q,"detail":"bench/BENCH_FULL_latest.json"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","runs":$runs,"sf":"$sfDir","valid":$valid,"recall_ok":$recallOk,"codegen_compile_errors":$codegenErrors,"sentinel_discards":${gate.discards},"unstable":${cappedArr(unstableNames)},"failures":${cappedArr(failures.reverse)}$heavySpread$q,"detail":"bench/BENCH_FULL_latest.json"}"""
     }
     val withQ = compactLine(withQueries = true)
     val compactJson = if (withQ.length <= 1800) withQ else compactLine(withQueries = false)
@@ -521,10 +570,21 @@ object Bench {
     // nonzero exit would destroy the very artifact that records why the run
     // was invalid (measured; contract in bench/README.md).
     val rc = if (valid) "0" else "3"
-    java.nio.file.Files.writeString(java.nio.file.Paths.get("target/bench.rc"), rc + "\n")
-    if (only.isEmpty && java.nio.file.Files.isDirectory(tracked.getParent))
-      java.nio.file.Files.writeString(
-        java.nio.file.Paths.get("bench/BENCH_RC_latest"), rc + "\n")
+    // Non-fatal by contract: the rc file is best-effort telemetry — a missing
+    // target/ dir (or any IO error here) must never throw AFTER the final
+    // JSON println and break the last-line-of-log parse (the r13 failure
+    // mode the surrounding ordering defends against).
+    try {
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get("target"))
+      java.nio.file.Files.writeString(java.nio.file.Paths.get("target/bench.rc"), rc + "\n")
+      if (only.isEmpty && java.nio.file.Files.isDirectory(tracked.getParent))
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get("bench/BENCH_RC_latest"), rc + "\n")
+    } catch { case e: Throwable =>
+      // diag already flushed; direct println is safe anywhere BEFORE the
+      // final compact line
+      println(s"[bench] WARNING: rc file write failed (non-fatal): ${e.getMessage}")
+    }
     spark.stop()
     org.apache.logging.log4j.core.config.Configurator.setRootLevel(
       org.apache.logging.log4j.Level.OFF)

