@@ -350,7 +350,6 @@ object StreamRehearsal {
     val staleExtras = store2.exceptAll(expect)
       .where(col("address") =!= col("wallet_id")).count()
     val converged = missing == 0 && staleExtras == 0
-    funders.unpersist(blocking = false)
     Rehearsal.emit(
       f"""{"rehearsal":"maintainer_contraction","scale":$scale,"wallets":$nWallets,"stored_rows":$nStored,"bootstrap_s":$tBoot%.2f,"reorg_batch_s":$tBatch%.2f,"chain_route":"$chainRoute","repair_route":"$repairRoute","chosen_route_s":$tChosen%.2f,"alternative_route":"$altRoute","mass_alternative_s":$tMass%.2f,"mass_rows":$massRows,"missing":$missing,"stale_extras":$staleExtras,"converged":$converged}""")
     if (!converged) throw new IllegalStateException(
@@ -358,10 +357,20 @@ object StreamRehearsal {
     // Router-economics guard (in-leg, every run — not just a JSON field):
     // the chosen route must be within 1.3× of the alternative it rejected,
     // plus 0.5 s absolute slack so sub-second fixtures don't flap on
-    // scheduler noise. Ratios are contention-robust (both routes run in the
-    // same window back-to-back).
-    if (tChosen > 1.3 * tMass + 0.5) throw new IllegalStateException(
-      f"router economics inverted: chose $repairRoute at $tChosen%.2fs vs rejected $altRoute at $tMass%.2fs")
+    // scheduler noise. A host window spanning only one of the two
+    // sequential timings can still invert the ratio spuriously — on
+    // inversion the pair is re-timed once back-to-back (funders stays
+    // persisted until after this guard so the retry sees warmed inputs).
+    Rehearsal.assertEconomics("maintainer router", repairRoute, tChosen,
+      altRoute, tMass, () => {
+        val (_, c) = timed(graft.chain.WalletCluster.repairAfterReorg(
+          preStored, invFunders, bestFunders).count())
+        val (_, m) = timed(graft.chain.WalletCluster.repairAfterReorg(
+          preStored, invFunders, bestFunders,
+          contractionMinStore = Long.MaxValue).count())
+        (c, m)
+      })
+    funders.unpersist(blocking = false)
     // vacuousness guards (same discipline as the kill-resume legs): the
     // leg's POINT is the routing — a regression that silently falls back to
     // full resolution or always takes the mass route must fail the leg, not
@@ -633,6 +642,29 @@ object StreamRehearsal {
       rinAll.unpersist(blocking = false)
       throw new IllegalStateException(
         s"streamed wallet labels diverged: missing=$missing stale=$staleExtras")
+    }
+    // Catch-up cost bar (r18 ask #4). The arrival permutation is FIXED —
+    // the corpus derives entirely from Random(42), so the cross-file block
+    // shuffle, and hence WHICH batch connects the bulk of the chain, is
+    // deterministic per scale. That connect lands in the final batch, and
+    // its cost must scale with the LABEL space, not the chain length:
+    // bar = 20 s + 3.1 ms/label. Anchors: 13.4 s measured at 1×/1,500
+    // labels (bar 24.6), 136.8 s at 30×/45,000 (bar 159.5, ≈17% headroom —
+    // run scaled legs in a quiet window; COVERAGE.md documents host-window
+    // variance). Final-batch FILES + total chain blocks are recorded so a
+    // future corpus change that moves the connect out of the final batch
+    // is visible in the artifact instead of silently relaxing the bar.
+    val finalBatchS = perBatch.lastOption.getOrElse(0.0)
+    val finalBatchFiles = progress.lastOption.map(_.numInputRows).getOrElse(0L)
+    val chainBlocks = graft.chain.BlkCorpus.annotated(spark).count()
+    val catchupBarS = 20.0 + 0.0031 * nLabels
+    Rehearsal.emit(
+      f"""{"rehearsal":"wallet_labels_catchup_bar","scale":${graft.chain.BlkCorpus.Scale},"final_batch_s":$finalBatchS%.1f,"final_batch_files":$finalBatchFiles,"chain_blocks":$chainBlocks,"labels":$nLabels,"bar_s":$catchupBarS%.1f,"met":${finalBatchS <= catchupBarS}}""")
+    if (finalBatchS > catchupBarS) {
+      rinAll.unpersist(blocking = false)
+      throw new IllegalStateException(
+        f"catch-up final batch $finalBatchS%.1fs exceeds the label-scaled " +
+          f"bar $catchupBarS%.1fs ($nLabels labels)")
     }
     // vacuousness guard (r17): the one full resolution in this leg — the
     // bootstrap when genesis finally arrives — must have taken the
