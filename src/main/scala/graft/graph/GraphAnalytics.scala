@@ -63,18 +63,28 @@ object GraphAnalytics {
     val und = edges
       .select(least(col("src"), col("dst")).as("u"), greatest(col("src"), col("dst")).as("v"))
       .where(col("u") =!= col("v")).distinct()
-    val deg = und.select(col("u").as("x")).union(und.select(col("v").as("x")))
-      .groupBy("x").agg(count(lit(1)).as("d"))
+    // The degree table is vertex-sized and consumed twice by the
+    // orientation joins: materialize it once (the count rides the cache
+    // fill), and under the broadcast envelope ship it broadcast so the
+    // edge set is never shuffled before the closure join. Above the
+    // envelope the shuffled joins stand.
+    val (deg, degRdd, nVerts) = graft.operators.ChainOps.rebaseCounted(
+      und.select(col("u").as("x")).union(und.select(col("v").as("x")))
+        .groupBy("x").agg(count(lit(1)).as("d")))
+    val degB =
+      if (nVerts <= graft.operators.ChainOps.BroadcastMaxRows) broadcast(deg)
+      else deg
     val lower = col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v"))
     // The oriented edge set is consumed THREE times by the closure join —
     // materialize it once, or each consumer re-runs the distinct + degree
     // joins from the raw edges (3× a shuffle-heavy subtree at 100 TB).
     val (o, oRdd) = graft.operators.ChainOps.rebase(und
-      .join(deg.select(col("x").as("u"), col("d").as("du")), "u")
-      .join(deg.select(col("x").as("v"), col("d").as("dv")), "v")
+      .join(degB.select(col("x").as("u"), col("d").as("du")), "u")
+      .join(degB.select(col("x").as("v"), col("d").as("dv")), "v")
       .select(
         when(lower, col("u")).otherwise(col("v")).as("s"),
         when(lower, col("v")).otherwise(col("u")).as("t")))
+    degRdd.unpersist(blocking = false)
     // Each triangle {x,y,z} (orientation order x<y<z) appears exactly once:
     // the wedge pair at x emits both (y,z) and (z,y), but only y→z exists
     // in the oriented set, so the closure join keeps one.
@@ -128,9 +138,18 @@ object GraphAnalytics {
       val deg = und.select(col("u").as("x")).union(und.select(col("v").as("x")))
         .groupBy("x").agg(count(lit(1)).as("d"))
       val low = deg.where(col("d") < k).select("x")
+      // The dropped set is vertex-sized (≤ 2·|E| — undCount is this round's
+      // edge count, so the bound needs no extra job): under the broadcast
+      // envelope the two anti-joins become broadcast-hash, and the cached
+      // edge set is only SCANNED per round — the degree aggregate's shuffle
+      // is the round's single edge-sized exchange. Above the envelope the
+      // shuffled anti-joins stand (the distributed route).
+      val lowB =
+        if (undCount * 2 <= graft.operators.ChainOps.BroadcastMaxRows) broadcast(low)
+        else low
       val next = und
-        .join(low.withColumnRenamed("x", "u"), Seq("u"), "left_anti")
-        .join(low.withColumnRenamed("x", "v"), Seq("v"), "left_anti")
+        .join(lowB.withColumnRenamed("x", "u"), Seq("u"), "left_anti")
+        .join(lowB.withColumnRenamed("x", "v"), Seq("v"), "left_anti")
         .select("u", "v")
       val (nextDf, nextRdd, nextCount) = graft.operators.ChainOps.rebaseCounted(next)
       // converged when no edge left the set this round
@@ -191,12 +210,33 @@ object GraphAnalytics {
     val (adj, adjRdd) = graft.operators.ChainOps.rebase(
       und.select(col("u").as("a"), col("v").as("b"))
         .unionByName(und.select(col("v").as("a"), col("u").as("b"))))
-    var labels = adj.select(col("a").as("address")).distinct()
-      .withColumn("label", col("address"))
-    var prev: Option[org.apache.spark.rdd.RDD[_]] = None
+    // Vertex count routes the per-round join. The label table is
+    // vertex-sized and the adjacency is edge-sized (2|E| rows): below the
+    // broadcast envelope, broadcasting the labels makes each round a
+    // broadcast hash join — the cached adjacency is only SCANNED, never
+    // shuffled or sorted, and the only exchange left is the map-side-
+    // combined (vertex, label) partials. Above the envelope, the adjacency
+    // is pinned ONCE in the join key's hash layout (a DataFrame persist
+    // keeps outputPartitioning, unlike the RDD rebase), so every round's
+    // shuffle moves only the vertex-sized label table.
+    val (labels0, labels0Rdd, nVerts) = graft.operators.ChainOps.rebaseCounted(
+      adj.select(col("a").as("address")).distinct()
+        .withColumn("label", col("address")))
+    var labels = labels0
+    var prev: Option[org.apache.spark.rdd.RDD[_]] = Some(labels0Rdd)
+    val bcastLabels = nVerts <= graft.operators.ChainOps.BroadcastMaxRows
+    val adjJoin =
+      if (bcastLabels) adj
+      else {
+        val r = adj.repartition(col("b"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        r.count()
+        r
+      }
     for (_ <- 1 to rounds) {
-      val next = adj
-        .join(labels, adj("b") === labels("address"))
+      val labelSide = if (bcastLabels) broadcast(labels) else labels
+      val next = adjJoin
+        .join(labelSide, col("b") === col("address"))
         .groupBy(col("a"), col("label")).agg(count(lit(1)).as("_c"))
         .groupBy(col("a").as("address"))
         .agg(min_by(col("label"),
@@ -208,6 +248,7 @@ object GraphAnalytics {
     }
     // Each round's rebase materialized `labels` with flat lineage, so the
     // returned frame no longer references the adjacency — safe to drop now.
+    if (!bcastLabels) adjJoin.unpersist(blocking = false)
     adjRdd.unpersist(blocking = false)
     val out = labels.select(col("address"), col("label").as("community"))
     Option(lastLpa.getAndSet(prev.orNull)).foreach(_.unpersist(blocking = false))

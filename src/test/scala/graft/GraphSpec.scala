@@ -160,6 +160,28 @@ class GraphSpec extends SparkSpec {
     assert((1 to 4).forall(i => got(s"b$i") == "b1"), got)
   }
 
+  test("labelPropagation: above-envelope route (shuffled label joins) agrees with broadcast route") {
+    import spark.implicits._
+    // Both per-round join routes must produce identical labels: the
+    // broadcast route (labels fit ChainOps.BroadcastMaxRows — every local
+    // fixture) and the at-scale route (adjacency pinned in hash(b) layout,
+    // vertex-sized label shuffles per round). Forcing the envelope to 1
+    // exercises the latter on the clique fixture.
+    def k4(p: String) = for {
+      i <- 1 to 4; j <- i + 1 to 4
+    } yield (s"$p$i", s"$p$j")
+    val edges = (k4("a") ++ k4("b") :+ ("a4", "b1"))
+      .toDF("src", "dst").withColumn("value", lit(0L))
+    val viaBroadcast = GraphAnalytics.labelPropagation(edges, rounds = 4)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toSet
+    sys.props("graft.broadcastMaxRows") = "1"
+    try {
+      val viaShuffle = GraphAnalytics.labelPropagation(edges, rounds = 4)
+        .collect().map(r => r.getString(0) -> r.getString(1)).toSet
+      assert(viaShuffle == viaBroadcast)
+    } finally sys.props.remove("graft.broadcastMaxRows")
+  }
+
   test("labelPropagation matches the brute-force synchronous mirror on a random graph") {
     import spark.implicits._
     val rnd = new scala.util.Random(23)
