@@ -115,9 +115,16 @@ object AddressCodec {
     }
   }
 
+  /** Per-thread SHA-256: `getInstance` is a JCA lookup + allocation per
+    * call and this codec runs once per decoded output script at corpus
+    * scale. `digest()` auto-resets, so reuse is safe.
+    */
+  private val sha256 = ThreadLocal.withInitial[MessageDigest](() =>
+    MessageDigest.getInstance("SHA-256"))
+
   /** hash160 = RIPEMD160(SHA256(x)) — the pubkey→address hash. */
   def hash160(bytes: Array[Byte]): Array[Byte] =
-    Ripemd160.digest(MessageDigest.getInstance("SHA-256").digest(bytes))
+    Ripemd160.digest(sha256.get().digest(bytes))
 
   // ------------------------------------------------------------ Base58Check
   object Base58 {
@@ -158,7 +165,7 @@ object AddressCodec {
       val data = new Array[Byte](1 + payload.length + 4)
       data(0) = version
       System.arraycopy(payload, 0, data, 1, payload.length)
-      val md = MessageDigest.getInstance("SHA-256")
+      val md = sha256.get()
       md.update(data, 0, 1 + payload.length)
       val check = md.digest(md.digest())
       System.arraycopy(check, 0, data, 1 + payload.length, 4)

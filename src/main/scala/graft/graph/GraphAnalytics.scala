@@ -228,7 +228,11 @@ object GraphAnalytics {
     val adjJoin =
       if (bcastLabels) adj
       else {
-        val r = adj.repartition(col("b"))
+        // hash(b) layout + in-partition sort: the cached relation preserves
+        // both, so each round's sort-merge join needs NEITHER an exchange
+        // NOR a sort on the edge-sized side — only the vertex-sized label
+        // table is shuffled and sorted per round.
+        val r = adj.repartition(col("b")).sortWithinPartitions("b")
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         r.count()
         r

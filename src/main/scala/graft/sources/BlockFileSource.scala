@@ -37,8 +37,16 @@ object BlockFileSource {
   val RegtestMagic: Int = 0xfabfb5da
   val SignetMagic: Int = 0x0a03cf40
 
+  /** Per-thread digest instance: `MessageDigest.getInstance` does a JCA
+    * provider lookup + allocation PER CALL, and this runs once per block
+    * header plus once per transaction — millions of times per blk file
+    * task. `digest()` auto-resets the instance, so reuse is safe.
+    */
+  private val sha256 = ThreadLocal.withInitial[MessageDigest](() =>
+    MessageDigest.getInstance("SHA-256"))
+
   private def sha256d(bytes: Array[Byte], from: Int, len: Int): Array[Byte] = {
-    val md = MessageDigest.getInstance("SHA-256")
+    val md = sha256.get()
     md.update(bytes, from, len)
     md.digest(md.digest())
   }
