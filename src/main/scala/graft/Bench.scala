@@ -514,8 +514,20 @@ object Bench {
       val shown = if (xs.length > 8) xs.take(8) :+ s"+${xs.length - 8} more" else xs
       strArr(shown)
     }
+    // One-number window quality for the whole run: worst accepted bracket
+    // probe over the floor, across every gated sample of every query. A
+    // quiet run reads ~1.0–1.2×; the documented gate boundary (steady
+    // multi-tenant load a 1-thread probe under-sees) reads 1.5–1.9×. Makes
+    // cross-round band matching a one-glance comparison on the compact line.
+    val worstProbeX: Double =
+      if (!gate.enabled || gate.floorMs <= 0) -1.0
+      else {
+        val all = results.iterator.flatMap(_._2._2.probes.iterator)
+          .filter(_._1 >= 0).flatMap(p => Iterator(p._1, p._2))
+        if (all.isEmpty) -1.0 else all.max * 1e3 / gate.floorMs
+      }
     val sentinelJson =
-      f""""sentinel":{"enabled":${gate.enabled},"floor_ms":${gate.floorMs}%.2f,"discards":${gate.discards},"probes_ms":$probesJson}"""
+      f""""sentinel":{"enabled":${gate.enabled},"floor_ms":${gate.floorMs}%.2f,"discards":${gate.discards},"worst_probe_x":$worstProbeX%.2f,"probes_ms":$probesJson}"""
     val fullJson = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"spread":$spread$spreadRaw,"runs":$runs,"sf":"$sfDir","valid":$valid,"recall_ok":$recallOk,"codegen_compile_errors":$codegenErrors,$sentinelJson,"unstable":${strArr(unstableNames)},"failures":${strArr(failures.reverse)}}"""
     // The driver's tail window is ~2,000 chars and it parses the LAST line of
     // the captured log as JSON — a 3.5 KB line survives complete at EOF but
@@ -533,7 +545,7 @@ object Bench {
     }.getOrElse("")
     def compactLine(withQueries: Boolean): String = {
       val q = if (withQueries) s""","queries":$qs""" else ""
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","runs":$runs,"sf":"$sfDir","valid":$valid,"recall_ok":$recallOk,"codegen_compile_errors":$codegenErrors,"sentinel_discards":${gate.discards},"unstable":${cappedArr(unstableNames)},"failures":${cappedArr(failures.reverse)}$heavySpread$q,"detail":"bench/BENCH_FULL_latest.json"}"""
+      f"""{"metric":"total","value":${r3(total)},"unit":"sec","runs":$runs,"sf":"$sfDir","valid":$valid,"recall_ok":$recallOk,"codegen_compile_errors":$codegenErrors,"sentinel_discards":${gate.discards},"worst_probe_x":$worstProbeX%.2f,"unstable":${cappedArr(unstableNames)},"failures":${cappedArr(failures.reverse)}$heavySpread$q,"detail":"bench/BENCH_FULL_latest.json"}"""
     }
     val withQ = compactLine(withQueries = true)
     val compactJson = if (withQ.length <= 1800) withQ else compactLine(withQueries = false)
