@@ -69,7 +69,8 @@ object Bench {
       samples: Seq[S], warms: Int, recovered: Boolean,
       recoveryRejected: Boolean, recoverySamples: Seq[S],
       discarded: Int = 0,
-      probes: Seq[(Double, Double)] = Seq.empty)
+      probes: Seq[(Double, Double)] = Seq.empty,
+      pprobes: Seq[(Double, Double)] = Seq.empty)
 
   /** Fixed-work single-thread CPU probe, seconds. The work is constant, so
     * probe time moves ONLY with how much CPU the scheduler grants this
@@ -88,6 +89,33 @@ object Bench {
     var i = 0
     while (i < 4000000) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1 }
     sentinelSink = x // defeat dead-code elimination
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  /** Fixed-work FULL-WIDTH probe, seconds: the [[sentinelProbe]] work run
+    * once on EVERY hardware thread concurrently; wall time of the slowest.
+    * A quiet host reads ≈ the 1-thread probe (every thread gets a core);
+    * steady external load L on C cpus inflates it ≈ 1 + L/C even while each
+    * single thread still gets a full core — the documented gate-boundary
+    * case the 1-thread probe under-sees (mild multi-tenant load that
+    * inflates a 32-thread Spark job but not a 1-thread probe). TELEMETRY
+    * ONLY, never a discard criterion: gating on it would leave a mildly
+    * shared host unable to produce any band at all — reporting that window
+    * is the validity flag's job, not the gate's to wait out.
+    */
+  private[graft] def parallelProbe(
+      threads: Int = Runtime.getRuntime.availableProcessors()): Double = {
+    val t0 = System.nanoTime()
+    val ts = (0 until threads).map { k =>
+      val t = new Thread(() => {
+        var x = 0x9E3779B97F4A7C15L ^ (sentinelSink + k)
+        var i = 0
+        while (i < 4000000) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1 }
+        sentinelSink ^= x // racy on purpose — only defeats dead-code elim
+      })
+      t.setDaemon(true); t.start(); t
+    }
+    ts.foreach(_.join())
     (System.nanoTime() - t0) / 1e9
   }
 
@@ -121,19 +149,32 @@ object Bench {
       maxDiscardsTotal: Int,
       sleepMsForDiscard: Int => Long,
       sleeper: Long => Unit,
-      val enabled: Boolean) {
+      val enabled: Boolean,
+      pprobe: () => Double = () => -1.0) {
     private var floorSec = Double.PositiveInfinity
+    private var pfloorSec = Double.PositiveInfinity
     private var total = 0
     private var lastProbe = -1.0
+    private var lastPProbe = -1.0
     def discards: Int = total
     def floorMs: Double = if (floorSec.isInfinity) -1 else floorSec * 1e3
+    /** Full-width probe floor, ms (−1 when the pprobe never ran). */
+    def pfloorMs: Double = if (pfloorSec.isInfinity) -1 else pfloorSec * 1e3
     /** Most recent probe value, seconds — the raw observable [[measure]]
       * archives per accepted sample so cross-round window-matching is
       * mechanical (r18 ask #6) instead of narrated.
       */
     def lastProbeSec: Double = lastProbe
+    /** Most recent full-width probe, seconds (−1 = pprobe disabled). Runs
+      * piggybacked on every [[observe]] but NEVER influences [[quiet]] —
+      * see [[Bench.parallelProbe]] for why it must stay telemetry.
+      */
+    def lastPProbeSec: Double = lastPProbe
     private def observe(): Double = {
-      val p = probe(); lastProbe = p; if (p < floorSec) floorSec = p; p
+      val p = probe(); lastProbe = p; if (p < floorSec) floorSec = p
+      val pp = pprobe(); lastPProbe = pp
+      if (pp >= 0 && pp < pfloorSec) pfloorSec = pp
+      p
     }
     def calibrate(n: Int): Double = {
       var i = 0; while (i < n) { observe(); i += 1 }; floorSec
@@ -162,7 +203,8 @@ object Bench {
       () => sentinelProbe(), factor = 1.6,
       maxDiscardsPerQuery = 10, maxDiscardsTotal = 120,
       sleepMsForDiscard = k => math.min(250L << math.min(k, 4), 4000L),
-      sleeper = Thread.sleep, enabled = true)
+      sleeper = Thread.sleep, enabled = true,
+      pprobe = () => parallelProbe())
     val off: SentinelGate = new SentinelGate(
       () => 0.0, factor = Double.MaxValue, maxDiscardsPerQuery = 0,
       maxDiscardsTotal = 0, sleepMsForDiscard = _ => 0L, sleeper = _ => (),
@@ -207,15 +249,20 @@ object Bench {
     // when the sample ran ungated (gate off or budget exhausted). Archived in
     // the full bench artifact so a loaded-vs-quiet window is a recorded fact.
     val probeLog = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
+    // Full-width probe pairs, aligned 1:1 with probeLog: the telemetry that
+    // records the MILD-steady-load boundary the 1-thread probe under-sees.
+    val pprobeLog = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
     def gated(): S = {
       while (gate.active && qDiscards < gate.maxDiscardsPerQuery) {
         if (!gate.quiet()) { // contended BEFORE the sample: wait it out
           gate.discardAndWait(qDiscards); qDiscards += 1
         } else {
           val pre = gate.lastProbeSec
+          val ppre = gate.lastPProbeSec
           val s = once()
           if (gate.quiet()) { // quiet on both sides: accept
             probeLog += ((pre, gate.lastProbeSec))
+            pprobeLog += ((ppre, gate.lastPProbeSec))
             return s
           }
           // window OPENED mid-sample: the sample straddles it — discard
@@ -224,6 +271,7 @@ object Bench {
         }
       }
       probeLog += ((-1.0, -1.0))
+      pprobeLog += ((-1.0, -1.0))
       once() // gate off / budget exhausted: the spread flag owns this case
     }
     def warmToSettle(): (Int, Int) = { // (warms taken, cap used)
@@ -247,7 +295,8 @@ object Bench {
     }
     if (!unstable(ordered.map(secOf)))
       return Measurement(ordered, warms, recovered = false,
-        recoveryRejected = false, Seq.empty, qDiscards, probeLog.toSeq)
+        recoveryRejected = false, Seq.empty, qDiscards, probeLog.toSeq,
+        pprobeLog.toSeq)
     diag("unstable after resample — recovery: release caches, GC, re-warm")
     recoveryPrep()
     val (rWarms, _) = warmToSettle()
@@ -258,11 +307,11 @@ object Bench {
     if (!unstable(fresh.map(secOf)))
       Measurement(fresh, warms, recovered = true,
         recoveryRejected = false, Seq.empty, qDiscards,
-        probeLog.drop(freshFrom).toSeq)
+        probeLog.drop(freshFrom).toSeq, pprobeLog.drop(freshFrom).toSeq)
     else
       Measurement(ordered, warms, recovered = false,
         recoveryRejected = true, fresh, qDiscards,
-        probeLog.take(freshFrom).toSeq)
+        probeLog.take(freshFrom).toSeq, pprobeLog.take(freshFrom).toSeq)
   }
 
   /** Total JVM GC time across all collectors, ms. Per-sample deltas separate
@@ -422,7 +471,12 @@ object Bench {
         val worst =
           if (gatedProbes.isEmpty || gate.floorMs <= 0) -1.0
           else gatedProbes.iterator.flatMap(p => Iterator(p._1, p._2)).max * 1e3 / gate.floorMs
+        val gatedPP = m.pprobes.filter(_._1 >= 0)
+        val pworst =
+          if (gatedPP.isEmpty || gate.pfloorMs <= 0) -1.0
+          else gatedPP.iterator.flatMap(p => Iterator(p._1, p._2)).max * 1e3 / gate.pfloorMs
         diag += f"[bench] $name window-quality: worst-probe/floor ${worst}%.2fx over ${gatedProbes.length} gated sample(s)" +
+          (if (pworst > 0) f", full-width ${pworst}%.2fx" else "") +
           (if (ungated > 0) s", $ungated ungated" else "") +
           (if (m.discarded > 0) s", ${m.discarded} discarded" else "")
       }
@@ -489,6 +543,13 @@ object Bench {
         f"[${a * 1e3}%.1f,${b * 1e3}%.1f]"
       }.mkString("[", ",", "]")
     }.mkString("{", ",", "}")
+    // Full-width (all-cores) probe pairs, same alignment: the steady-mild-
+    // load observable — quiet ≈1×, external load L on C cpus reads ≈1+L/C.
+    val pprobesJson = results.map { case (k, (_, m)) =>
+      "\"" + k + "\":" + m.pprobes.map { case (a, b) =>
+        f"[${a * 1e3}%.1f,${b * 1e3}%.1f]"
+      }.mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
     // spread_raw has never differed from spread on a valid run (trimming only
     // kicks in past 6 samples); it nearly doubles the artifact, so it ships
     // only under the debug flag.
@@ -526,8 +587,17 @@ object Bench {
           .filter(_._1 >= 0).flatMap(p => Iterator(p._1, p._2))
         if (all.isEmpty) -1.0 else all.max * 1e3 / gate.floorMs
       }
+    // Same one-number summary over the full-width probe: ≈1.0–1.3× quiet;
+    // a steady external load the 1-thread probe cannot see reads 1+L/C here.
+    val worstPProbeX: Double =
+      if (!gate.enabled || gate.pfloorMs <= 0) -1.0
+      else {
+        val all = results.iterator.flatMap(_._2._2.pprobes.iterator)
+          .filter(_._1 >= 0).flatMap(p => Iterator(p._1, p._2))
+        if (all.isEmpty) -1.0 else all.max * 1e3 / gate.pfloorMs
+      }
     val sentinelJson =
-      f""""sentinel":{"enabled":${gate.enabled},"floor_ms":${gate.floorMs}%.2f,"discards":${gate.discards},"worst_probe_x":$worstProbeX%.2f,"probes_ms":$probesJson}"""
+      f""""sentinel":{"enabled":${gate.enabled},"floor_ms":${gate.floorMs}%.2f,"discards":${gate.discards},"worst_probe_x":$worstProbeX%.2f,"pfloor_ms":${gate.pfloorMs}%.2f,"worst_pprobe_x":$worstPProbeX%.2f,"probes_ms":$probesJson,"pprobes_ms":$pprobesJson}"""
     val fullJson = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"spread":$spread$spreadRaw,"runs":$runs,"sf":"$sfDir","valid":$valid,"recall_ok":$recallOk,"codegen_compile_errors":$codegenErrors,$sentinelJson,"unstable":${strArr(unstableNames)},"failures":${strArr(failures.reverse)}}"""
     // The driver's tail window is ~2,000 chars and it parses the LAST line of
     // the captured log as JSON — a 3.5 KB line survives complete at EOF but
@@ -545,7 +615,7 @@ object Bench {
     }.getOrElse("")
     def compactLine(withQueries: Boolean): String = {
       val q = if (withQueries) s""","queries":$qs""" else ""
-      f"""{"metric":"total","value":${r3(total)},"unit":"sec","runs":$runs,"sf":"$sfDir","valid":$valid,"recall_ok":$recallOk,"codegen_compile_errors":$codegenErrors,"sentinel_discards":${gate.discards},"worst_probe_x":$worstProbeX%.2f,"unstable":${cappedArr(unstableNames)},"failures":${cappedArr(failures.reverse)}$heavySpread$q,"detail":"bench/BENCH_FULL_latest.json"}"""
+      f"""{"metric":"total","value":${r3(total)},"unit":"sec","runs":$runs,"sf":"$sfDir","valid":$valid,"recall_ok":$recallOk,"codegen_compile_errors":$codegenErrors,"sentinel_discards":${gate.discards},"worst_probe_x":$worstProbeX%.2f,"worst_pprobe_x":$worstPProbeX%.2f,"unstable":${cappedArr(unstableNames)},"failures":${cappedArr(failures.reverse)}$heavySpread$q,"detail":"bench/BENCH_FULL_latest.json"}"""
     }
     val withQ = compactLine(withQueries = true)
     val compactJson = if (withQ.length <= 1800) withQ else compactLine(withQueries = false)

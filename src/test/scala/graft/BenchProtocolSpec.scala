@@ -153,6 +153,42 @@ class BenchProtocolSpec extends AnyFunSuite {
     assert(m.discarded == 1)
   }
 
+  test("full-width pprobe: recorded per accepted sample, never a discard criterion") {
+    // A massively "contended" full-width probe (steady mild load: 32-thread
+    // wall inflated, 1-thread probe quiet) must NOT gate — the whole point
+    // of the pprobe is to RECORD the boundary case the gate deliberately
+    // lets through, so validity stays decidable after the fact. Gating on
+    // it would leave a mildly shared host unable to produce any band.
+    var discards = 0
+    val gate = new Bench.SentinelGate(
+      probe = () => 0.01, factor = 1.6, maxDiscardsPerQuery = 10,
+      maxDiscardsTotal = 120, sleepMsForDiscard = _ => 0L,
+      sleeper = _ => discards += 1, enabled = true,
+      pprobe = () => 0.99) // 99× the 1-thread probe: extreme steady load
+    gate.calibrate(1)
+    val s = new Script(1.0, 1.0, 1.0, 1.0, 1.0)
+    val m = Bench.measure[Double](s.once _, identity, runs = 3, gate = gate)
+    assert(discards == 0 && m.discarded == 0,
+      "full-width probe must never cause a discard")
+    assert(m.samples == Seq(1.0, 1.0, 1.0))
+    // telemetry shipped: one (pre, post) full-width pair per accepted sample
+    assert(m.pprobes.length == m.samples.length)
+    assert(m.pprobes.forall { case (a, b) => a == 0.99 && b == 0.99 })
+    assert(math.abs(gate.pfloorMs - 990.0) < 0.001)
+  }
+
+  test("full-width pprobe: real parallelProbe reads near the 1-thread probe on a quiet host") {
+    // Sanity on the real implementation: all cores running the fixed work
+    // concurrently should take roughly the single-thread time (each thread
+    // gets a core), not N×. Generous 6× bound: the assert documents the
+    // shape (parallel, not serialized), not a tight floor — CI hosts vary.
+    (0 until 3).foreach { _ => Bench.sentinelProbe(); Bench.parallelProbe() }
+    val one = (0 until 3).map(_ => Bench.sentinelProbe()).min
+    val all = (0 until 3).map(_ => Bench.parallelProbe()).min
+    assert(all < one * 6,
+      f"parallelProbe serialized? 1-thread ${one * 1e3}%.1fms vs full-width ${all * 1e3}%.1fms")
+  }
+
   test("sentinel gate: budget exhaustion degrades to ungated sampling, never deadlocks") {
     // Permanently contended host: after maxDiscardsPerQuery discards the
     // query samples ungated and the spread/validity flag owns the outcome.
