@@ -54,6 +54,26 @@ object Profile {
       spark.stop(); sys.exit(0)
     }
 
+    // Formatted-explain dumps for the plan archive (plans/rNN/):
+    // SPARK_GRAFT_PROFILE=explainf:<outdir>:<suffix>:<q1,q2,...>
+    // writes <outdir>/<query>_<suffix>.txt with explain("formatted") of each
+    // declared query built against $SPARK_GRAFT_SF_DIR (default sf0.01).
+    sys.env.get("SPARK_GRAFT_PROFILE").filter(_.startsWith("explainf:")).foreach { v =>
+      val Array(outDir, suffix, qlist) = v.stripPrefix("explainf:").split(":", 3)
+      val dataDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
+      qlist.split(",").foreach { q =>
+        val df = SparkEntry.queries(q)(spark, dataDir)
+        val txt = df.queryExecution.explainString(
+          org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(outDir, s"${q}_$suffix.txt"),
+          txt.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        println(s"[explainf] wrote $outDir/${q}_$suffix.txt")
+      }
+      spark.stop(); sys.exit(0)
+    }
+
     // bk0 phase breakdown: where does the end-to-end from-raw time go?
     // Mirrors BlkScale's bk0 exactly (incl. the run-scoped persisted scratch)
     // so the phase times add up to the bench number. bk0cache additionally
