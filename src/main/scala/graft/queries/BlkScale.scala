@@ -31,12 +31,17 @@ object BlkScale {
   private def pq(dir: String): String = s"read_parquet('$dir/*.parquet')"
 
   /** Run-scoped persisted intermediates for the from-raw pipeline (bk0).
-    * Only frames consumed by SEVERAL branches of the digest DAG belong here
-    * (currently cTxs alone: the two semi-joins, first-appearance, and the
-    * final assembly all read it) — since txStats consumes rin/outs exactly
-    * once via the direction-tagged union, persisting them would be a pure
-    * materialization barrier. Each new run swaps its set in, unpersisting
-    * the previous run's (bench reruns hold ONE copy, not one per run).
+    * Only frames consumed by SEVERAL branches of the digest DAG belong here:
+    * cTxs (the two semi-joins, first-appearance, and the final assembly all
+    * read it) and — since the bucket-aligned pair-merge txStats replaced the
+    * direction-tagged union — rin and outs as well: the pair-merge shape
+    * reads each side TWICE (per-tx aggregate + distinct key set), which is
+    * free over bucketed silver (bk2's case) but over bk0's freshly-parsed
+    * unbucketed bronze re-paid the outpoint join and the wire-format parse
+    * per consumer (measured: staging them cuts the digest phase 3.7 → 2.3 s
+    * warm at 1×, isolated bk0 −23%). Each new run swaps its set in,
+    * unpersisting the previous run's (bench reruns hold ONE copy, not one
+    * per run).
     */
   private val scratch =
     new java.util.concurrent.atomic.AtomicReference[Seq[org.apache.spark.sql.DataFrame]](Nil)
@@ -126,7 +131,7 @@ object BlkScale {
           .join(cTxs.select("tx_hash"), Seq("tx_hash"), "left_semi")
         val outs = bronze("tx_outputs")
           .join(cTxs.select("tx_hash"), Seq("tx_hash"), "left_semi")
-        stageForRun(cTxs, headers)
+        stageForRun(cTxs, headers, rin, outs)
         val ts = GoldStats.txStats(cTxs, rin, outs)
         ann.agg(
             count(lit(1)).as("n_blocks"),
